@@ -1,0 +1,97 @@
+"""Runtime configuration objects.
+
+The reference carries three POD param structs across its C ABI
+(``src/core/functions.h:107-127`` mirrored byte-compatibly in
+``pyLDPC/ldpc.py:16-30``).  Here they are plain Python dataclasses — there is
+no ABI to keep compatible, and everything is runtime-configurable (no
+compile-time forks like the reference's ``SIM_FLAGS`` cache variable,
+``CMakeLists.txt:9``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+#: Sentinel LLR magnitude used to pin "known" (shortened) bits, mirroring the
+#: reference's ``99999.9`` (``src/sim/channel.cpp:84``).
+SHORTEN_LLR = 99999.9
+
+#: Clamp bounds applied to modulated-channel LLRs, mirroring the GPU stack's
+#: ``MAX_LLR``/``MIN_LLR`` guards (``gpu/sim/ldpcsim.h:59-60``,
+#: ``gpu/device/kernel.cpp:170-181``).
+MAX_LLR = 9999.9
+MIN_LLR = -9999.9
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderParams:
+    """Decoder configuration (reference: ``decoder_param``,
+    ``src/core/functions.h:107-112``).
+
+    Attributes:
+      early_term: stop per-frame once the hard decision is a codeword
+        (``src/decoding/decoder.cpp:66-72``).
+      iterations: max BP iterations (reference default 50,
+        ``src/sim_cpu.cpp:14``).
+      type: ``"BP"`` (exact sum-product via pairwise box-plus) or ``"BP_MS"``
+        (min-sum).  Any other string behaves like ``"BP"``, matching
+        ``ldpc_decoder_base::set_param`` (``src/decoding/decoder.h:73-80``).
+    """
+
+    early_term: bool = True
+    iterations: int = 50
+    type: str = "BP"
+
+    @property
+    def use_minsum(self) -> bool:
+        return self.type == "BP_MS"
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelParams:
+    """Channel configuration (reference: ``channel_param``,
+    ``src/core/functions.h:114-119``).
+
+    ``x_range`` is ``(min, max, step)`` with ``max`` exclusive, accumulated in
+    float exactly like the reference sweep builder
+    (``src/sim/ldpcsim.cpp:104-110``).  For BSC/BEC the sweep is run in
+    reverse (worst erasure/crossover probability first,
+    ``src/sim/ldpcsim.cpp:116-122``).
+    """
+
+    seed: int = 0
+    x_range: Sequence[float] = (0.0, 2.0, 1.0)
+    type: str = "AWGN"
+
+    def sweep_values(self) -> list[float]:
+        lo, hi, step = self.x_range
+        vals = []
+        val = float(lo)
+        while val < hi:
+            vals.append(val)
+            val += step
+        if self.type in ("BSC", "BEC"):
+            vals.reverse()
+        return vals
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulationParams:
+    """Monte-Carlo sweep configuration (reference: ``simulation_param``,
+    ``src/core/functions.h:121-127``).
+
+    ``batch_size`` replaces the reference's OpenMP ``threads`` knob: instead
+    of one frame per CPU thread (``src/sim/ldpcsim.cpp:150-153``) we decode
+    ``batch_size`` frames per device step as a leading tensor axis.
+    """
+
+    batch_size: int = 1024
+    max_frames: int = int(10e9)
+    fec: int = 50
+    result_file: Optional[str] = None
+    #: Optional path for per-error-frame forensic logging (GPU stack's
+    #: ``log_error``, ``gpu/sim/ldpcsim.cpp:351-464``).
+    error_log_file: Optional[str] = None
+    #: Optional path for sweep checkpoint/resume state.
+    checkpoint_file: Optional[str] = None
