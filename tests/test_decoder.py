@@ -1,0 +1,175 @@
+"""Decoder correctness: batched TPU decoder vs the scalar golden oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from libldpc_tpu.models import LDPCCode, make_benchmark_code
+from libldpc_tpu.ops import cn_ops
+from libldpc_tpu.ops.decoder import bp_decode_jit, syndrome_ok
+from libldpc_tpu.ops.device import to_device
+
+from golden import GoldenDecoder, jacobian
+
+
+class TestCnOps:
+    def test_boxplus_matches_scalar_jacobian(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=256) * 5
+        y = rng.normal(size=256) * 5
+        ref = np.array([jacobian(a, b) for a, b in zip(x, y)])
+        got = np.asarray(cn_ops.boxplus(jnp.asarray(x), jnp.asarray(y)))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_boxplus_identity(self):
+        from libldpc_tpu.ops.device import PAD_LLR
+
+        x = jnp.asarray(np.linspace(-30, 30, 101), dtype=jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(cn_ops.boxplus(x, jnp.float32(PAD_LLR))), np.asarray(x)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cn_ops.minsum(x, jnp.float32(PAD_LLR))), np.asarray(x)
+        )
+
+    def test_exclusion_combine(self):
+        rng = np.random.default_rng(1)
+        M = rng.normal(size=(4, 5, 3)) * 3
+        out = np.asarray(cn_ops.exclusion_combine(jnp.asarray(M), cn_ops.boxplus))
+        for i in range(4):
+            for j in range(5):
+                acc = None
+                for k in range(5):
+                    if k == j:
+                        continue
+                    acc = M[i, k] if acc is None else np.array(
+                        [jacobian(a, b) for a, b in zip(acc, M[i, k])]
+                    )
+                np.testing.assert_allclose(out[i, j], acc, rtol=1e-4, atol=1e-5)
+
+
+def _decode_batch_vs_golden(code, minsum_mode, iterations, early_term, snr_db=2.0, B=8):
+    rng = np.random.default_rng(42)
+    dcode = to_device(code)
+    sigma2 = 10 ** (-snr_db / 10)
+    # all-zero codeword, BPSK +1, AWGN
+    y = 1.0 + rng.normal(size=(code.nc, B)) * np.sqrt(sigma2)
+    llr = (2.0 * y / sigma2).astype(np.float32)
+    out = bp_decode_jit(
+        dcode,
+        jnp.asarray(llr),
+        iterations=iterations,
+        early_term=early_term,
+        minsum_mode=minsum_mode,
+    )
+    golden = GoldenDecoder(
+        code, iterations=iterations, early_term=early_term, minsum_mode=minsum_mode
+    )
+    for b in range(B):
+        g_llr, g_hard, g_iters = golden.decode(llr[:, b].astype(np.float64))
+        np.testing.assert_array_equal(
+            np.asarray(out.hard[:, b]).astype(np.uint8), g_hard,
+            err_msg=f"frame {b} hard decisions diverge",
+        )
+        assert int(out.iterations[b]) == g_iters, f"frame {b} iteration count"
+        np.testing.assert_allclose(
+            np.asarray(out.llr_out[:, b]), g_llr, rtol=2e-3, atol=2e-3,
+            err_msg=f"frame {b} output LLRs diverge",
+        )
+
+
+class TestFloodingDecoder:
+    @pytest.fixture(scope="class")
+    def code(self):
+        return make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+
+    def test_bp_matches_golden(self, code):
+        _decode_batch_vs_golden(code, minsum_mode=False, iterations=20, early_term=True)
+
+    def test_minsum_matches_golden(self, code):
+        _decode_batch_vs_golden(code, minsum_mode=True, iterations=20, early_term=True)
+
+    def test_no_early_term_iteration_count(self, code):
+        rng = np.random.default_rng(3)
+        dcode = to_device(code)
+        llr = rng.normal(size=(code.nc, 4)).astype(np.float32)
+        out = bp_decode_jit(dcode, jnp.asarray(llr), iterations=7, early_term=False)
+        assert (np.asarray(out.iterations) == 7).all()
+
+    def test_zero_iterations(self, code):
+        dcode = to_device(code)
+        llr = jnp.ones((code.nc, 2), dtype=jnp.float32)
+        out = bp_decode_jit(dcode, llr, iterations=0)
+        assert (np.asarray(out.iterations) == 0).all()
+        assert (np.asarray(out.llr_out) == 0).all()
+
+    def test_clean_input_zero_iterations_reported(self, code):
+        # a noise-free codeword converges in the 1st iteration and must
+        # report 0 iterations (break-before-increment, decoder.cpp:66-77)
+        dcode = to_device(code)
+        llr = jnp.full((code.nc, 3), 8.0, dtype=jnp.float32)  # strong all-zero cw
+        out = bp_decode_jit(dcode, llr, iterations=50, early_term=True)
+        assert (np.asarray(out.iterations) == 0).all()
+        assert (~np.asarray(out.hard)).all()
+        assert np.asarray(out.is_codeword).all()
+
+    def test_irregular_code_with_puncture(self, bundled_code):
+        # smaller batch on the real bundled (irregular, punctured) code
+        code = bundled_code
+        rng = np.random.default_rng(0)
+        dcode = to_device(code)
+        sigma2 = 10 ** (-3.0 / 10)
+        llr = np.zeros((code.nc, 2), dtype=np.float32)
+        y = 1.0 + rng.normal(size=(code.nct, 2)) * np.sqrt(sigma2)
+        llr[code.bit_pos] = 2.0 * y / sigma2
+        out = bp_decode_jit(dcode, jnp.asarray(llr), iterations=10)
+        golden = GoldenDecoder(code, iterations=10)
+        for b in range(2):
+            g_llr, g_hard, g_iters = golden.decode(llr[:, b].astype(np.float64))
+            np.testing.assert_array_equal(
+                np.asarray(out.hard[:, b]).astype(np.uint8), g_hard
+            )
+            assert int(out.iterations[b]) == g_iters
+
+
+class TestSyndrome:
+    def test_syndrome_ok(self, small_code):
+        code = small_code
+        dcode = to_device(code)
+        rng = np.random.default_rng(5)
+        u = rng.integers(0, 2, size=(code.G.shape[0], 3)).astype(np.uint8)
+        cw = (code.G.T.astype(np.int32) @ u) % 2  # [nc, 3]
+        ok = np.asarray(syndrome_ok(dcode, jnp.asarray(cw.astype(bool))))
+        assert ok.all()
+        bad = cw.copy()
+        bad[0, 1] ^= 1
+        ok2 = np.asarray(syndrome_ok(dcode, jnp.asarray(bad.astype(bool))))
+        assert ok2[0] and not ok2[1] and ok2[2]
+
+
+class TestLayeredDecoder:
+    def test_layered_single_layer_equals_flooding(self, small_code):
+        code = small_code
+        import dataclasses
+
+        code2 = dataclasses.replace(code)
+        # two-layer split: even rows then odd rows
+        code2.layers = [
+            np.arange(0, code.mc, 2, dtype=np.int32),
+            np.arange(1, code.mc, 2, dtype=np.int32),
+        ]
+        dcode = to_device(code2, with_layers=True)
+        rng = np.random.default_rng(9)
+        sigma2 = 10 ** (-2.0 / 10)
+        y = 1.0 + rng.normal(size=(code.nc, 4)) * np.sqrt(sigma2)
+        llr = jnp.asarray((2 * y / sigma2).astype(np.float32))
+        out = bp_decode_jit(dcode, llr, iterations=30, layered=True)
+        # layered BP on a valid LLR input should still decode to a codeword
+        assert np.asarray(out.is_codeword).all()
+        # and converge at least as fast as flooding on average
+        flood = bp_decode_jit(to_device(code), llr, iterations=30)
+        assert np.asarray(out.iterations).mean() <= np.asarray(
+            flood.iterations
+        ).mean() + 1
