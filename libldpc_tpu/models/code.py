@@ -41,8 +41,11 @@ class EdgeLayout(NamedTuple):
     pad_col: np.ndarray  # int32 [E]  VN index per padded edge slot (nc = dummy)
     pad_valid: np.ndarray  # bool [E]  True for real edges
     cn_mask: np.ndarray  # bool [mc, max_dc]
-    vn_edges: np.ndarray  # int32 [nc, max_dv]  padded-slot index (0 for padding)
+    vn_edges: np.ndarray  # int32 [nc, max_dv]  padded-slot index (E for padding)
     vn_mask: np.ndarray  # bool [nc, max_dv]
+    edge_vslot: np.ndarray  # int32 [E]  padded slot -> index into the
+    #                        flattened [nc*max_dv] VN-major space
+    #                        (nc*max_dv sentinel for padding slots)
     edge_perm: np.ndarray  # int32 [nnz]  file-order edge -> padded slot
     cn_degree: np.ndarray  # int32 [mc]
     vn_degree: np.ndarray  # int32 [nc]
@@ -80,8 +83,9 @@ def _build_layout(
     cn_mask = pad_valid.reshape(mc, max_dc)
 
     # per-VN list of padded slots, stable in file order (reference
-    # col_neighbor order, src/core/sparse.h:132)
-    vn_edges = np.zeros((nc, max_dv), dtype=np.int64)
+    # col_neighbor order, src/core/sparse.h:132); padding entries point
+    # out of bounds (E) so gathers clamp/mask and scatters drop them
+    vn_edges = np.full((nc, max_dv), E, dtype=np.int64)
     vn_mask = np.zeros((nc, max_dv), dtype=bool)
     corder = np.argsort(cols, kind="stable")
     col_starts = np.concatenate([[0], np.cumsum(vn_degree)[:-1]])
@@ -89,12 +93,17 @@ def _build_layout(
     vn_edges[cols[corder], slot_in_col] = edge_perm[corder]
     vn_mask[cols[corder], slot_in_col] = True
 
+    # inverse: padded CN slot -> flattened VN-major slot
+    edge_vslot = np.full(E, nc * max_dv, dtype=np.int64)
+    edge_vslot[edge_perm[corder]] = cols[corder].astype(np.int64) * max_dv + slot_in_col
+
     return EdgeLayout(
         pad_col=pad_col,
         pad_valid=pad_valid,
         cn_mask=cn_mask,
         vn_edges=vn_edges.astype(np.int32),
         vn_mask=vn_mask,
+        edge_vslot=edge_vslot.astype(np.int32),
         edge_perm=edge_perm.astype(np.int32),
         cn_degree=cn_degree,
         vn_degree=vn_degree,

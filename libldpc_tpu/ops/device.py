@@ -33,8 +33,10 @@ class DeviceCode(NamedTuple):
 
     pad_col: jnp.ndarray  # int32 [E]   VN index per slot; nc = dummy VN
     cn_mask: jnp.ndarray  # bool  [mc, max_dc]
-    vn_edges: jnp.ndarray  # int32 [nc, max_dv]
+    vn_edges: jnp.ndarray  # int32 [nc, max_dv]  (E sentinel for padding)
     vn_mask: jnp.ndarray  # bool  [nc, max_dv]
+    edge_vslot: jnp.ndarray  # int32 [E] -> flattened [nc*max_dv] slot
+    #                          (nc*max_dv sentinel for padding)
     bit_pos: jnp.ndarray  # int32 [nct]
     puncture: jnp.ndarray  # int32 [P]
     shorten: jnp.ndarray  # int32 [S]
@@ -81,6 +83,7 @@ def to_device(code: LDPCCode, with_layers: bool = False) -> DeviceCode:
         cn_mask=jnp.asarray(lay.cn_mask),
         vn_edges=jnp.asarray(lay.vn_edges, dtype=jnp.int32),
         vn_mask=jnp.asarray(lay.vn_mask),
+        edge_vslot=jnp.asarray(lay.edge_vslot, dtype=jnp.int32),
         bit_pos=jnp.asarray(code.bit_pos, dtype=jnp.int32),
         puncture=jnp.asarray(code.puncture, dtype=jnp.int32),
         shorten=jnp.asarray(code.shorten, dtype=jnp.int32),

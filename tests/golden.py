@@ -85,3 +85,87 @@ class GoldenDecoder:
                 break
             I += 1
         return llr_out, hard, I
+
+
+ERASURE = 2  # matches libldpc_tpu.ops.channel.BEC_ERASURE
+
+
+class GoldenBECDecoder:
+    """Scalar transcription of ``ldpc_decoder_bec::decode(channelInput)``
+    (``src/decoding/decoder.cpp:91-192``) over the {0, 1, ERASURE} alphabet."""
+
+    def __init__(self, code, iterations=50, early_term=True):
+        self.code = code
+        self.iterations = iterations
+        self.early_term = early_term
+        self.row_edges = [[] for _ in range(code.mc)]
+        self.col_edges = [[] for _ in range(code.nc)]
+        for e, (r, c) in enumerate(zip(code.rows, code.cols)):
+            self.row_edges[r].append(e)
+            self.col_edges[c].append(e)
+
+    @staticmethod
+    def cn_update(l, r):
+        if l == ERASURE or r == ERASURE:
+            return ERASURE
+        return l ^ r
+
+    @staticmethod
+    def vn_update(l, r, xi):
+        return xi if (l == xi or r == xi) else ERASURE
+
+    def decode(self, symbols_in, codeword):
+        code = self.code
+        lv2c = np.zeros(code.nnz, dtype=np.int64)
+        lc2v = np.zeros(code.nnz, dtype=np.int64)
+        sym_out = np.full(code.nc, ERASURE, dtype=np.int64)
+        hard = np.zeros(code.nc, dtype=np.uint8)
+        for e in range(code.nnz):
+            lv2c[e] = symbols_in[code.cols[e]]
+        I = 0
+        while I < self.iterations:
+            for edges in self.row_edges:
+                cw = len(edges)
+                f = np.zeros(cw, dtype=np.int64)
+                b = np.zeros(cw, dtype=np.int64)
+                f[0] = lv2c[edges[0]]
+                b[cw - 1] = lv2c[edges[cw - 1]]
+                for j in range(1, cw):
+                    f[j] = self.cn_update(f[j - 1], lv2c[edges[j]])
+                    b[cw - 1 - j] = self.cn_update(b[cw - j], lv2c[edges[cw - j - 1]])
+                lc2v[edges[0]] = b[1]
+                lc2v[edges[cw - 1]] = f[cw - 2]
+                for j in range(1, cw - 1):
+                    lc2v[edges[j]] = self.cn_update(f[j - 1], b[j + 1])
+            for v in range(code.nc):
+                xi = int(codeword[v])
+                edges = self.col_edges[v]
+                if symbols_in[v] != ERASURE:
+                    for e in edges:
+                        lv2c[e] = xi
+                    sym_out[v] = xi
+                    hard[v] = xi
+                else:
+                    vw = len(edges)
+                    f = np.zeros(vw, dtype=np.int64)
+                    b = np.zeros(vw, dtype=np.int64)
+                    f[0] = lc2v[edges[0]]
+                    b[vw - 1] = lc2v[edges[vw - 1]]
+                    for j in range(1, vw):
+                        f[j] = self.vn_update(f[j - 1], lc2v[edges[j]], xi)
+                        b[vw - 1 - j] = self.vn_update(
+                            b[vw - j], lc2v[edges[vw - j - 1]], xi
+                        )
+                    if vw >= 2:
+                        lv2c[edges[0]] = b[1]
+                        lv2c[edges[vw - 1]] = f[vw - 2]
+                        for j in range(1, vw - 1):
+                            lv2c[edges[j]] = self.vn_update(f[j - 1], b[j + 1], xi)
+                    else:
+                        lv2c[edges[0]] = ERASURE
+                    sym_out[v] = f[vw - 1]
+                    hard[v] = (1 - xi) if sym_out[v] == ERASURE else xi
+            if self.early_term and not (sym_out == ERASURE).any():
+                break
+            I += 1
+        return sym_out, hard, I
