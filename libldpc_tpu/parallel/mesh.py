@@ -1,0 +1,181 @@
+"""Device-mesh scale-out for Monte-Carlo simulation.
+
+The reference parallelises frames over OpenMP threads with atomic shared
+counters (``src/sim/ldpcsim.cpp:150-256``) and has no multi-device or
+multi-host story.  The TPU-native replacement is pure data parallelism over a
+``jax.sharding.Mesh``: every device simulates and decodes its own sub-batch
+of frames (with a device-distinct RNG fold), and the error counters are
+globally reduced with ``jax.lax.psum`` — over ICI within a slice, over DCN
+across hosts.  The host-side stopping rule then reads small replicated
+scalars, replacing both the OpenMP atomics and the cooperative stop flag
+polling.
+
+``make_sim_step`` builds the one jitted function the sweep driver calls per
+batch: channel simulation → decode → per-frame error counting → global
+counter reduction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.bec import bec_decode
+from ..ops.channel import simulate_channel
+from ..ops.decoder import bp_decode
+from ..ops.device import DeviceCode
+from ..utils.params import DecoderParams
+
+FRAME_AXIS = "frames"
+
+
+class StepCounters(NamedTuple):
+    """Counters for one decoded batch — the tensor analogue of the
+    reference's ``bec/fec/frames/iters`` accumulators
+    (``src/sim/ldpcsim.cpp:99-102``)."""
+
+    bit_errors: jnp.ndarray  # int32 scalar: Σ wrong transmitted bits
+    frame_errors: jnp.ndarray  # int32 scalar: frames with >=1 bit error
+    frames: jnp.ndarray  # int32 scalar
+    iter_sum: jnp.ndarray  # int32 scalar: Σ per-frame iterations
+    frame_bit_errors: jnp.ndarray  # int32 [B]: per-frame error counts
+
+
+def default_mesh(max_devices: Optional[int] = None) -> Mesh:
+    """A 1-D mesh over all (or the first ``max_devices``) local devices."""
+    devs = jax.devices()
+    if max_devices is not None:
+        devs = devs[: max_devices]
+    return jax.make_mesh((len(devs),), (FRAME_AXIS,), devices=devs)
+
+
+def _sim_and_count(
+    dcode: DeviceCode,
+    key: jax.Array,
+    x_value: jnp.ndarray,
+    channel_type: str,
+    dec: DecoderParams,
+    batch: int,
+    use_pallas: bool = False,
+) -> StepCounters:
+    """One device-local batch: simulate channel, decode, count errors.
+
+    Bit errors are counted over transmitted bits only (``bit_pos``), as in
+    ``src/sim/ldpcsim.cpp:184-188``.
+    """
+    ch = simulate_channel(dcode, channel_type, key, batch, x_value)
+    if channel_type == "BEC":
+        out = bec_decode(
+            dcode,
+            ch.llr,
+            ch.codeword,
+            iterations=dec.iterations,
+            early_term=dec.early_term,
+        )
+        hard = out.hard
+        iters = out.iterations
+    else:
+        if use_pallas:
+            from ..ops.pallas import decode_fused
+
+            out = decode_fused.bp_decode_pallas(
+                dcode,
+                ch.llr,
+                iterations=dec.iterations,
+                early_term=dec.early_term,
+                minsum_mode=dec.use_minsum,
+            )
+        else:
+            out = bp_decode(
+                dcode,
+                ch.llr,
+                iterations=dec.iterations,
+                early_term=dec.early_term,
+                minsum_mode=dec.use_minsum,
+            )
+        hard = out.hard.astype(jnp.uint8)
+        iters = out.iterations
+
+    tx_hard = hard[dcode.bit_pos]
+    tx_true = ch.codeword[dcode.bit_pos]
+    frame_errs = (tx_hard != tx_true).astype(jnp.int32).sum(axis=0)  # [B]
+    return StepCounters(
+        bit_errors=frame_errs.sum(),
+        frame_errors=(frame_errs > 0).astype(jnp.int32).sum(),
+        frames=jnp.int32(batch),
+        iter_sum=iters.astype(jnp.int32).sum(),
+        frame_bit_errors=frame_errs,
+    )
+
+
+def make_sim_step(
+    dcode: DeviceCode,
+    channel_type: str,
+    dec: DecoderParams,
+    batch_per_device: int,
+    mesh: Optional[Mesh] = None,
+    use_pallas: bool = False,
+) -> Callable[[jax.Array, jnp.ndarray], StepCounters]:
+    """Build the jitted per-batch simulation step.
+
+    Without a mesh the step runs on the default device.  With a mesh the
+    same math runs under ``shard_map``: each device folds its
+    ``axis_index`` into the RNG key (device-disjoint streams — the TPU
+    equivalent of the reference's per-thread ``seed + i``,
+    ``src/sim/ldpcsim.cpp:39``) and the scalar counters are ``psum``-reduced,
+    so the caller always sees *global* counts.  Per-frame error vectors stay
+    device-local and are all-gathered for forensic logging.
+    """
+
+    if mesh is None:
+
+        @jax.jit
+        def step(key: jax.Array, x_value: jnp.ndarray) -> StepCounters:
+            return _sim_and_count(
+                dcode, key, x_value, channel_type, dec, batch_per_device,
+                use_pallas,
+            )
+
+        return step
+
+    n_dev = mesh.devices.size
+
+    def shard_body(key: jax.Array, x_value: jnp.ndarray) -> StepCounters:
+        idx = jax.lax.axis_index(FRAME_AXIS)
+        local = _sim_and_count(
+            dcode,
+            jax.random.fold_in(key, idx),
+            x_value,
+            channel_type,
+            dec,
+            batch_per_device,
+            use_pallas,
+        )
+        return (
+            jax.lax.psum(local.bit_errors, FRAME_AXIS),
+            jax.lax.psum(local.frame_errors, FRAME_AXIS),
+            jax.lax.psum(local.frames, FRAME_AXIS),
+            jax.lax.psum(local.iter_sum, FRAME_AXIS),
+            jax.lax.all_gather(
+                local.frame_bit_errors, FRAME_AXIS, tiled=True
+            ),
+        )
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P(), P(), P(), P(FRAME_AXIS)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(key: jax.Array, x_value: jnp.ndarray) -> StepCounters:
+        out = sharded(key, x_value)
+        return StepCounters(*out)
+
+    return step

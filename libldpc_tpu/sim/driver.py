@@ -1,0 +1,305 @@
+"""Monte-Carlo sweep driver.
+
+TPU-native rebuild of ``ldpc_sim::start`` (``src/sim/ldpcsim.cpp:97-263``).
+The reference runs an OpenMP parallel region per sweep point where each
+thread loops encode → simulate → LLRs → decode one frame at a time, sharing
+``bec/fec/frames/iters`` counters through atomics, until
+``fec >= minFec || frames >= maxFrames || *stopFlag``
+(``src/sim/ldpcsim.cpp:255``).
+
+Here each sweep point instead runs *fixed-size device batches*: one jitted
+step simulates and decodes ``batch`` frames entirely on device (optionally
+sharded over a mesh with ``psum``-reduced counters) and returns four scalars;
+the host evaluates the stopping rule between batches.  This is the standard
+resolution of the dynamic-stopping-vs-static-shapes tension: device work is
+static, control flow is host-side, and the cooperative stop flag is checked
+between batches instead of between frames.
+
+Preserved reference behaviours:
+
+* sweep values built by float accumulation with the max exclusive, reversed
+  for BSC/BEC (``ldpcsim.cpp:104-122``);
+* live single-line console row per point in the same column format
+  (``ldpcsim.cpp:137-139, 202-208``);
+* results file rewritten in full whenever the numbers change
+  (``ldpcsim.cpp:221-229``), columns ``snr fer ber frames avg_iter
+  [frame_time]`` (``ldpcsim.cpp:128-134``);
+* BER = bit_errors / (frames·nc) quirk (see
+  :meth:`libldpc_tpu.sim.results.SimResults.update_point`);
+* frame timing excludes printing/IO time (``ldpcsim.cpp:192-195,251``).
+
+New capabilities: checkpoint/resume of the sweep state, per-error-frame
+forensic logging (GPU stack's ``log_error``), and transparent multi-device /
+multi-host scale-out.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..models.code import LDPCCode
+from ..models.io import format_result_row, write_results_file
+from ..ops.device import DeviceCode, to_device
+from ..parallel.mesh import make_sim_step
+from ..utils.params import ChannelParams, DecoderParams, SimulationParams
+from .results import SimResults
+
+_CONSOLE_HEADER = (
+    "==============================================================="
+    "=============================\n"
+    "  FEC   |      FRAME     |   {xval}   |    BER     |    FER     "
+    "| AVGITERS  |  TIME/FRAME   \n"
+    "========+================+=========+============+============+="
+    "==========+=============="
+)
+
+
+@dataclasses.dataclass
+class _PointCounters:
+    """Raw accumulators for one sweep point (reference:
+    ``src/sim/ldpcsim.cpp:99-102``)."""
+
+    bit_errors: int = 0
+    frame_errors: int = 0
+    frames: int = 0
+    iter_sum: int = 0
+    elapsed_s: float = 0.0
+    next_batch: int = 0
+
+    def as_list(self):
+        return [
+            self.bit_errors,
+            self.frame_errors,
+            self.frames,
+            self.iter_sum,
+            self.elapsed_s,
+            self.next_batch,
+        ]
+
+    @classmethod
+    def from_list(cls, vals):
+        c = cls()
+        (
+            c.bit_errors,
+            c.frame_errors,
+            c.frames,
+            c.iter_sum,
+            c.elapsed_s,
+            c.next_batch,
+        ) = (
+            int(vals[0]),
+            int(vals[1]),
+            int(vals[2]),
+            int(vals[3]),
+            float(vals[4]),
+            int(vals[5]),
+        )
+        return c
+
+
+class Simulator:
+    """Drives a BER/FER sweep for one code over one channel family."""
+
+    def __init__(
+        self,
+        code: LDPCCode,
+        decoder_params: DecoderParams = DecoderParams(),
+        channel_params: ChannelParams = ChannelParams(),
+        simulation_params: SimulationParams = SimulationParams(),
+        mesh=None,
+        use_pallas: bool = False,
+        verbose: bool = True,
+    ):
+        self.code = code
+        self.dec = decoder_params
+        self.ch = channel_params
+        self.sim = simulation_params
+        self.mesh = mesh
+        self.verbose = verbose
+        self.dcode: DeviceCode = to_device(code)
+        n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+        if simulation_params.batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {simulation_params.batch_size} not divisible by "
+                f"{n_dev} mesh devices"
+            )
+        self._step = make_sim_step(
+            self.dcode,
+            channel_params.type,
+            decoder_params,
+            simulation_params.batch_size // n_dev,
+            mesh=mesh,
+            use_pallas=use_pallas,
+        )
+        self.results: Optional[SimResults] = None
+
+    # ------------------------------------------------------------------ API
+
+    def start(
+        self,
+        stop_flag: Optional[Callable[[], bool]] = None,
+        resume: bool = False,
+    ) -> SimResults:
+        """Run the sweep.  ``stop_flag`` is polled between batches — the
+        cooperative-cancellation analogue of the reference's ``bool*``
+        threaded through the C ABI (``src/shared.cpp:26-30``)."""
+        x_vals = self.ch.sweep_values()
+        results = SimResults.empty(len(x_vals), x_vals)
+        start_point = 0
+        counters = _PointCounters()
+        if resume:
+            loaded = self._load_checkpoint(x_vals)
+            if loaded is not None:
+                results, start_point, counters = loaded
+
+        self.results = results
+        xval_name = "SNR" if self.ch.type == "AWGN" else "EPS"
+        if self.verbose:
+            print(_CONSOLE_HEADER.format(xval=xval_name))
+
+        result_rows = [
+            self._row(results, i) if results.frames[i] > 0 else ""
+            for i in range(len(x_vals))
+        ]
+
+        key = jax.random.PRNGKey(self.ch.seed)
+        for i in range(start_point, len(x_vals)):
+            point_key = jax.random.fold_in(key, i)
+            c = counters if i == start_point else _PointCounters()
+            last_print_fec = -1
+
+            def should_stop() -> bool:
+                return stop_flag is not None and bool(stop_flag())
+
+            while (
+                c.frame_errors < self.sim.fec
+                and c.frames < self.sim.max_frames
+                and not should_stop()
+            ):
+                t0 = time.perf_counter()
+                out = self._step(
+                    jax.random.fold_in(point_key, c.next_batch),
+                    np.float32(x_vals[i]),
+                )
+                batch_bec = int(out.bit_errors)  # blocks until device done
+                c.elapsed_s += time.perf_counter() - t0  # excludes printing
+                c.bit_errors += batch_bec
+                c.frame_errors += int(out.frame_errors)
+                c.frames += int(out.frames)
+                c.iter_sum += int(out.iter_sum)
+                c.next_batch += 1
+
+                results.update_point(
+                    i,
+                    bit_errors=c.bit_errors,
+                    frame_errors=c.frame_errors,
+                    frames=c.frames,
+                    iter_sum=c.iter_sum,
+                    elapsed_s=c.elapsed_s,
+                    nc=self.code.nc,
+                )
+                if c.frame_errors != last_print_fec:
+                    last_print_fec = c.frame_errors
+                    result_rows[i] = self._row(results, i)
+                    self._emit(results, i, x_vals[i], result_rows)
+                if self.sim.error_log_file and batch_bec:
+                    self._log_error_frames(out, x_vals[i], c.frames)
+                self._save_checkpoint(x_vals, results, i, c)
+
+            if self.verbose:
+                sys.stdout.write("\n")
+            if should_stop():
+                break
+            # point finished: checkpoint the *next* point at batch 0
+            self._save_checkpoint(x_vals, results, i + 1, _PointCounters())
+
+        return results
+
+    # ------------------------------------------------------------- internals
+
+    def _row(self, results: SimResults, i: int) -> str:
+        return format_result_row(
+            results.x_values[i],
+            results.fer[i],
+            results.ber[i],
+            int(results.frames[i]),
+            results.avg_iter[i],
+            results.time[i],
+        )
+
+    def _emit(self, results: SimResults, i: int, x: float, rows) -> None:
+        """Console line + full results-file rewrite, reference format
+        (``src/sim/ldpcsim.cpp:202-229``)."""
+        if self.verbose:
+            sys.stdout.write(
+                "\r %2d/%2d  |  %12d  |  %.3f  |  %.2e  |  %.2e  |  %.1e  |  %.3fms"
+                % (
+                    int(results.fec[i]),
+                    self.sim.fec,
+                    int(results.frames[i]),
+                    x,
+                    results.ber[i],
+                    results.fer[i],
+                    results.avg_iter[i],
+                    results.time[i] * 1e3,
+                )
+            )
+            sys.stdout.flush()
+        if self.sim.result_file:
+            write_results_file(self.sim.result_file, rows)
+
+    def _log_error_frames(self, out, x: float, frames: int) -> None:
+        """Forensic per-error-frame log — the capability of the GPU stack's
+        ``log_error`` (``gpu/sim/ldpcsim.cpp:351-464``): which frames failed
+        and with how many wrong bits."""
+        errs = np.asarray(out.frame_bit_errors)
+        bad = np.nonzero(errs > 0)[0]
+        with open(self.sim.error_log_file, "a") as f:
+            for b in bad:
+                f.write(
+                    f"x={x:g} frame={frames - len(errs) + int(b)} "
+                    f"bit_errors={int(errs[b])}\n"
+                )
+
+    # --------------------------------------------------------- checkpointing
+
+    def _save_checkpoint(
+        self, x_vals, results: SimResults, point: int, c: _PointCounters
+    ) -> None:
+        if not self.sim.checkpoint_file:
+            return
+        state = {
+            "x_vals": list(map(float, x_vals)),
+            "point": point,
+            "counters": c.as_list(),
+            "seed": self.ch.seed,
+            "channel": self.ch.type,
+            "results": json.loads(results.to_json()),
+        }
+        tmp = self.sim.checkpoint_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.sim.checkpoint_file)
+
+    def _load_checkpoint(self, x_vals):
+        path = self.sim.checkpoint_file
+        if not path or not os.path.exists(path):
+            return None
+        with open(path) as f:
+            state = json.load(f)
+        if (
+            state.get("x_vals") != list(map(float, x_vals))
+            or state.get("seed") != self.ch.seed
+            or state.get("channel") != self.ch.type
+        ):
+            return None  # sweep config changed; start fresh
+        results = SimResults.from_json(json.dumps(state["results"]))
+        return results, state["point"], _PointCounters.from_list(state["counters"])

@@ -1,0 +1,156 @@
+"""Sweep-driver tests: stopping rule, results format, resume, cancellation,
+and multi-device sharding on the virtual CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from libldpc_tpu.models import make_benchmark_code
+from libldpc_tpu.parallel import default_mesh
+from libldpc_tpu.sim import Simulator
+from libldpc_tpu.utils import ChannelParams, DecoderParams, SimulationParams
+
+
+@pytest.fixture(scope="module")
+def code():
+    return make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+
+
+def _run(code, tmp_path=None, mesh=None, channel="AWGN", x_range=(1.0, 2.0, 1.0),
+         fec=8, batch=64, max_frames=2048, **kw):
+    sim = Simulator(
+        code,
+        DecoderParams(iterations=10),
+        ChannelParams(seed=1, x_range=x_range, type=channel),
+        SimulationParams(
+            batch_size=batch,
+            fec=fec,
+            max_frames=max_frames,
+            result_file=str(tmp_path / "res.txt") if tmp_path else None,
+            **kw,
+        ),
+        mesh=mesh,
+        verbose=False,
+    )
+    return sim, sim.start()
+
+
+class TestStoppingRule:
+    def test_stops_on_fec(self, code, tmp_path):
+        # at a noisy point, fec is reached before max_frames
+        _, res = _run(code, tmp_path, x_range=(-2.0, -1.0, 1.0), fec=5,
+                      batch=32, max_frames=100000)
+        assert res.fec[0] >= 5
+        assert res.frames[0] < 100000
+
+    def test_stops_on_max_frames(self, code):
+        # at a clean point with tiny max_frames, frames cap binds
+        _, res = _run(code, None, x_range=(8.0, 9.0, 1.0), fec=1000,
+                      batch=32, max_frames=64)
+        assert res.frames[0] == 64
+
+    def test_sweep_values_and_reversal(self, code):
+        ch = ChannelParams(x_range=(0.1, 0.4, 0.1), type="BEC")
+        vals = ch.sweep_values()
+        assert vals[0] > vals[-1]  # reversed for BEC
+        assert len(vals) == 3
+        ch2 = ChannelParams(x_range=(0.0, 6.0, 2.0), type="AWGN")
+        assert ch2.sweep_values() == [0.0, 2.0, 4.0]
+
+
+class TestResultsFile:
+    def test_format(self, code, tmp_path):
+        _, res = _run(code, tmp_path, x_range=(0.0, 1.0, 1.0), fec=3, batch=32)
+        lines = (tmp_path / "res.txt").read_text().strip().splitlines()
+        assert lines[0] == "snr fer ber frames avg_iter frame_time"
+        cols = lines[1].split()
+        assert len(cols) == 6
+        assert float(cols[0]) == 0.0
+        assert 0 <= float(cols[1]) <= 1  # fer
+        assert int(cols[3]) == res.frames[0]
+
+
+class TestChannels:
+    def test_bsc_sweep(self, code):
+        _, res = _run(code, None, channel="BSC", x_range=(0.05, 0.15, 0.05),
+                      fec=3, batch=32, max_frames=512)
+        assert (res.frames > 0).all()
+        # first (reversed -> largest eps) point should have the higher FER
+        assert res.fer[0] >= res.fer[-1]
+
+    def test_bec_sweep(self, code):
+        _, res = _run(code, None, channel="BEC", x_range=(0.3, 0.5, 0.1),
+                      fec=3, batch=32, max_frames=512)
+        assert (res.frames > 0).all()
+
+
+class TestCancellation:
+    def test_stop_flag(self, code):
+        calls = {"n": 0}
+
+        def stop():
+            calls["n"] += 1
+            return calls["n"] > 2
+
+        sim = Simulator(
+            code,
+            DecoderParams(iterations=10),
+            ChannelParams(seed=1, x_range=(0.0, 10.0, 1.0)),
+            SimulationParams(batch_size=32, fec=10**6, max_frames=10**9),
+            verbose=False,
+        )
+        res = sim.start(stop_flag=stop)
+        # stopped early: later sweep points never ran
+        assert (res.frames == 0).sum() >= 8
+
+
+class TestCheckpointResume:
+    def test_resume_continues(self, code, tmp_path):
+        ckpt = tmp_path / "ckpt.json"
+        sim1, res1 = _run(
+            code, tmp_path, x_range=(0.0, 2.0, 1.0), fec=4, batch=32,
+            checkpoint_file=str(ckpt),
+        )
+        assert os.path.exists(ckpt)
+        # resuming a finished sweep must not redo work
+        sim2 = Simulator(
+            code,
+            DecoderParams(iterations=10),
+            ChannelParams(seed=1, x_range=(0.0, 2.0, 1.0)),
+            SimulationParams(batch_size=32, fec=4, checkpoint_file=str(ckpt)),
+            verbose=False,
+        )
+        res2 = sim2.start(resume=True)
+        np.testing.assert_array_equal(res1.frames, res2.frames)
+        np.testing.assert_allclose(res1.fer, res2.fer)
+
+
+class TestMesh:
+    def test_sharded_matches_global_counts(self, code):
+        mesh = default_mesh()
+        assert mesh.devices.size == 8  # virtual CPU mesh from conftest
+        sim, res = _run(code, None, mesh=mesh, x_range=(1.0, 2.0, 1.0),
+                        fec=5, batch=64, max_frames=512)
+        assert res.frames[0] > 0
+        assert res.frames[0] % 64 == 0
+
+    def test_sharded_deterministic(self, code):
+        mesh = default_mesh()
+        _, r1 = _run(code, None, mesh=mesh, fec=5, batch=64, max_frames=512)
+        _, r2 = _run(code, None, mesh=mesh, fec=5, batch=64, max_frames=512)
+        np.testing.assert_array_equal(r1.fec, r2.fec)
+        np.testing.assert_allclose(r1.ber, r2.ber)
+
+    def test_single_vs_multi_device_statistics(self, code):
+        # different RNG folding => not identical, but FER within MC noise
+        _, r1 = _run(code, None, mesh=None, x_range=(-1.0, 0.0, 1.0),
+                     fec=30, batch=256, max_frames=4096)
+        _, r8 = _run(code, None, mesh=default_mesh(),
+                     x_range=(-1.0, 0.0, 1.0), fec=30, batch=256,
+                     max_frames=4096)
+        assert r1.fer[0] > 0 and r8.fer[0] > 0
+        ratio = r1.fer[0] / r8.fer[0]
+        assert 0.3 < ratio < 3.0
