@@ -1,0 +1,220 @@
+"""User-facing ``LDPC`` class — the pyLDPC-parity surface.
+
+Mirrors the API of the reference's Python wrapper (``pyLDPC/ldpc.py:32-218``)
+— ``encode / decode / simulate / stop_simulation / get_results / rank /
+syndrome`` with the same defaulted ``simulate(**kwargs)`` parameter names —
+but natively: no ctypes, no shared library, no global singleton code object.
+The simulation still runs on a background thread with cooperative
+cancellation (``pyLDPC/ldpc.py:156-177``), and ``get_results`` polls the
+live-updating results like the reference polls ``sim_results_t``.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import numpy as np
+
+from .models.code import LDPCCode
+from .ops import decoder as _decoder
+from .ops.device import DeviceCode, to_device
+from .sim.driver import Simulator
+from .utils.params import ChannelParams, DecoderParams, SimulationParams
+
+_SIM_DEFAULTS = {
+    # defaults mirror pyLDPC/ldpc.py:68-78 (plus TPU batch controls)
+    "earlyTerm": True,
+    "iterations": 50,
+    "decoding": "BP",
+    "seed": 0,
+    "snr": [],
+    "channel": "AWGN",
+    "maxFrames": int(10e9),
+    "fec": 50,
+    "batchSize": 1024,
+    "resultFile": None,
+    "checkpointFile": None,
+    "mesh": None,
+    "usePallas": False,
+}
+
+
+class LDPC:
+    """An LDPC code handle with encode/decode/simulate capabilities.
+
+    Args:
+      pc_file: parity-check codefile path (either reference dialect).
+      gen_file: optional generator matrix file (enables encoding and
+        random-codeword simulation; without it the all-zero codeword is
+        simulated, as in the reference).
+      code: alternatively, a pre-built :class:`LDPCCode`.
+    """
+
+    def __init__(
+        self,
+        pc_file: str = "",
+        gen_file: str = "",
+        code: Optional[LDPCCode] = None,
+    ):
+        if code is None:
+            if not pc_file:
+                raise ValueError("need pc_file or code")
+            code = LDPCCode.from_files(pc_file, gen_file)
+        self.code = code
+        self.pc_file = pc_file
+        self.gen_file = gen_file
+
+        # dimension surface of pyLDPC (ldpc.py:52-54)
+        self.n = code.nc
+        self.m = code.mc
+        self.k = code.kc
+        self.nct = code.nct
+        self.mct = code.mct
+        self.kct = code.kct
+
+        self._dcode: Optional[DeviceCode] = None
+        self.sim_params = dict(_SIM_DEFAULTS)
+        self.results: dict = {}
+        self._sim_thread: Optional[threading.Thread] = None
+        self._stop_event = threading.Event()
+        self._simulator: Optional[Simulator] = None
+
+    # ------------------------------------------------------------ device code
+
+    @property
+    def dcode(self) -> DeviceCode:
+        if self._dcode is None:
+            self._dcode = to_device(self.code)
+        return self._dcode
+
+    # ------------------------------------------------------------- one-shots
+
+    def encode(self, info_word: np.ndarray) -> np.ndarray:
+        """Encode a binary info word (length ``kct``) and return the
+        *transmitted* codeword bits (length ``nct``), like the C ABI
+        ``encode`` (``src/shared.cpp:37-45``)."""
+        if self.code.G is None:
+            raise RuntimeError("No generator matrix provided for encoding")
+        cw = self.code.encode(np.asarray(info_word))
+        return cw[self.code.bit_pos]
+
+    def decode(
+        self,
+        llr_in: np.ndarray,
+        early_term: bool = True,
+        iters: int = 50,
+        dec_type: str = "BP",
+    ):
+        """Decode transmitted-position LLRs.
+
+        Accepts ``[nct]`` (one frame) or ``[batch, nct]``; punctured
+        positions enter the decoder with LLR 0 and are stripped from the
+        output, exactly like the C ABI ``decode`` (``src/shared.cpp:47-65``).
+        Returns ``(llr_out, iterations)`` with shapes matching the input.
+        """
+        import jax.numpy as jnp
+
+        llr_in = np.asarray(llr_in, dtype=np.float32)
+        single = llr_in.ndim == 1
+        if single:
+            llr_in = llr_in[None, :]
+        if llr_in.shape[1] != self.nct:
+            raise ValueError(
+                f"llr_in has {llr_in.shape[1]} values, expected nct={self.nct}"
+            )
+        full = np.zeros((self.code.nc, llr_in.shape[0]), dtype=np.float32)
+        full[self.code.bit_pos] = llr_in.T
+        out = _decoder.bp_decode_jit(
+            self.dcode,
+            jnp.asarray(full),
+            iterations=iters,
+            early_term=early_term,
+            minsum_mode=(dec_type == "BP_MS"),
+        )
+        llr_out = np.asarray(out.llr_out)[self.code.bit_pos].T
+        iterations = np.asarray(out.iterations)
+        if single:
+            return llr_out[0], int(iterations[0])
+        return llr_out, iterations
+
+    def rank(self) -> int:
+        """GF(2) rank of H (``pyLDPC/ldpc.py:194-200``)."""
+        return self.code.rank()
+
+    def syndrome(self, v: np.ndarray) -> np.ndarray:
+        """Syndrome of a length-``n`` word (``pyLDPC/ldpc.py:202-218``)."""
+        return self.code.syndrome(np.asarray(v))
+
+    # ------------------------------------------------------------- simulation
+
+    def simulate(self, blocking: bool = False, **kwargs) -> None:
+        """Start a BER/FER simulation (threaded unless ``blocking``).
+
+        Keyword names and defaults follow ``pyLDPC.LDPC.simulate``
+        (``pyLDPC/ldpc.py:135-169``): ``earlyTerm, iterations, decoding,
+        seed, snr=[MIN, MAX, STEP], channel, maxFrames, fec`` — plus
+        TPU-native controls ``batchSize, resultFile, checkpointFile, mesh,
+        usePallas``.  (The reference's ``threads`` is superseded by
+        ``batchSize``.)
+        """
+        kwargs.pop("threads", None)  # accepted for compat, superseded
+        self.sim_params = {**self.sim_params, **kwargs}
+        p = self.sim_params
+        if not p["snr"]:
+            raise ValueError("snr=[MIN, MAX, STEP] is required")
+
+        sim = Simulator(
+            self.code,
+            DecoderParams(
+                early_term=p["earlyTerm"],
+                iterations=p["iterations"],
+                type=p["decoding"],
+            ),
+            ChannelParams(seed=p["seed"], x_range=tuple(p["snr"]), type=p["channel"]),
+            SimulationParams(
+                batch_size=p["batchSize"],
+                max_frames=int(p["maxFrames"]),
+                fec=int(p["fec"]),
+                result_file=p["resultFile"],
+                checkpoint_file=p["checkpointFile"],
+            ),
+            mesh=p["mesh"],
+            use_pallas=p["usePallas"],
+            verbose=False,
+        )
+        self._simulator = sim
+        self._stop_event.clear()
+
+        def run():
+            sim.start(stop_flag=self._stop_event.is_set)
+
+        if blocking:
+            run()
+        else:
+            self._sim_thread = threading.Thread(target=run, daemon=True)
+            self._sim_thread.start()
+
+    def stop_simulation(self) -> None:
+        """Cooperatively stop a running simulation
+        (``pyLDPC/ldpc.py:171-177``)."""
+        if not self._stop_event.is_set():
+            self.results = self.get_results()
+            self._stop_event.set()
+        if self._sim_thread is not None:
+            self._sim_thread.join(timeout=60)
+            self._sim_thread = None
+
+    def get_results(self) -> dict:
+        """Live simulation results: dict of arrays trimmed to points with
+        frames > 0 (``pyLDPC/ldpc.py:179-192``)."""
+        if self._stop_event.is_set():
+            return self.results
+        if self._simulator is None or self._simulator.results is None:
+            return {}
+        return self._simulator.results.as_dict(trim=True)
+
+    def wait(self, timeout: Optional[float] = None) -> None:
+        """Block until a threaded simulation finishes."""
+        if self._sim_thread is not None:
+            self._sim_thread.join(timeout)

@@ -1,0 +1,122 @@
+"""Command-line simulator — the ``ldpcsim`` executable's TPU-native twin.
+
+Flags mirror ``src/sim_cpu.cpp:5-85`` (positional ``codefile output-file
+snr-range``, ``-G``, ``-i/--num-iterations``, ``-s/--seed``, ``--channel``,
+``--decoding``, ``--max-frames``, ``--frame-error-count``,
+``--no-early-term``) with TPU-native additions: ``--batch-size`` (replaces
+``-t/--num-threads``; the old flag is still accepted and folded into the
+batch), ``--devices``, ``--pallas``, ``--checkpoint``, ``--error-log``,
+``--layered``.
+
+Usage::
+
+    python -m libldpc_tpu.cli codefile.txt results.txt 0 6 0.2 -G gen.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import threading
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ldpcsim",
+        description="TPU-native LDPC Monte-Carlo BER/FER simulator",
+    )
+    p.add_argument("codefile", help="LDPC parity-check matrix file containing all non-zero entries.")
+    p.add_argument("output_file", metavar="output-file", help="Results output file.")
+    p.add_argument("snr_range", metavar="snr-range", nargs=3, type=float,
+                   help="{MIN} {MAX} {STEP}")
+    p.add_argument("-G", "--gen-matrix", default="", help="Generator matrix file.")
+    p.add_argument("-i", "--num-iterations", type=int, default=50,
+                   help="Number of iterations for decoding. (Default: 50)")
+    p.add_argument("-s", "--seed", type=int, default=0, help="RNG seed. (Default: 0)")
+    p.add_argument("-t", "--num-threads", type=int, default=0,
+                   help="Deprecated alias; frames are batched on device. "
+                        "If set, used as the batch size.")
+    p.add_argument("--batch-size", type=int, default=1024,
+                   help="Frames decoded per device step. (Default: 1024)")
+    p.add_argument("--channel", default="AWGN",
+                   help='Specifies channel: "AWGN", "BSC", "BEC" (Default: AWGN)')
+    p.add_argument("--decoding", default="BP",
+                   help='Specifies decoding algorithm: "BP", "BP_MS" (Default: BP)')
+    p.add_argument("--max-frames", type=float, default=10e9,
+                   help="Limit number of decoded frames.")
+    p.add_argument("--frame-error-count", type=int, default=50,
+                   help="Maximum frame errors for given simulation point.")
+    p.add_argument("--no-early-term", action="store_true",
+                   help="Disable early termination for decoding.")
+    p.add_argument("--devices", type=int, default=0,
+                   help="Shard frames over this many devices (0 = all).")
+    p.add_argument("--pallas", action="store_true",
+                   help="Use the fused Pallas decode kernel.")
+    p.add_argument("--layer-file", default="", help="Decoding-layer file for the layered schedule.")
+    p.add_argument("--checkpoint", default="", help="Sweep checkpoint file (enables --resume).")
+    p.add_argument("--resume", action="store_true", help="Resume from checkpoint.")
+    p.add_argument("--error-log", default="", help="Per-error-frame forensic log file.")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    snr = args.snr_range
+    if snr[0] > snr[1]:
+        print("snr min > snr max", file=sys.stderr)
+        return 1
+
+    # import late so --help works without jax initialisation
+    import jax
+
+    from .models.code import LDPCCode
+    from .parallel.mesh import default_mesh
+    from .sim.driver import Simulator
+    from .utils.params import ChannelParams, DecoderParams, SimulationParams
+
+    code = LDPCCode.from_files(args.codefile, args.gen_matrix, args.layer_file)
+    bar = "=" * 88
+    print(bar)
+    print(f"Parity-Check Matrix: {args.codefile}")
+    print(f"Generator Matrix: {args.gen_matrix}")
+    print(code.summary())
+    print(bar)
+
+    mesh = None
+    n_dev = len(jax.devices())
+    if args.devices != 1 and n_dev > 1:
+        mesh = default_mesh(args.devices or None)
+
+    batch = args.num_threads if args.num_threads > 0 else args.batch_size
+    sim = Simulator(
+        code,
+        DecoderParams(
+            early_term=not args.no_early_term,
+            iterations=args.num_iterations,
+            type=args.decoding,
+        ),
+        ChannelParams(seed=args.seed, x_range=tuple(snr), type=args.channel),
+        SimulationParams(
+            batch_size=batch,
+            max_frames=int(args.max_frames),
+            fec=args.frame_error_count,
+            result_file=args.output_file,
+            checkpoint_file=args.checkpoint or None,
+            error_log_file=args.error_log or None,
+        ),
+        mesh=mesh,
+        use_pallas=args.pallas,
+    )
+
+    stop = threading.Event()
+    try:
+        sim.start(stop_flag=stop.is_set, resume=args.resume)
+    except KeyboardInterrupt:
+        stop.set()
+        print("\ninterrupted — partial results written", file=sys.stderr)
+        return 130
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,133 @@
+"""API-surface tests: the pyLDPC-parity LDPC class and the CLI."""
+
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from libldpc_tpu.api import LDPC
+from libldpc_tpu.models import make_benchmark_code
+
+
+@pytest.fixture(scope="module")
+def ldpc(small_code):
+    return LDPC(code=small_code)
+
+
+class TestDimensions:
+    def test_surface(self, ldpc, small_code):
+        assert ldpc.n == small_code.nc
+        assert ldpc.m == small_code.mc
+        assert ldpc.k == ldpc.n - ldpc.m
+        assert ldpc.kct == ldpc.nct - ldpc.mct
+
+    def test_from_files(self, bundled_code, tmp_path):
+        l = LDPC(
+            "/root/reference/tests/code/h.txt",
+            "/root/reference/tests/code/g.txt",
+        )
+        assert (l.n, l.m, l.nct, l.mct) == (1152, 1024, 1024, 896)
+
+
+class TestEncodeDecode:
+    def test_encode_returns_transmitted_bits(self, ldpc):
+        rng = np.random.default_rng(0)
+        u = rng.integers(0, 2, ldpc.kct).astype(np.uint8)
+        tx = ldpc.encode(u)
+        assert tx.shape == (ldpc.nct,)
+        # expanding to a full codeword must satisfy H
+        full = np.zeros(ldpc.n, dtype=np.uint8)
+        full[ldpc.code.bit_pos] = tx
+        assert not ldpc.syndrome(full).any()
+
+    def test_decode_roundtrip(self, ldpc):
+        rng = np.random.default_rng(1)
+        u = rng.integers(0, 2, ldpc.kct).astype(np.uint8)
+        tx = ldpc.encode(u)
+        snr = 6.0
+        sigma2 = 10 ** (-snr / 10)
+        y = (1 - 2.0 * tx) + rng.normal(size=tx.shape) * np.sqrt(sigma2)
+        llr = 2 * y / sigma2
+        llr_out, iters = ldpc.decode(llr, iters=30)
+        assert llr_out.shape == (ldpc.nct,)
+        assert 0 <= iters <= 30
+        assert np.array_equal((llr_out <= 0).astype(np.uint8), tx)
+
+    def test_decode_batched(self, ldpc):
+        rng = np.random.default_rng(2)
+        llr = rng.normal(size=(5, ldpc.nct)).astype(np.float32)
+        out, iters = ldpc.decode(llr, iters=5)
+        assert out.shape == (5, ldpc.nct)
+        assert iters.shape == (5,)
+
+    def test_decode_minsum(self, ldpc):
+        rng = np.random.default_rng(3)
+        llr = rng.normal(size=ldpc.nct).astype(np.float32) * 3
+        out_bp, _ = ldpc.decode(llr, iters=5, dec_type="BP")
+        out_ms, _ = ldpc.decode(llr, iters=5, dec_type="BP_MS")
+        assert not np.allclose(out_bp, out_ms)
+
+    def test_rank_and_syndrome(self, ldpc):
+        r = ldpc.rank()
+        assert 0 < r <= ldpc.m
+        s = ldpc.syndrome(np.zeros(ldpc.n, dtype=np.uint8))
+        assert s.shape == (ldpc.m,)
+        assert not s.any()
+
+
+class TestThreadedSimulation:
+    def test_simulate_and_poll(self, ldpc):
+        ldpc.simulate(
+            snr=[0.0, 2.0, 1.0], fec=5, batchSize=64, iterations=10,
+            maxFrames=4096,
+        )
+        ldpc.wait(timeout=120)
+        res = ldpc.get_results()
+        assert len(res["frames"]) >= 1
+        assert (res["frames"] > 0).all()
+
+    def test_stop_simulation(self, small_code):
+        l = LDPC(code=small_code)
+        l.simulate(snr=[6.0, 16.0, 0.5], fec=10**6, batchSize=64,
+                   iterations=10)
+        time.sleep(1.0)
+        l.stop_simulation()
+        assert l._sim_thread is None
+        # results snapshot preserved after stopping
+        assert isinstance(l.get_results(), dict)
+
+    def test_missing_snr_raises(self, ldpc):
+        with pytest.raises(ValueError):
+            LDPC(code=ldpc.code).simulate()
+
+
+class TestCLI:
+    def test_cli_end_to_end(self, tmp_path):
+        out = tmp_path / "res.txt"
+        cmd = [
+            sys.executable, "-m", "libldpc_tpu.cli",
+            "/root/reference/tests/code/h.txt", str(out),
+            "-2", "-1", "1",
+            "-G", "/root/reference/tests/code/g.txt",
+            "-i", "5", "--frame-error-count", "3",
+            "--batch-size", "64", "--max-frames", "128",
+            "--devices", "1",
+        ]
+        import os
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # force CPU in subprocess
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
+        assert r.returncode == 0, r.stderr
+        assert "Parity-Check Matrix" in r.stdout
+        lines = out.read_text().strip().splitlines()
+        assert lines[0].startswith("snr fer ber")
+        assert len(lines) == 2
+
+    def test_cli_rejects_bad_range(self):
+        from libldpc_tpu.cli import main
+
+        assert main(["x", "y", "3", "1", "1"]) == 1
