@@ -1,0 +1,111 @@
+"""Headline benchmark: decoded frames/s on the flagship config.
+
+Config (BASELINE.json config 1): bundled k=128 / transmitted-n=1024 code,
+AWGN channel, sum-product BP, 50 iterations, single SNR point.  The timed
+unit is the full simulation step — on-device encode + AWGN + LLRs + decode +
+error counting — i.e. the same work the reference does per frame in
+``ldpc_sim::start``.  Early termination is DISABLED so every frame runs all
+50 iterations (deterministic workload, directly comparable to the
+reference's ``--no-early-term`` run recorded in ``baseline_measured.json``).
+
+Prints exactly one JSON line:
+``{"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}``
+where ``vs_baseline`` is the speedup over the reference's single-thread CPU
+simulator on the identical workload (the north-star target is >= 100).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import numpy as np
+
+    try:  # persistent compile cache: cold axon compiles can take minutes
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from libldpc_tpu.models import LDPCCode, make_benchmark_code
+    from libldpc_tpu.parallel.mesh import make_sim_step
+    from libldpc_tpu.ops.device import to_device
+    from libldpc_tpu.utils.params import DecoderParams
+
+    h = "/root/reference/tests/code/h.txt"
+    g = "/root/reference/tests/code/g.txt"
+    if os.path.exists(h):
+        code = LDPCCode.from_files(h, g)
+    else:
+        code = make_benchmark_code(1152, dv=3, dc=6, seed=0, with_G=True)
+    dcode = to_device(code)
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon")
+    batch = int(os.environ.get("BENCH_BATCH", 4096 if on_tpu else 256))
+    use_pallas = os.environ.get("BENCH_PALLAS", "auto")
+    pallas_on = on_tpu if use_pallas == "auto" else use_pallas == "1"
+    if pallas_on:
+        try:
+            from libldpc_tpu.ops.pallas import decode_fused  # noqa: F401
+        except Exception:
+            pallas_on = False
+
+    dec = DecoderParams(early_term=False, iterations=50, type="BP")
+    step = make_sim_step(dcode, "AWGN", dec, batch, use_pallas=pallas_on)
+
+    key = jax.random.PRNGKey(0)
+    snr = np.float32(0.0)
+
+    # compile + warmup (also pre-split the step keys off the timed path)
+    out = step(key, snr)
+    jax.block_until_ready(out.bit_errors)
+    max_steps = 64
+    keys = [jax.random.fold_in(key, i) for i in range(max_steps)]
+    jax.block_until_ready(keys)
+
+    # estimate single-step time, then size the timed run to ~3s
+    t0 = time.perf_counter()
+    jax.block_until_ready(step(keys[-1], snr).bit_errors)
+    t_step = time.perf_counter() - t0
+    n_steps = max(3, min(max_steps - 1, int(3.0 / max(t_step, 1e-4))))
+
+    # timed steps, async-dispatched so host sync cost doesn't serialise the
+    # device pipeline
+    t0 = time.perf_counter()
+    outs = [step(keys[i], snr) for i in range(n_steps)]
+    frames = sum(int(o.frames) for o in outs)
+    jax.block_until_ready(outs[-1].bit_errors)
+    elapsed = time.perf_counter() - t0
+    fps = frames / elapsed
+
+    baseline_fps = None
+    bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "baseline_measured.json")
+    if os.path.exists(bl_path):
+        with open(bl_path) as f:
+            baseline_fps = json.load(f)["frames_per_s"]["bp_no_early_term"]
+
+    result = {
+        "metric": "decoded frames/s (n=1024, BP, 50 iters, AWGN, no early-term)",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
+        "batch": batch,
+        "platform": platform,
+        "pallas": pallas_on,
+        "steps": n_steps,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
