@@ -38,6 +38,7 @@ def main():
     from libldpc_tpu.models import LDPCCode, make_benchmark_code
     from libldpc_tpu.parallel.mesh import make_sim_step
     from libldpc_tpu.ops.device import to_device
+    from libldpc_tpu.ops.sorted import to_sorted_device
     from libldpc_tpu.utils.params import DecoderParams
 
     h = "/root/reference/tests/code/h.txt"
@@ -46,7 +47,6 @@ def main():
         code = LDPCCode.from_files(h, g)
     else:
         code = make_benchmark_code(1152, dv=3, dc=6, seed=0, with_G=True)
-    dcode = to_device(code)
 
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
@@ -58,6 +58,7 @@ def main():
             from libldpc_tpu.ops.pallas import decode_fused  # noqa: F401
         except Exception:
             pallas_on = False
+    dcode = to_device(code) if pallas_on else to_sorted_device(code)
 
     dec = DecoderParams(early_term=False, iterations=50, type="BP")
     step = make_sim_step(dcode, "AWGN", dec, batch, use_pallas=pallas_on)

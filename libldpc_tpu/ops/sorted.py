@@ -1,0 +1,278 @@
+"""Degree-class-sorted edge layout and the optimized BP decoder over it.
+
+The padded CN-major layout (:mod:`libldpc_tpu.models.code`) is simple and
+reference-faithful, but pays for irregularity with padding: the bundled code
+has VN degrees {1, 2, 15}, so its ``[nc, max_dv]`` gather moves ~5× more
+bytes than the real edges.  This module removes **all** padding by sorting
+nodes into degree classes:
+
+* check nodes are relabelled so equal-degree CNs are contiguous; the CN-major
+  edge space is then a concatenation of dense ``[count_c, degree_c]`` blocks
+  — the CN update is a per-class reshape + exclusion combine with no masks;
+* variable nodes are relabelled the same way; a VN-major edge space (also
+  exactly ``nnz`` slots) makes the VN sum a per-class reshape + sum;
+* one static permutation ``perm_c2v`` maps CN-edge-space → VN-edge-space, and
+  one static index vector ``col_sorted`` maps edges → (sorted) VN labels.
+
+Every per-node tensor (LLRs, codewords, ``bit_pos``, G's columns) lives in
+the *sorted VN labelling*, so channels and error counting work unchanged;
+``vn_perm``/``vn_inv`` convert at the API boundary.
+
+Decoding semantics are identical to :mod:`libldpc_tpu.ops.decoder` (and to
+the reference ``src/decoding/decoder.cpp:11-78``): in-row file order is
+preserved within each class block, so the forward/backward exclusion
+combines associate in the same order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.code import LDPCCode
+from . import cn_ops
+
+
+def _degree_classes(degrees: np.ndarray) -> tuple[np.ndarray, list[tuple[int, int]]]:
+    """Stable-sort node labels by degree.
+
+    Returns ``(perm, classes)`` where ``perm[new_label] = old_label`` and
+    ``classes`` is a list of ``(count, degree)`` in sorted order.
+    """
+    perm = np.argsort(degrees, kind="stable").astype(np.int32)
+    classes: list[tuple[int, int]] = []
+    for d in np.unique(degrees[perm]):
+        classes.append((int((degrees == d).sum()), int(d)))
+    return perm, classes
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SortedDeviceCode:
+    """Device tables for the degree-class-sorted layout.
+
+    Array fields are pytree children; the class structure and dimensions are
+    static aux data (hashable, participates in jit cache keys).
+    """
+
+    # --- static structure ---
+    nc: int
+    mc: int
+    nnz: int
+    cn_classes: tuple[tuple[int, int], ...]  # (count, degree) blocks, CN space
+    vn_classes: tuple[tuple[int, int], ...]  # (count, degree) blocks, VN space
+
+    # --- device arrays ---
+    col_sorted: jnp.ndarray  # int32 [nnz] sorted-VN label per CN-space slot
+    perm_c2v: jnp.ndarray  # int32 [nnz] CN-space slot per VN-space slot
+    bit_pos: jnp.ndarray  # int32 [nct] sorted-VN labels of transmitted bits
+    puncture: jnp.ndarray  # int32 [P] sorted labels
+    shorten: jnp.ndarray  # int32 [S] sorted labels
+    vn_perm: jnp.ndarray  # int32 [nc] sorted label -> original label
+    vn_inv: jnp.ndarray  # int32 [nc] original label -> sorted label
+    G: Optional[jnp.ndarray]  # f32 [kc, nc] generator, columns sorted
+
+    def tree_flatten(self):
+        children = (
+            self.col_sorted,
+            self.perm_c2v,
+            self.bit_pos,
+            self.puncture,
+            self.shorten,
+            self.vn_perm,
+            self.vn_inv,
+            self.G,
+        )
+        aux = (self.nc, self.mc, self.nnz, self.cn_classes, self.vn_classes)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        nc, mc, nnz, cn_classes, vn_classes = aux
+        (col_sorted, perm_c2v, bit_pos, puncture, shorten, vn_perm, vn_inv, G) = children
+        return cls(
+            nc=nc, mc=mc, nnz=nnz, cn_classes=cn_classes, vn_classes=vn_classes,
+            col_sorted=col_sorted, perm_c2v=perm_c2v, bit_pos=bit_pos,
+            puncture=puncture, shorten=shorten, vn_perm=vn_perm, vn_inv=vn_inv,
+            G=G,
+        )
+
+    @property
+    def nct(self) -> int:
+        return self.bit_pos.shape[0]
+
+    @property
+    def kc(self) -> int:
+        if self.G is None:
+            raise RuntimeError("code has no generator matrix")
+        return self.G.shape[0]
+
+
+def to_sorted_device(code: LDPCCode) -> SortedDeviceCode:
+    """Build the sorted-layout device tables from a host code."""
+    rows = code.rows.astype(np.int64)
+    cols = code.cols.astype(np.int64)
+    nc, mc, nnz = code.nc, code.mc, code.nnz
+
+    cn_deg = np.bincount(rows, minlength=mc)
+    vn_deg = np.bincount(cols, minlength=nc)
+    cn_perm, cn_classes = _degree_classes(cn_deg)  # new -> old
+    vn_perm, vn_classes = _degree_classes(vn_deg)
+    cn_inv = np.empty(mc, dtype=np.int64)
+    cn_inv[cn_perm] = np.arange(mc)
+    vn_inv = np.empty(nc, dtype=np.int64)
+    vn_inv[vn_perm] = np.arange(nc)
+
+    # CN-major edge order: sort edges by (sorted CN label, file order).
+    # Stable sort keeps in-row file order (reference row_neighbor order).
+    order_c = np.argsort(cn_inv[rows], kind="stable")
+    col_sorted = vn_inv[cols[order_c]]  # [nnz] sorted-VN label per slot
+
+    # VN-major edge order: sort edges by (sorted VN label, file order); for
+    # each VN-space slot, find its CN-space slot.
+    cn_slot_of_edge = np.empty(nnz, dtype=np.int64)
+    cn_slot_of_edge[order_c] = np.arange(nnz)
+    order_v = np.argsort(vn_inv[cols], kind="stable")
+    perm_c2v = cn_slot_of_edge[order_v]
+
+    return SortedDeviceCode(
+        nc=nc,
+        mc=mc,
+        nnz=nnz,
+        cn_classes=tuple(cn_classes),
+        vn_classes=tuple(vn_classes),
+        col_sorted=jnp.asarray(col_sorted, dtype=jnp.int32),
+        perm_c2v=jnp.asarray(perm_c2v, dtype=jnp.int32),
+        bit_pos=jnp.asarray(vn_inv[code.bit_pos], dtype=jnp.int32),
+        puncture=jnp.asarray(vn_inv[code.puncture], dtype=jnp.int32)
+        if len(code.puncture)
+        else jnp.zeros(0, jnp.int32),
+        shorten=jnp.asarray(vn_inv[code.shorten], dtype=jnp.int32)
+        if len(code.shorten)
+        else jnp.zeros(0, jnp.int32),
+        vn_perm=jnp.asarray(vn_perm, dtype=jnp.int32),
+        vn_inv=jnp.asarray(vn_inv, dtype=jnp.int32),
+        G=None if code.G is None else jnp.asarray(code.G[:, vn_perm], dtype=jnp.float32),
+    )
+
+
+# --------------------------------------------------------------------------
+# class-blocked primitives
+# --------------------------------------------------------------------------
+
+
+def _class_slices(classes: Sequence[tuple[int, int]]):
+    """Yield ``(edge_start, edge_stop, count, degree)`` per class block."""
+    e = 0
+    for count, degree in classes:
+        yield e, e + count * degree, count, degree
+        e += count * degree
+
+
+def cn_update_sorted(
+    sdc: SortedDeviceCode, lv2c: jnp.ndarray, minsum_mode: bool
+) -> jnp.ndarray:
+    """CN exclusion update, per degree class (no padding, no masks)."""
+    op = cn_ops.get_op(minsum_mode)
+    B = lv2c.shape[1]
+    parts = []
+    for e0, e1, count, degree in _class_slices(sdc.cn_classes):
+        if degree == 0:
+            continue
+        M = jax.lax.slice_in_dim(lv2c, e0, e1, axis=0).reshape(count, degree, B)
+        parts.append(cn_ops.exclusion_combine(M, op).reshape(count * degree, B))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def vn_sum_sorted(sdc: SortedDeviceCode, lc2v_vnspace: jnp.ndarray) -> jnp.ndarray:
+    """Per-VN message sums ``[nc, B]`` from VN-space messages ``[nnz, B]``."""
+    B = lc2v_vnspace.shape[1]
+    parts = []
+    for e0, e1, count, degree in _class_slices(sdc.vn_classes):
+        if degree == 0:
+            parts.append(jnp.zeros((count, B), dtype=lc2v_vnspace.dtype))
+            continue
+        M = jax.lax.slice_in_dim(lc2v_vnspace, e0, e1, axis=0)
+        parts.append(M.reshape(count, degree, B).sum(axis=1))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def syndrome_ok_sorted(sdc: SortedDeviceCode, hard: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame codeword check from sorted-space hard decisions [nc, B]."""
+    bits = jnp.take(hard.astype(jnp.int32), sdc.col_sorted, axis=0)  # [nnz, B]
+    oks = []
+    for e0, e1, count, degree in _class_slices(sdc.cn_classes):
+        if degree == 0:
+            continue
+        B = bits.shape[1]
+        blk = jax.lax.slice_in_dim(bits, e0, e1, axis=0).reshape(count, degree, B)
+        oks.append((blk.sum(axis=1) % 2).any(axis=0))
+    bad = oks[0]
+    for o in oks[1:]:
+        bad = bad | o
+    return ~bad
+
+
+class SortedDecodeOutput(NamedTuple):
+    llr_out: jnp.ndarray  # f32 [nc, B] (sorted VN labelling)
+    hard: jnp.ndarray  # bool [nc, B]
+    iterations: jnp.ndarray  # int32 [B]
+    is_codeword: jnp.ndarray  # bool [B]
+
+
+def bp_decode_sorted(
+    sdc: SortedDeviceCode,
+    llr_in: jnp.ndarray,  # f32 [nc, B], sorted VN labelling
+    iterations: int = 50,
+    early_term: bool = True,
+    minsum_mode: bool = False,
+) -> SortedDecodeOutput:
+    """Flooding BP over the sorted layout; same semantics as
+    :func:`libldpc_tpu.ops.decoder.bp_decode` (iteration counting,
+    freezing, early termination)."""
+    B = llr_in.shape[1]
+    state = dict(
+        i=jnp.int32(0),
+        lv2c=jnp.take(llr_in, sdc.col_sorted, axis=0),
+        llr_out=jnp.zeros_like(llr_in),
+        hard=jnp.zeros(llr_in.shape, dtype=bool),
+        done=jnp.zeros((B,), dtype=bool),
+        iters=jnp.zeros((B,), dtype=jnp.int32),
+    )
+
+    def cond(s):
+        return (s["i"] < iterations) & ~jnp.all(s["done"])
+
+    def body(s):
+        lc2v = cn_update_sorted(sdc, s["lv2c"], minsum_mode)
+        lc2v_v = jnp.take(lc2v, sdc.perm_c2v, axis=0)
+        llr_out = llr_in + vn_sum_sorted(sdc, lc2v_v)
+        hard = llr_out <= 0
+        lv2c = jnp.take(llr_out, sdc.col_sorted, axis=0) - lc2v
+        if early_term:
+            finished_now = ~s["done"] & syndrome_ok_sorted(sdc, hard)
+        else:
+            finished_now = jnp.zeros_like(s["done"])
+        active = ~s["done"]
+        keep = s["done"][None, :]
+        return dict(
+            i=s["i"] + 1,
+            lv2c=jnp.where(keep, s["lv2c"], lv2c),
+            llr_out=jnp.where(keep, s["llr_out"], llr_out),
+            hard=jnp.where(keep, s["hard"], hard),
+            done=s["done"] | finished_now,
+            iters=s["iters"] + (active & ~finished_now).astype(jnp.int32),
+        )
+
+    if iterations > 0:
+        state = jax.lax.while_loop(cond, body, state)
+    return SortedDecodeOutput(
+        llr_out=state["llr_out"],
+        hard=state["hard"],
+        iterations=state["iters"],
+        is_codeword=syndrome_ok_sorted(sdc, state["hard"]),
+    )

@@ -28,6 +28,7 @@ from ..ops.bec import bec_decode
 from ..ops.channel import simulate_channel
 from ..ops.decoder import bp_decode
 from ..ops.device import DeviceCode
+from ..ops.sorted import SortedDeviceCode, bp_decode_sorted
 from ..utils.params import DecoderParams
 
 FRAME_AXIS = "frames"
@@ -89,6 +90,14 @@ def _sim_and_count(
                 early_term=dec.early_term,
                 minsum_mode=dec.use_minsum,
             )
+        elif isinstance(dcode, SortedDeviceCode):
+            out = bp_decode_sorted(
+                dcode,
+                ch.llr,
+                iterations=dec.iterations,
+                early_term=dec.early_term,
+                minsum_mode=dec.use_minsum,
+            )
         else:
             out = bp_decode(
                 dcode,
@@ -96,6 +105,7 @@ def _sim_and_count(
                 iterations=dec.iterations,
                 early_term=dec.early_term,
                 minsum_mode=dec.use_minsum,
+                layered=dec.layered,
             )
         hard = out.hard.astype(jnp.uint8)
         iters = out.iterations

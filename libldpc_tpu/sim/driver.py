@@ -124,7 +124,14 @@ class Simulator:
         self.sim = simulation_params
         self.mesh = mesh
         self.verbose = verbose
-        self.dcode: DeviceCode = to_device(code)
+        # the degree-class-sorted layout is the fast path for BP decoding;
+        # BEC and the layered schedule run over the padded layout
+        if channel_params.type == "BEC" or decoder_params.layered or use_pallas:
+            self.dcode = to_device(code, with_layers=decoder_params.layered)
+        else:
+            from ..ops.sorted import to_sorted_device
+
+            self.dcode = to_sorted_device(code)
         n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
         if simulation_params.batch_size % n_dev:
             raise ValueError(

@@ -42,6 +42,10 @@ class DecoderParams:
     early_term: bool = True
     iterations: int = 50
     type: str = "BP"
+    #: Layered (serial) CN schedule, from the code's layerfile — the GPU
+    #: stack's capability (``gpu/ldpc/ldpc.cpp:111-138``).  Flooding when
+    #: False or when the code has no layers.
+    layered: bool = False
 
     @property
     def use_minsum(self) -> bool:
