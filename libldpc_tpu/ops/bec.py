@@ -70,7 +70,21 @@ def bec_decode(
     codeword: jnp.ndarray,  # uint8 [nc, B] true codeword
     iterations: int = 50,
     early_term: bool = True,
+    degree1_stale_byte: Optional[int] = None,
 ) -> BECDecodeOutput:
+    """See module docstring.
+
+    ``degree1_stale_byte`` emulates a reference bug: for a degree-1 VN the
+    reference's exclusion code indexes its scratch vector at ``vw - 2 ==
+    SIZE_MAX`` (``src/decoding/decoder.cpp:155-160``), i.e. reads the byte
+    just *before* the heap buffer — in practice usually 0x00 from the malloc
+    chunk header.  Degree-1 erased VNs therefore emit a hard 0 instead of an
+    erasure, which (because BEC messages can only ever resolve to the true
+    bit) acts as a per-bit genie hint and substantially improves the
+    reference's measured BEC performance on codes with degree-1 VNs.  Set to
+    0 to reproduce the reference's numbers; leave ``None`` for the correct
+    algorithm.
+    """
     B = symbols_in.shape[1]
     xi = codeword.astype(jnp.int8)  # [nc, B]
     known = symbols_in != BEC_ERASURE  # channel revealed this bit
@@ -115,6 +129,14 @@ def bec_decode(
 
         # known channel bit: propagate it on every outgoing edge and output
         # (decoder.cpp:131-141); erased: extrinsic exclusion + full combine
+        deg1 = dcode.vn_mask.sum(axis=1) == 1  # [nc]
+        # a degree-1 VN's posterior is its single raw incoming message
+        # (mLLROut[i] = mExMsgF[0] = mLc2v[vn[0]], decoder.cpp:147,163)
+        total = jnp.where(deg1[:, None], gathered[:, 0, :], total)
+        if degree1_stale_byte is not None:
+            excl = jnp.where(
+                deg1[:, None, None], jnp.int8(degree1_stale_byte), excl
+            )
         lv2c_vnspace = jnp.where(known[:, None, :], xi[:, None, :], excl)
         sym_out = jnp.where(known, xi, total)
 
@@ -149,10 +171,19 @@ def bec_decode(
 
     sym_out = state["sym_out"]
     unresolved = sym_out == BEC_ERASURE
-    # unresolved bits decide the wrong value to force a counted error
-    hard = jnp.where(
-        unresolved, 1 - codeword.astype(jnp.int32), codeword.astype(jnp.int32)
-    ).astype(jnp.uint8)
+    # An unresolved bit decides "the wrong bit" so the frame counts as
+    # errored (decoder.cpp:163-165).  The reference's gf2 unary minus is
+    # `~value != 0` (src/core/gf2.cpp:5-8), i.e. `-x == 1` for BOTH bit
+    # values — so it actually decides a constant 1, erroring only on
+    # true-zero bits.  Compat mode reproduces that; the default flips the
+    # bit, which is what the reference *intended* (a guaranteed error).
+    if degree1_stale_byte is not None:
+        wrong = jnp.ones_like(codeword, dtype=jnp.int32)
+    else:
+        wrong = 1 - codeword.astype(jnp.int32)
+    hard = jnp.where(unresolved, wrong, codeword.astype(jnp.int32)).astype(
+        jnp.uint8
+    )
     return BECDecodeOutput(
         symbols_out=sym_out,
         hard=hard,
@@ -161,6 +192,17 @@ def bec_decode(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "early_term"))
-def bec_decode_jit(dcode, symbols_in, codeword, iterations=50, early_term=True):
-    return bec_decode(dcode, symbols_in, codeword, iterations, early_term)
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "early_term", "degree1_stale_byte")
+)
+def bec_decode_jit(
+    dcode,
+    symbols_in,
+    codeword,
+    iterations=50,
+    early_term=True,
+    degree1_stale_byte=None,
+):
+    return bec_decode(
+        dcode, symbols_in, codeword, iterations, early_term, degree1_stale_byte
+    )

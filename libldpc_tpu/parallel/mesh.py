@@ -76,6 +76,7 @@ def _sim_and_count(
             ch.codeword,
             iterations=dec.iterations,
             early_term=dec.early_term,
+            degree1_stale_byte=0 if dec.bec_ref_bug_compat else None,
         )
         hard = out.hard
         iters = out.iterations

@@ -46,6 +46,14 @@ class DecoderParams:
     #: stack's capability (``gpu/ldpc/ldpc.cpp:111-138``).  Flooding when
     #: False or when the code has no layers.
     layered: bool = False
+    #: Reproduce the reference's out-of-bounds scratch read for degree-1
+    #: variable nodes in the BEC decoder (``src/decoding/decoder.cpp:155-160``
+    #: indexes ``mExMsgF[vw-2]`` with ``vw == 1``).  The stale byte (0x00 in
+    #: practice) makes degree-1 erased VNs emit a hard 0 instead of an
+    #: erasure, which acts as a genie hint and inflates the reference's BEC
+    #: performance on codes with degree-1 VNs (e.g. the bundled test code).
+    #: False = correct peeling algorithm; True = bit-compatible curves.
+    bec_ref_bug_compat: bool = False
 
     @property
     def use_minsum(self) -> bool:

@@ -151,6 +151,57 @@ class TestBECDecoder:
         assert not np.asarray(out.resolved).all()
 
 
+class TestBECRefBugCompat:
+    """The reference's BEC decoder reads out-of-bounds scratch for degree-1
+    VNs (src/decoding/decoder.cpp:155-160 with vw==1), which acts as a genie
+    hint on codes with degree-1 VNs.  The compat mode must reproduce that
+    behaviour's dramatic FER difference on the bundled code."""
+
+    def test_compat_unsticks_degree1_codes(self, bundled_code):
+        from libldpc_tpu.ops.bec import bec_decode_jit
+
+        code = bundled_code
+        d = to_device(code)
+        tx = code.bit_pos
+        errs = {}
+        for compat in (False, True):
+            fe = 0
+            for i in range(2):
+                ch = bec_channel(d, jax.random.PRNGKey(40 + i), 512,
+                                 jnp.float32(0.80))
+                dec = bec_decode_jit(
+                    d, ch.llr, ch.codeword, iterations=50,
+                    degree1_stale_byte=0 if compat else None,
+                )
+                hard = np.asarray(dec.hard)
+                cw = np.asarray(ch.codeword)
+                fe += int(((hard[tx] != cw[tx]).sum(0) > 0).sum())
+            errs[compat] = fe
+        # reference-measured: FER < 2e-5 with the bug, ~3.5e-2 without
+        assert errs[True] == 0
+        assert errs[False] >= 10
+
+    def test_compat_error_bits_are_constant_one(self, bundled_code):
+        # unresolved bits decide constant 1 in compat mode (gf2 unary minus
+        # quirk, src/core/gf2.cpp:5-8), so bit errors land only on true-0
+        # bits
+        from libldpc_tpu.ops.bec import bec_decode_jit
+        from libldpc_tpu.ops.channel import BEC_ERASURE as E
+
+        code = bundled_code
+        d = to_device(code)
+        ch = bec_channel(d, jax.random.PRNGKey(99), 256, jnp.float32(0.88))
+        dec = bec_decode_jit(d, ch.llr, ch.codeword, iterations=50,
+                             degree1_stale_byte=0)
+        hard = np.asarray(dec.hard)
+        cw = np.asarray(ch.codeword)
+        unresolved = np.asarray(dec.symbols_out) == int(E)
+        assert unresolved.any()
+        assert (hard[unresolved] == 1).all()
+        wrong = hard != cw
+        assert (cw[wrong] == 0).all()
+
+
 class TestDispatch:
     def test_unknown_channel_raises(self, dcode):
         with pytest.raises(ValueError):
