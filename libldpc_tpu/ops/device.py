@@ -78,18 +78,24 @@ class DeviceCode(NamedTuple):
 def to_device(code: LDPCCode, with_layers: bool = False) -> DeviceCode:
     """Build the device pytree from a host :class:`LDPCCode`."""
     lay = code.layout
+
+    # convert on the host before uploading: device-side dtype conversion
+    # dispatches tiny remote compiles on tunneled backends
+    def dev(x, dtype):
+        return jnp.asarray(np.ascontiguousarray(np.asarray(x, dtype=dtype)))
+
     return DeviceCode(
-        pad_col=jnp.asarray(lay.pad_col, dtype=jnp.int32),
-        cn_mask=jnp.asarray(lay.cn_mask),
-        vn_edges=jnp.asarray(lay.vn_edges, dtype=jnp.int32),
-        vn_mask=jnp.asarray(lay.vn_mask),
-        edge_vslot=jnp.asarray(lay.edge_vslot, dtype=jnp.int32),
-        bit_pos=jnp.asarray(code.bit_pos, dtype=jnp.int32),
-        puncture=jnp.asarray(code.puncture, dtype=jnp.int32),
-        shorten=jnp.asarray(code.shorten, dtype=jnp.int32),
-        G=None if code.G is None else jnp.asarray(code.G, dtype=jnp.float32),
+        pad_col=dev(lay.pad_col, np.int32),
+        cn_mask=dev(lay.cn_mask, bool),
+        vn_edges=dev(lay.vn_edges, np.int32),
+        vn_mask=dev(lay.vn_mask, bool),
+        edge_vslot=dev(lay.edge_vslot, np.int32),
+        bit_pos=dev(code.bit_pos, np.int32),
+        puncture=dev(code.puncture, np.int32),
+        shorten=dev(code.shorten, np.int32),
+        G=None if code.G is None else dev(code.G, np.float32),
         layer_masks=(
-            jnp.asarray(code.layer_masks()) if with_layers else None
+            dev(code.layer_masks(), bool) if with_layers else None
         ),
     )
 

@@ -1,0 +1,285 @@
+"""Fused Pallas TPU decode kernel.
+
+One kernel invocation decodes a whole tile of frames for *all* iterations
+with the message state resident in VMEM — the HBM traffic per frame is just
+the input LLRs and the outputs, where the XLA path re-streams every
+``[nnz, batch]`` message tensor from HBM several times per iteration.
+
+Structure per iteration (see :mod:`libldpc_tpu.ops.pallas.layout` for the
+edge spaces):
+
+1. CN exclusion combine — contiguous position-major class slices, the same
+   forward/backward box-plus/min-sum order as the reference
+   (``src/decoding/decoder.cpp:24-45``).
+2. CN-space → VN-space edge permutation as a Beneš roll/select network.
+3. VN sums, posterior LLRs, extrinsic subtraction — contiguous slices; the
+   ``LLROut[col]`` expansion is a free broadcast in VN space.
+4. VN-space → CN-space permutation (same network, reversed).
+5. Syndrome from ``Lv2c + Lc2v`` signs (= posterior sign per edge), per-frame
+   early termination with the reference's break-before-increment iteration
+   counting, and freezing of finished frames.
+
+The batch is tiled over the Pallas grid; each tile early-exits (predicated
+iteration body) once every frame in it has converged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..sorted import SortedDecodeOutput
+from .layout import PallasDeviceCode
+
+
+def _boxplus(x, y):
+    sx = 1.0 - 2.0 * jnp.signbit(x).astype(x.dtype)
+    sy = 1.0 - 2.0 * jnp.signbit(y).astype(y.dtype)
+    m = jnp.minimum(jnp.abs(x), jnp.abs(y))
+    corr = jax.nn.softplus(-jnp.abs(x + y)) - jax.nn.softplus(-jnp.abs(x - y))
+    return sx * sy * m + corr
+
+
+def _minsum(x, y):
+    sx = 1.0 - 2.0 * jnp.signbit(x).astype(x.dtype)
+    sy = 1.0 - 2.0 * jnp.signbit(y).astype(y.dtype)
+    return sx * sy * jnp.minimum(jnp.abs(x), jnp.abs(y))
+
+
+def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
+                 minsum_mode, bt):
+    N = pdc.n_pad
+    dists = pdc.benes_dists
+    S = len(dists)
+    cn_blocks = pdc.cn_blocks
+    vn_blocks = pdc.vn_blocks
+    vn_node_base = pdc.vn_node_base
+    nnz = pdc.nnz
+    op = _minsum if minsum_mode else _boxplus
+
+    active = pdc.benes_active
+
+    def benes(swap_ref, v, reverse):
+        order = range(S - 1, -1, -1) if reverse else range(S)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+        for s in order:
+            if not active[s]:  # statically quiet stage
+                continue
+            d = dists[s]
+            sw = swap_ref[:, s : s + 1] > 0  # [N, 1]
+            top = (iota & d) == 0
+            partner = jnp.where(
+                top, pltpu.roll(v, N - d, axis=0), pltpu.roll(v, d, axis=0)
+            )
+            v = jnp.where(sw, partner, v)
+        return v
+
+    def cn_exclusion(lv2c):
+        parts = []
+        for base, count, d in cn_blocks:
+            M = [lv2c[base + j * count : base + (j + 1) * count, :] for j in range(d)]
+            if d == 1:
+                parts.append(jnp.full_like(M[0], 1e30))
+                continue
+            fwd = [M[0]]
+            bwd = [M[d - 1]]
+            for j in range(1, d):
+                fwd.append(op(fwd[-1], M[j]))
+                bwd.append(op(bwd[-1], M[d - 1 - j]))
+            out = [bwd[d - 2]]
+            for j in range(1, d - 1):
+                out.append(op(fwd[j - 1], bwd[d - 2 - j]))
+            out.append(fwd[d - 2])
+            parts.extend(out)
+        if N > nnz:
+            parts.append(jnp.zeros((N - nnz, lv2c.shape[1]), lv2c.dtype))
+        return jnp.concatenate(parts, axis=0)
+
+    def vn_stage(llr_ref, lc2v_v):
+        llr_parts = []
+        lv2c_parts = []
+        for (base_e, count, d), nb in zip(vn_blocks, vn_node_base):
+            lin = llr_ref[nb : nb + count, :]
+            if d == 0:
+                llr_parts.append(lin)
+                continue
+            msgs = [
+                lc2v_v[base_e + j * count : base_e + (j + 1) * count, :]
+                for j in range(d)
+            ]
+            tot = msgs[0]
+            for j in range(1, d):
+                tot = tot + msgs[j]
+            llr_b = lin + tot
+            llr_parts.append(llr_b)
+            for j in range(d):
+                lv2c_parts.append(llr_b - msgs[j])
+        if N > nnz:
+            lv2c_parts.append(
+                jnp.zeros((N - nnz, lc2v_v.shape[1]), lc2v_v.dtype)
+            )
+        return (
+            jnp.concatenate(llr_parts, axis=0),
+            jnp.concatenate(lv2c_parts, axis=0),
+        )
+
+    def init_lv2c(llr_ref, swap_ref):
+        parts = []
+        for (base_e, count, d), nb in zip(vn_blocks, vn_node_base):
+            if d == 0:
+                continue
+            lin = llr_ref[nb : nb + count, :]
+            for _ in range(d):
+                parts.append(lin)
+        if N > nnz:
+            parts.append(jnp.zeros((N - nnz, bt), jnp.float32))
+        return benes(swap_ref, jnp.concatenate(parts, axis=0), reverse=True)
+
+    def syndrome(llr_edge):
+        viol = jnp.zeros((1, llr_edge.shape[1]), jnp.int32)
+        for base, count, d in cn_blocks:
+            bits = None
+            for j in range(d):
+                b = (
+                    llr_edge[base + j * count : base + (j + 1) * count, :]
+                    <= 0
+                ).astype(jnp.int32)
+                bits = b if bits is None else bits + b
+            odd = jnp.bitwise_and(bits, 1)
+            viol = viol + jnp.sum(odd, axis=0, keepdims=True)
+        return viol == 0  # [1, Bt]
+
+    def kernel(swap_ref, llr_ref, out_llr_ref, out_iters_ref, out_iscw_ref,
+               lv2c_ref, done_ref, iters_ref, iscw_ref):
+        lv2c_ref[:] = init_lv2c(llr_ref, swap_ref)
+        done_ref[:] = jnp.zeros((8, bt), jnp.int32)
+        iters_ref[:] = jnp.zeros((8, bt), jnp.int32)
+        iscw_ref[:] = jnp.zeros((8, bt), jnp.int32)
+        out_llr_ref[:] = jnp.zeros((nc, bt), jnp.float32)
+
+        def body(it, carry):
+            def iteration():
+                lv2c = lv2c_ref[:]
+                lc2v_c = cn_exclusion(lv2c)
+                lc2v_v = benes(swap_ref, lc2v_c, reverse=False)
+                llr_out, lv2c_v = vn_stage(llr_ref, lc2v_v)
+                lv2c_new = benes(swap_ref, lv2c_v, reverse=True)
+
+                if early_term:
+                    is_cw = syndrome(lv2c_new + lc2v_c)
+                    done_b = done_ref[0:1, :] > 0
+                    newly = jnp.logical_and(~done_b, is_cw)
+                    iters_ref[0:1, :] = iters_ref[0:1, :] + jnp.logical_and(
+                        ~done_b, ~newly
+                    ).astype(jnp.int32)
+                    done_ref[0:1, :] = jnp.logical_or(done_b, newly).astype(
+                        jnp.int32
+                    )
+                    iscw_ref[0:1, :] = jnp.where(
+                        done_b, iscw_ref[0:1, :] > 0, is_cw
+                    ).astype(jnp.int32)
+                    lv2c_ref[:] = jnp.where(done_b, lv2c, lv2c_new)
+                    out_llr_ref[:] = jnp.where(done_b, out_llr_ref[:], llr_out)
+                else:
+                    lv2c_ref[:] = lv2c_new
+                    out_llr_ref[:] = llr_out
+
+                    @pl.when(it == iterations - 1)
+                    def _():
+                        iscw_ref[0:1, :] = syndrome(lv2c_new + lc2v_c).astype(
+                            jnp.int32
+                        )
+
+            if early_term:
+                active = jnp.sum(done_ref[0:1, :]) < bt
+
+                @pl.when(active)
+                def _():
+                    iteration()
+            else:
+                iteration()
+            return carry
+
+        jax.lax.fori_loop(0, iterations, body, 0)
+
+        if not early_term:
+            iters_ref[0:1, :] = jnp.full((1, bt), iterations, jnp.int32)
+        out_iters_ref[:] = iters_ref[:]
+        out_iscw_ref[:] = iscw_ref[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "early_term", "minsum_mode", "batch_tile",
+                     "interpret"),
+)
+def bp_decode_pallas(
+    pdc: PallasDeviceCode,
+    llr_in: jnp.ndarray,  # f32 [nc, B], sorted VN labelling
+    iterations: int = 50,
+    early_term: bool = True,
+    minsum_mode: bool = False,
+    batch_tile: int = 256,
+    interpret: bool = False,
+) -> SortedDecodeOutput:
+    nc, B = llr_in.shape
+    bt = min(batch_tile, B)
+    if B % bt:
+        raise ValueError(f"batch {B} not divisible by tile {bt}")
+    if iterations == 0:
+        zeros = jnp.zeros_like(llr_in)
+        return SortedDecodeOutput(
+            llr_out=zeros,
+            hard=jnp.zeros(llr_in.shape, bool),
+            iterations=jnp.zeros((B,), jnp.int32),
+            is_codeword=jnp.zeros((B,), bool),
+        )
+
+    S = len(pdc.benes_dists)
+    swap = pdc.swap_planes  # int32 [N, S]
+
+    kernel = _make_kernel(pdc, nc, iterations, early_term, minsum_mode, bt)
+    llr_out, iters8, iscw8 = pl.pallas_call(
+        kernel,
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((pdc.n_pad, S), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nc, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((nc, B), jnp.float32),
+            jax.ShapeDtypeStruct((8, B), jnp.int32),
+            jax.ShapeDtypeStruct((8, B), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((pdc.n_pad, bt), jnp.float32),
+            pltpu.VMEM((8, bt), jnp.int32),
+            pltpu.VMEM((8, bt), jnp.int32),
+            pltpu.VMEM((8, bt), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(swap, llr_in)
+
+    return SortedDecodeOutput(
+        llr_out=llr_out,
+        hard=llr_out <= 0,
+        iterations=iters8[0],
+        is_codeword=iscw8[0] > 0,
+    )

@@ -1,0 +1,195 @@
+"""Kernel-side code layout for the fused Pallas decoder.
+
+Extends the degree-class-sorted layout (:mod:`libldpc_tpu.ops.sorted`) with
+two kernel-specific choices:
+
+* **Position-major class blocks.**  Within a degree class of ``count`` nodes
+  and degree ``d``, edge slot ``base + j*count + i`` holds the ``j``-th edge
+  of node ``i``.  The forward/backward exclusion combine and the per-node
+  sums then touch only *contiguous* ``[count, batch]`` slices — no strided
+  sublane access, which Mosaic lowers poorly.
+* **Beneš-factored edge permutation.**  The CN-space ↔ VN-space edge
+  permutation is shipped as switch planes of a Beneš network
+  (:mod:`libldpc_tpu.ops.pallas.benes`) so the kernel permutes with rolls
+  and selects instead of gathers.
+
+Node labellings (sorted-by-degree) are *identical* to
+:func:`libldpc_tpu.ops.sorted.to_sorted_device`, so LLR inputs, codewords and
+outputs are interchangeable between the XLA and Pallas paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...models.code import LDPCCode
+from ..sorted import SortedDeviceCode, to_sorted_device
+from .benes import build_benes
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PallasDeviceCode:
+    """Device tables for the fused kernel.
+
+    Delegates the channel-facing surface (G, bit_pos, puncture/shorten,
+    dims) to an embedded :class:`SortedDeviceCode` with the same VN
+    labelling.
+    """
+
+    sorted_dc: SortedDeviceCode
+    # static
+    n_pad: int  # power-of-two padded edge-space size
+    benes_dists: tuple[int, ...]
+    benes_active: tuple[bool, ...]  # stage has any swaps (skip when False)
+    cn_blocks: tuple[tuple[int, int, int], ...]  # (base, count, degree)
+    vn_blocks: tuple[tuple[int, int, int], ...]  # (base_edge, count, degree)
+    vn_node_base: tuple[int, ...]  # node offset of each vn class block
+    # arrays
+    swap_planes: jnp.ndarray  # int32 [n_pad, S] kernel-ready switch planes
+
+    def tree_flatten(self):
+        return (self.sorted_dc, self.swap_planes), (
+            self.n_pad,
+            self.benes_dists,
+            self.benes_active,
+            self.cn_blocks,
+            self.vn_blocks,
+            self.vn_node_base,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        sorted_dc, swap_planes = children
+        n_pad, benes_dists, benes_active, cn_blocks, vn_blocks, vn_node_base = aux
+        return cls(
+            sorted_dc=sorted_dc,
+            n_pad=n_pad,
+            benes_dists=benes_dists,
+            benes_active=benes_active,
+            cn_blocks=cn_blocks,
+            vn_blocks=vn_blocks,
+            vn_node_base=vn_node_base,
+            swap_planes=swap_planes,
+        )
+
+    # channel-facing delegation -------------------------------------------
+    @property
+    def nc(self):
+        return self.sorted_dc.nc
+
+    @property
+    def mc(self):
+        return self.sorted_dc.mc
+
+    @property
+    def nnz(self):
+        return self.sorted_dc.nnz
+
+    @property
+    def nct(self):
+        return self.sorted_dc.nct
+
+    @property
+    def kc(self):
+        return self.sorted_dc.kc
+
+    @property
+    def G(self):
+        return self.sorted_dc.G
+
+    @property
+    def bit_pos(self):
+        return self.sorted_dc.bit_pos
+
+    @property
+    def puncture(self):
+        return self.sorted_dc.puncture
+
+    @property
+    def shorten(self):
+        return self.sorted_dc.shorten
+
+
+def to_pallas_device(code: LDPCCode) -> PallasDeviceCode:
+    sdc = to_sorted_device(code)
+    rows = code.rows.astype(np.int64)
+    cols = code.cols.astype(np.int64)
+    nnz = code.nnz
+
+    # recompute the relabelling in NumPy rather than pulling sdc.vn_inv back
+    # from the device (device->host of a fresh shape is very expensive on
+    # tunneled backends); _degree_classes is deterministic, so this matches
+    # the embedded SortedDeviceCode exactly
+    cn_deg = np.bincount(rows, minlength=code.mc)
+    vn_deg = np.bincount(cols, minlength=code.nc)
+    cn_inv = np.empty(code.mc, dtype=np.int64)
+    cn_inv[np.argsort(cn_deg, kind="stable")] = np.arange(code.mc)
+    vn_inv = np.empty(code.nc, dtype=np.int64)
+    vn_inv[np.argsort(vn_deg, kind="stable")] = np.arange(code.nc)
+
+    # --- CN space, position-major ---
+    # edge order key: (sorted row label, position-in-row); slot of edge =
+    # class_base + j*count + (row index within class)
+    order_by_row = np.argsort(cn_inv[rows], kind="stable")
+    pos_in_row = np.empty(nnz, dtype=np.int64)
+    srt_rows = cn_inv[rows][order_by_row]
+    row_starts = np.concatenate([[0], np.cumsum(np.sort(cn_deg))[:-1]])
+    pos_in_row[order_by_row] = np.arange(nnz) - row_starts[srt_rows]
+
+    cn_blocks = []
+    base_e = 0
+    base_n = 0
+    cn_slot = np.empty(nnz, dtype=np.int64)
+    for count, degree in sdc.cn_classes:
+        cn_blocks.append((base_e, count, degree))
+        sel = (cn_inv[rows] >= base_n) & (cn_inv[rows] < base_n + count)
+        i_in_class = cn_inv[rows][sel] - base_n
+        cn_slot[sel] = base_e + pos_in_row[sel] * count + i_in_class
+        base_e += count * degree
+        base_n += count
+
+    # --- VN space, position-major ---
+    order_by_col = np.argsort(vn_inv[cols], kind="stable")
+    pos_in_col = np.empty(nnz, dtype=np.int64)
+    srt_cols = vn_inv[cols][order_by_col]
+    col_starts = np.concatenate([[0], np.cumsum(np.sort(vn_deg))[:-1]])
+    pos_in_col[order_by_col] = np.arange(nnz) - col_starts[srt_cols]
+
+    vn_blocks = []
+    vn_node_base = []
+    base_e = 0
+    base_n = 0
+    vn_slot = np.empty(nnz, dtype=np.int64)
+    for count, degree in sdc.vn_classes:
+        vn_blocks.append((base_e, count, degree))
+        vn_node_base.append(base_n)
+        sel = (vn_inv[cols] >= base_n) & (vn_inv[cols] < base_n + count)
+        i_in_class = vn_inv[cols][sel] - base_n
+        vn_slot[sel] = base_e + pos_in_col[sel] * count + i_in_class
+        base_e += count * degree
+        base_n += count
+
+    # permutation: VN slot s receives the edge at CN slot perm[s]
+    perm_c2v = np.empty(nnz, dtype=np.int64)
+    perm_c2v[vn_slot] = cn_slot
+    net = build_benes(perm_c2v)
+
+    return PallasDeviceCode(
+        sorted_dc=sdc,
+        n_pad=net.n,
+        benes_dists=tuple(int(d) for d in net.dists),
+        benes_active=tuple(bool(net.swap[s].any()) for s in range(len(net.dists))),
+        cn_blocks=tuple(cn_blocks),
+        vn_blocks=tuple(vn_blocks),
+        vn_node_base=tuple(vn_node_base),
+        # int32 planes: sub-word vector compares are rejected by Mosaic on
+        # some TPU targets
+        swap_planes=jnp.asarray(
+            np.ascontiguousarray(net.swap.T.astype(np.int32))
+        ),
+    )

@@ -139,24 +139,25 @@ def to_sorted_device(code: LDPCCode) -> SortedDeviceCode:
     order_v = np.argsort(vn_inv[cols], kind="stable")
     perm_c2v = cn_slot_of_edge[order_v]
 
+    # convert on the host before uploading: device-side dtype conversion
+    # dispatches tiny remote compiles on tunneled backends
+    def dev(x, dtype):
+        return jnp.asarray(np.ascontiguousarray(np.asarray(x, dtype=dtype)))
+
     return SortedDeviceCode(
         nc=nc,
         mc=mc,
         nnz=nnz,
         cn_classes=tuple(cn_classes),
         vn_classes=tuple(vn_classes),
-        col_sorted=jnp.asarray(col_sorted, dtype=jnp.int32),
-        perm_c2v=jnp.asarray(perm_c2v, dtype=jnp.int32),
-        bit_pos=jnp.asarray(vn_inv[code.bit_pos], dtype=jnp.int32),
-        puncture=jnp.asarray(vn_inv[code.puncture], dtype=jnp.int32)
-        if len(code.puncture)
-        else jnp.zeros(0, jnp.int32),
-        shorten=jnp.asarray(vn_inv[code.shorten], dtype=jnp.int32)
-        if len(code.shorten)
-        else jnp.zeros(0, jnp.int32),
-        vn_perm=jnp.asarray(vn_perm, dtype=jnp.int32),
-        vn_inv=jnp.asarray(vn_inv, dtype=jnp.int32),
-        G=None if code.G is None else jnp.asarray(code.G[:, vn_perm], dtype=jnp.float32),
+        col_sorted=dev(col_sorted, np.int32),
+        perm_c2v=dev(perm_c2v, np.int32),
+        bit_pos=dev(vn_inv[code.bit_pos], np.int32),
+        puncture=dev(vn_inv[code.puncture] if len(code.puncture) else [], np.int32),
+        shorten=dev(vn_inv[code.shorten] if len(code.shorten) else [], np.int32),
+        vn_perm=dev(vn_perm, np.int32),
+        vn_inv=dev(vn_inv, np.int32),
+        G=None if code.G is None else dev(code.G[:, vn_perm], np.float32),
     )
 
 

@@ -124,10 +124,15 @@ class Simulator:
         self.sim = simulation_params
         self.mesh = mesh
         self.verbose = verbose
-        # the degree-class-sorted layout is the fast path for BP decoding;
-        # BEC and the layered schedule run over the padded layout
-        if channel_params.type == "BEC" or decoder_params.layered or use_pallas:
+        # the degree-class-sorted layout is the fast path for BP decoding
+        # (fused Pallas kernel over it when use_pallas); BEC and the layered
+        # schedule run over the padded layout
+        if channel_params.type == "BEC" or decoder_params.layered:
             self.dcode = to_device(code, with_layers=decoder_params.layered)
+        elif use_pallas:
+            from ..ops.pallas.layout import to_pallas_device
+
+            self.dcode = to_pallas_device(code)
         else:
             from ..ops.sorted import to_sorted_device
 

@@ -1,0 +1,101 @@
+"""Fused Pallas decoder: interpret-mode equivalence with the sorted decoder,
+and the Beneš permutation network."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from libldpc_tpu.models import make_benchmark_code
+from libldpc_tpu.ops.pallas.benes import apply_benes_numpy, build_benes
+from libldpc_tpu.ops.pallas.decode_fused import bp_decode_pallas
+from libldpc_tpu.ops.pallas.layout import to_pallas_device
+from libldpc_tpu.ops.sorted import bp_decode_sorted
+
+
+class TestBenes:
+    @pytest.mark.parametrize("n", [2, 5, 16, 100, 1024])
+    def test_routes_random_permutations(self, n):
+        rng = np.random.default_rng(n)
+        perm = rng.permutation(n)
+        net = build_benes(perm)
+        x = np.arange(net.n)
+        out = apply_benes_numpy(net, x)
+        assert np.array_equal(out[:n], perm)
+        assert np.array_equal(out[n:], np.arange(n, net.n))
+        back = apply_benes_numpy(net, out, reverse=True)
+        assert np.array_equal(back, x)
+
+    def test_stage_count(self):
+        net = build_benes(np.random.default_rng(0).permutation(256))
+        assert len(net.dists) == 2 * 8 - 1
+        assert net.swap.shape == (15, 256)
+
+
+@pytest.fixture(scope="module")
+def pallas_setup():
+    code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+    pdc = to_pallas_device(code)
+    rng = np.random.default_rng(3)
+    B = 128
+    sigma2 = 10 ** (-1.0 / 10)
+    llr = np.zeros((code.nc, B), dtype=np.float32)
+    y = 1.0 + rng.normal(size=(code.nct, B)) * np.sqrt(sigma2)
+    llr[code.bit_pos] = 2.0 * y / sigma2
+    llr_s = jnp.asarray(llr[np.asarray(pdc.sorted_dc.vn_perm)])
+    return code, pdc, llr_s
+
+
+class TestFusedKernel:
+    @pytest.mark.parametrize("early_term", [True, False])
+    @pytest.mark.parametrize("minsum_mode", [False, True])
+    def test_matches_sorted_decoder(self, pallas_setup, early_term, minsum_mode):
+        code, pdc, llr_s = pallas_setup
+        out_p = bp_decode_pallas(
+            pdc, llr_s, iterations=12, early_term=early_term,
+            minsum_mode=minsum_mode, batch_tile=128, interpret=True,
+        )
+        out_s = jax.jit(
+            lambda l: bp_decode_sorted(
+                pdc.sorted_dc, l, iterations=12, early_term=early_term,
+                minsum_mode=minsum_mode,
+            )
+        )(llr_s)
+        np.testing.assert_array_equal(
+            np.asarray(out_p.hard), np.asarray(out_s.hard)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_p.iterations), np.asarray(out_s.iterations)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_p.is_codeword), np.asarray(out_s.is_codeword)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_p.llr_out),
+            np.asarray(out_s.llr_out),
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+    def test_multiple_tiles(self, pallas_setup):
+        code, pdc, llr_s = pallas_setup
+        llr2 = jnp.concatenate([llr_s, -llr_s], axis=1)  # 2 tiles of 128
+        out = bp_decode_pallas(
+            pdc, llr2, iterations=8, batch_tile=128, interpret=True
+        )
+        out_s = jax.jit(
+            lambda l: bp_decode_sorted(pdc.sorted_dc, l, iterations=8)
+        )(llr2)
+        np.testing.assert_array_equal(
+            np.asarray(out.hard), np.asarray(out_s.hard)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.iterations), np.asarray(out_s.iterations)
+        )
+
+    def test_zero_iterations(self, pallas_setup):
+        code, pdc, llr_s = pallas_setup
+        out = bp_decode_pallas(pdc, llr_s, iterations=0, interpret=True)
+        assert (np.asarray(out.iterations) == 0).all()
+        assert (np.asarray(out.llr_out) == 0).all()
