@@ -51,14 +51,19 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
     batch = int(os.environ.get("BENCH_BATCH", 4096 if on_tpu else 256))
-    use_pallas = os.environ.get("BENCH_PALLAS", "auto")
-    pallas_on = on_tpu if use_pallas == "auto" else use_pallas == "1"
+    # The XLA sorted-layout path is the default benchmark configuration: it
+    # is within ~25% of the fused Pallas kernel on this config and compiles
+    # reliably fast.  Set BENCH_PALLAS=1 to benchmark the Pallas kernel.
+    pallas_on = os.environ.get("BENCH_PALLAS", "0") == "1"
     if pallas_on:
         try:
-            from libldpc_tpu.ops.pallas import decode_fused  # noqa: F401
+            from libldpc_tpu.ops.pallas.layout import to_pallas_device
+
+            dcode = to_pallas_device(code)
         except Exception:
             pallas_on = False
-    dcode = to_device(code) if pallas_on else to_sorted_device(code)
+    if not pallas_on:
+        dcode = to_sorted_device(code)
 
     dec = DecoderParams(early_term=False, iterations=50, type="BP")
     step = make_sim_step(dcode, "AWGN", dec, batch, use_pallas=pallas_on)

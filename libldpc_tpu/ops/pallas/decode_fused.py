@@ -153,7 +153,9 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
                 bits = b if bits is None else bits + b
             odd = jnp.bitwise_and(bits, 1)
             viol = viol + jnp.sum(odd, axis=0, keepdims=True)
-        return viol == 0  # [1, Bt]
+        # 0/1 int32 plane (avoid i1/i8 vectors — Mosaic rejects some of
+        # their conversions)
+        return jnp.where(viol == 0, 1, 0).astype(jnp.int32)  # [1, Bt]
 
     def kernel(swap_ref, llr_ref, out_llr_ref, out_iters_ref, out_iscw_ref,
                lv2c_ref, done_ref, iters_ref, iscw_ref):
@@ -172,29 +174,27 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
                 lv2c_new = benes(swap_ref, lv2c_v, reverse=True)
 
                 if early_term:
+                    # pure int32 0/1 flag arithmetic
                     is_cw = syndrome(lv2c_new + lc2v_c)
-                    done_b = done_ref[0:1, :] > 0
-                    newly = jnp.logical_and(~done_b, is_cw)
-                    iters_ref[0:1, :] = iters_ref[0:1, :] + jnp.logical_and(
-                        ~done_b, ~newly
-                    ).astype(jnp.int32)
-                    done_ref[0:1, :] = jnp.logical_or(done_b, newly).astype(
-                        jnp.int32
+                    done_i = done_ref[0:1, :]
+                    newly = (1 - done_i) * is_cw
+                    iters_ref[0:1, :] = (
+                        iters_ref[0:1, :] + (1 - done_i) * (1 - newly)
                     )
-                    iscw_ref[0:1, :] = jnp.where(
-                        done_b, iscw_ref[0:1, :] > 0, is_cw
-                    ).astype(jnp.int32)
-                    lv2c_ref[:] = jnp.where(done_b, lv2c, lv2c_new)
-                    out_llr_ref[:] = jnp.where(done_b, out_llr_ref[:], llr_out)
+                    done_ref[0:1, :] = done_i + newly
+                    iscw_ref[0:1, :] = (
+                        done_i * iscw_ref[0:1, :] + (1 - done_i) * is_cw
+                    )
+                    keep = done_i > 0
+                    lv2c_ref[:] = jnp.where(keep, lv2c, lv2c_new)
+                    out_llr_ref[:] = jnp.where(keep, out_llr_ref[:], llr_out)
                 else:
                     lv2c_ref[:] = lv2c_new
                     out_llr_ref[:] = llr_out
 
                     @pl.when(it == iterations - 1)
                     def _():
-                        iscw_ref[0:1, :] = syndrome(lv2c_new + lc2v_c).astype(
-                            jnp.int32
-                        )
+                        iscw_ref[0:1, :] = syndrome(lv2c_new + lc2v_c)
 
             if early_term:
                 active = jnp.sum(done_ref[0:1, :]) < bt
