@@ -133,16 +133,54 @@ def bec_channel(
     return ChannelOutput(llr=sym, codeword=c)
 
 
+def modulated_awgn_channel(
+    dcode: DeviceCode,
+    key: jax.Array,
+    batch: int,
+    snr_db: jnp.ndarray,
+    cstl,
+    bit_mapper: jnp.ndarray,  # int32 [bits, n_sym] codeword-bit positions
+) -> ChannelOutput:
+    """AWGN with a higher-order M-ASK constellation — the GPU stack's frame
+    pipeline (encode → ``map_c_to_x`` → ``awgn`` → ``calc_llrs``,
+    ``gpu/device/kernel.cpp:26-79``) done directly on the true codeword
+    instead of the all-zero + sign-flip trick.
+    """
+    from . import modulation as mod
+
+    kenc, knoise = jax.random.split(key)
+    c = encode_batch(dcode, kenc, batch)
+    sym_idx = mod.map_bits_to_symbols(cstl, bit_mapper, c)  # [n_sym, B]
+    x = mod.modulate(cstl, sym_idx)
+    sigma2 = (10.0 ** (-snr_db / 10.0)).astype(jnp.float32)
+    y = x + jax.random.normal(knoise, x.shape, dtype=jnp.float32) * jnp.sqrt(
+        sigma2
+    )
+    llr_bits = mod.bitwise_llrs(cstl, y, sigma2)
+    llr = mod.demap_llrs_to_codeword(llr_bits, bit_mapper, dcode.nc)
+    if dcode.shorten.shape[0]:
+        llr = llr.at[dcode.shorten].set(SHORTEN_LLR)
+    return ChannelOutput(llr=llr, codeword=c)
+
+
 def simulate_channel(
     dcode: DeviceCode,
     channel_type: str,
     key: jax.Array,
     batch: int,
     x_value: jnp.ndarray,
+    modulation=None,
 ) -> ChannelOutput:
     """Dispatch on the reference's channel-type strings
-    (``src/sim/ldpcsim.cpp:32-74``)."""
+    (``src/sim/ldpcsim.cpp:32-74``).  ``modulation``, when given as
+    ``(Constellation, bit_mapper)``, upgrades AWGN to the modulated pipeline.
+    """
     if channel_type == "AWGN":
+        if modulation is not None:
+            cstl, bit_mapper = modulation
+            return modulated_awgn_channel(
+                dcode, key, batch, x_value, cstl, bit_mapper
+            )
         return awgn_channel(dcode, key, batch, x_value)
     if channel_type == "BSC":
         return bsc_channel(dcode, key, batch, x_value)

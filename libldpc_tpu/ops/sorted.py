@@ -112,6 +112,16 @@ class SortedDeviceCode:
         return self.G.shape[0]
 
 
+def sorted_vn_inv(code: LDPCCode) -> np.ndarray:
+    """The sorted-layout VN relabelling (original label -> sorted label) as a
+    host array — for relabelling host-side per-bit tables (e.g. modulation
+    bit mappers) without pulling device arrays back."""
+    vn_deg = np.bincount(code.cols.astype(np.int64), minlength=code.nc)
+    vn_inv = np.empty(code.nc, dtype=np.int64)
+    vn_inv[np.argsort(vn_deg, kind="stable")] = np.arange(code.nc)
+    return vn_inv
+
+
 def to_sorted_device(code: LDPCCode) -> SortedDeviceCode:
     """Build the sorted-layout device tables from a host code."""
     rows = code.rows.astype(np.int64)

@@ -62,13 +62,15 @@ def _sim_and_count(
     dec: DecoderParams,
     batch: int,
     use_pallas: bool = False,
+    modulation=None,
 ) -> StepCounters:
     """One device-local batch: simulate channel, decode, count errors.
 
     Bit errors are counted over transmitted bits only (``bit_pos``), as in
     ``src/sim/ldpcsim.cpp:184-188``.
     """
-    ch = simulate_channel(dcode, channel_type, key, batch, x_value)
+    ch = simulate_channel(dcode, channel_type, key, batch, x_value,
+                          modulation=modulation)
     if channel_type == "BEC":
         out = bec_decode(
             dcode,
@@ -130,6 +132,7 @@ def make_sim_step(
     batch_per_device: int,
     mesh: Optional[Mesh] = None,
     use_pallas: bool = False,
+    modulation=None,
 ) -> Callable[[jax.Array, jnp.ndarray], StepCounters]:
     """Build the jitted per-batch simulation step.
 
@@ -148,7 +151,7 @@ def make_sim_step(
         def step(key: jax.Array, x_value: jnp.ndarray) -> StepCounters:
             return _sim_and_count(
                 dcode, key, x_value, channel_type, dec, batch_per_device,
-                use_pallas,
+                use_pallas, modulation,
             )
 
         return step
@@ -165,6 +168,7 @@ def make_sim_step(
             dec,
             batch_per_device,
             use_pallas,
+            modulation,
         )
         return (
             jax.lax.psum(local.bit_errors, FRAME_AXIS),

@@ -116,6 +116,7 @@ class Simulator:
         simulation_params: SimulationParams = SimulationParams(),
         mesh=None,
         use_pallas: bool = False,
+        modulation=None,
         verbose: bool = True,
     ):
         self.code = code
@@ -143,6 +144,28 @@ class Simulator:
                 f"batch_size {simulation_params.batch_size} not divisible by "
                 f"{n_dev} mesh devices"
             )
+        # modulation: (Constellation, bit_mapper) with the mapper in the
+        # code's original bit labelling; relabelled here for sorted layouts
+        # (GPU stack analogue: simfile/mapfile, gpu/sim/ldpcsim.cpp:48-138)
+        mod_for_step = None
+        if modulation is not None:
+            if channel_params.type != "AWGN":
+                raise ValueError("modulation requires the AWGN channel")
+            cstl, mapper = modulation
+            mapper = np.asarray(mapper, dtype=np.int64)
+            if mapper.size != code.nct:
+                raise ValueError(
+                    f"bit mapper covers {mapper.size} bits, expected "
+                    f"nct={code.nct} (reference check: gpu/sim/ldpcsim.cpp:117-122)"
+                )
+            if not (channel_params.type == "BEC" or decoder_params.layered):
+                from ..ops.sorted import sorted_vn_inv
+
+                mapper = sorted_vn_inv(code)[mapper]
+            import jax.numpy as jnp
+
+            mod_for_step = (cstl, jnp.asarray(mapper.astype(np.int32)))
+
         self._step = make_sim_step(
             self.dcode,
             channel_params.type,
@@ -150,6 +173,7 @@ class Simulator:
             simulation_params.batch_size // n_dev,
             mesh=mesh,
             use_pallas=use_pallas,
+            modulation=mod_for_step,
         )
         self.results: Optional[SimResults] = None
 

@@ -75,8 +75,14 @@ class ChannelParams:
     seed: int = 0
     x_range: Sequence[float] = (0.0, 2.0, 1.0)
     type: str = "AWGN"
+    #: Explicit sweep-point list (used as-is, no reversal) — the GPU stack's
+    #: simfile provides SNRs as a list (``gpu/sim/ldpcsim.cpp:87-98``).
+    #: Overrides ``x_range`` when set.
+    x_values: Optional[Sequence[float]] = None
 
     def sweep_values(self) -> list[float]:
+        if self.x_values is not None:
+            return [float(v) for v in self.x_values]
         lo, hi, step = self.x_range
         vals = []
         val = float(lo)
