@@ -53,7 +53,38 @@ def minsum(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return _sign(x) * _sign(y) * jnp.minimum(jnp.abs(x), jnp.abs(y))
 
 
-def get_op(minsum_mode: bool) -> PairwiseOp:
+def _lin_approx(L: jnp.ndarray) -> jnp.ndarray:
+    """Piecewise-linear approximation of ``log(1 + e^{-|L|})``
+    (``jacobian_lin_approx``, ``gpu/ldpc/ldpc.cpp:243-259``)."""
+    a = jnp.abs(L)
+    return jnp.where(
+        a < 1.0,
+        -0.375 * a + 0.6825,
+        jnp.where(a < 2.625, -0.1875 * a + 0.5, 0.0),
+    )
+
+
+def boxplus_linear(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Box-plus with the GPU stack's piecewise-linear correction
+    (``CN_APPROX_LIN``, ``gpu/ldpc/ldpc.cpp:232-236``) — transcendental-free,
+    which matters on the VPU."""
+    m = jnp.minimum(jnp.abs(x), jnp.abs(y))
+    return _sign(x) * _sign(y) * m + _lin_approx(x + y) - _lin_approx(x - y)
+
+
+#: Decoder-type string -> pairwise CN operator.  ``BP`` is the exact
+#: sum-product (any unknown string also maps to it, matching
+#: ``set_param``, ``src/decoding/decoder.h:73-80``); ``BP_MS`` is min-sum;
+#: ``BP_LIN`` is the piecewise-linear approximation (the GPU stack's
+#: compile-time ``CN_APPROX_LIN``, exposed here as a runtime type).
+OPS = {"BP": boxplus, "BP_MS": minsum, "BP_LIN": boxplus_linear}
+
+
+def get_op(minsum_mode) -> PairwiseOp:
+    """Operator lookup: accepts the legacy bool (min-sum toggle) or a
+    decoder-type string."""
+    if isinstance(minsum_mode, str):
+        return OPS.get(minsum_mode, boxplus)
     return minsum if minsum_mode else boxplus
 
 

@@ -34,22 +34,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import cn_ops
 from ..sorted import SortedDecodeOutput
 from .layout import PallasDeviceCode
-
-
-def _boxplus(x, y):
-    sx = 1.0 - 2.0 * jnp.signbit(x).astype(x.dtype)
-    sy = 1.0 - 2.0 * jnp.signbit(y).astype(y.dtype)
-    m = jnp.minimum(jnp.abs(x), jnp.abs(y))
-    corr = jax.nn.softplus(-jnp.abs(x + y)) - jax.nn.softplus(-jnp.abs(x - y))
-    return sx * sy * m + corr
-
-
-def _minsum(x, y):
-    sx = 1.0 - 2.0 * jnp.signbit(x).astype(x.dtype)
-    sy = 1.0 - 2.0 * jnp.signbit(y).astype(y.dtype)
-    return sx * sy * jnp.minimum(jnp.abs(x), jnp.abs(y))
 
 
 def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
@@ -61,7 +48,7 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
     vn_blocks = pdc.vn_blocks
     vn_node_base = pdc.vn_node_base
     nnz = pdc.nnz
-    op = _minsum if minsum_mode else _boxplus
+    op = cn_ops.get_op(minsum_mode)
 
     active = pdc.benes_active
 

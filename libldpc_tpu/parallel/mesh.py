@@ -91,7 +91,7 @@ def _sim_and_count(
                 ch.llr,
                 iterations=dec.iterations,
                 early_term=dec.early_term,
-                minsum_mode=dec.use_minsum,
+                minsum_mode=dec.type,
             )
         elif isinstance(dcode, SortedDeviceCode):
             out = bp_decode_sorted(
@@ -99,7 +99,7 @@ def _sim_and_count(
                 ch.llr,
                 iterations=dec.iterations,
                 early_term=dec.early_term,
-                minsum_mode=dec.use_minsum,
+                minsum_mode=dec.type,
             )
         else:
             out = bp_decode(
@@ -107,7 +107,7 @@ def _sim_and_count(
                 ch.llr,
                 iterations=dec.iterations,
                 early_term=dec.early_term,
-                minsum_mode=dec.use_minsum,
+                minsum_mode=dec.type,
                 layered=dec.layered,
             )
         hard = out.hard.astype(jnp.uint8)

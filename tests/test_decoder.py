@@ -134,6 +134,48 @@ class TestFloodingDecoder:
             assert int(out.iterations[b]) == g_iters
 
 
+class TestLinearApprox:
+    """BP_LIN: the GPU stack's piecewise-linear CN correction
+    (``CN_APPROX_LIN``, ``gpu/ldpc/ldpc.cpp:232-259``) as a runtime type."""
+
+    def test_lin_approx_matches_reference_pieces(self):
+        from libldpc_tpu.ops.cn_ops import _lin_approx
+
+        pts = np.array([0.0, 0.5, 1.0, 2.0, 2.625, 5.0])
+        got = np.asarray(_lin_approx(jnp.asarray(pts)))
+        want = []
+        for L in pts:
+            a = abs(L)
+            if a < 1.0:
+                want.append(-0.375 * a + 0.6825)
+            elif a < 2.625:
+                want.append(-0.1875 * a + 0.5)
+            else:
+                want.append(0.0)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_bp_lin_close_to_bp(self):
+        from libldpc_tpu.ops.cn_ops import boxplus, boxplus_linear
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=512) * 4)
+        y = jnp.asarray(rng.normal(size=512) * 4)
+        exact = np.asarray(boxplus(x, y))
+        lin = np.asarray(boxplus_linear(x, y))
+        assert np.abs(exact - lin).max() < 0.1
+
+    def test_bp_lin_decodes(self, small_code):
+        code = small_code
+        dcode = to_device(code)
+        rng = np.random.default_rng(4)
+        sigma2 = 10 ** (-4.0 / 10)
+        y = 1.0 + rng.normal(size=(code.nc, 8)) * np.sqrt(sigma2)
+        llr = jnp.asarray((2 * y / sigma2).astype(np.float32))
+        out = bp_decode_jit(dcode, llr, iterations=30, minsum_mode="BP_LIN")
+        assert np.asarray(out.is_codeword).all()
+        assert (~np.asarray(out.hard)).all()  # all-zero codeword recovered
+
+
 class TestSyndrome:
     def test_syndrome_ok(self, small_code):
         code = small_code
