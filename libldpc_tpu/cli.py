@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Disable early termination for decoding.")
     p.add_argument("--devices", type=int, default=0,
                    help="Shard frames over this many devices (0 = all).")
+    p.add_argument("--multihost", action="store_true",
+                   help="Initialize jax.distributed and shard over every "
+                        "device of the job (run one process per host).")
     p.add_argument("--pallas", action="store_true",
                    help="Use the fused Pallas decode kernel.")
     p.add_argument("--layer-file", default="", help="Decoding-layer file for the layered schedule.")
@@ -74,17 +77,26 @@ def main(argv=None) -> int:
     from .sim.driver import Simulator
     from .utils.params import ChannelParams, DecoderParams, SimulationParams
 
-    code = LDPCCode.from_files(args.codefile, args.gen_matrix, args.layer_file)
-    bar = "=" * 88
-    print(bar)
-    print(f"Parity-Check Matrix: {args.codefile}")
-    print(f"Generator Matrix: {args.gen_matrix}")
-    print(code.summary())
-    print(bar)
-
+    primary = True
     mesh = None
+    if args.multihost:
+        from .parallel import distributed
+
+        distributed.initialize()
+        primary = distributed.is_primary()
+        mesh = distributed.global_mesh()
+
+    code = LDPCCode.from_files(args.codefile, args.gen_matrix, args.layer_file)
+    if primary:
+        bar = "=" * 88
+        print(bar)
+        print(f"Parity-Check Matrix: {args.codefile}")
+        print(f"Generator Matrix: {args.gen_matrix}")
+        print(code.summary())
+        print(bar)
+
     n_dev = len(jax.devices())
-    if args.devices != 1 and n_dev > 1:
+    if mesh is None and args.devices != 1 and n_dev > 1:
         mesh = default_mesh(args.devices or None)
 
     batch = args.num_threads if args.num_threads > 0 else args.batch_size
@@ -100,12 +112,13 @@ def main(argv=None) -> int:
             batch_size=batch,
             max_frames=int(args.max_frames),
             fec=args.frame_error_count,
-            result_file=args.output_file,
-            checkpoint_file=args.checkpoint or None,
-            error_log_file=args.error_log or None,
+            result_file=args.output_file if primary else None,
+            checkpoint_file=(args.checkpoint or None) if primary else None,
+            error_log_file=(args.error_log or None) if primary else None,
         ),
         mesh=mesh,
         use_pallas=args.pallas,
+        verbose=primary,
     )
 
     stop = threading.Event()
