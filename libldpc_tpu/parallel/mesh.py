@@ -32,6 +32,7 @@ from ..ops.sorted import SortedDeviceCode, bp_decode_sorted
 from ..utils.params import DecoderParams
 
 FRAME_AXIS = "frames"
+POINT_AXIS = "points"
 
 
 class StepCounters(NamedTuple):
@@ -192,5 +193,76 @@ def make_sim_step(
     def step(key: jax.Array, x_value: jnp.ndarray) -> StepCounters:
         out = sharded(key, x_value)
         return StepCounters(*out)
+
+    return step
+
+
+def make_multipoint_sim_step(
+    dcode,
+    channel_type: str,
+    dec: DecoderParams,
+    batch_per_device: int,
+    mesh: Mesh,
+    use_pallas: bool = False,
+    modulation=None,
+):
+    """Sweep-point × frame parallelism over a 2-D mesh.
+
+    The reference processes sweep points strictly sequentially
+    (``src/sim/ldpcsim.cpp:141``).  On a pod slice with devices to spare, a
+    2-D mesh ``(points, frames)`` simulates several sweep points
+    concurrently: the x-value vector is sharded over the ``points`` axis,
+    frames shard over the ``frames`` axis within each point group, and the
+    counters come back per-point (``psum`` over frames only).
+
+    Returns ``step(key, x_values[n_points]) -> counters with leading
+    n_points axis`` where ``n_points = mesh.shape[POINT_AXIS]``.
+    """
+    n_points = mesh.shape[POINT_AXIS]
+
+    def shard_body(key, x_values):
+        p_idx = jax.lax.axis_index(POINT_AXIS)
+        f_idx = jax.lax.axis_index(FRAME_AXIS)
+        local = _sim_and_count(
+            dcode,
+            jax.random.fold_in(jax.random.fold_in(key, p_idx), f_idx),
+            x_values[0],  # this point group's shard
+            channel_type,
+            dec,
+            batch_per_device,
+            use_pallas,
+            modulation,
+        )
+        return (
+            jax.lax.psum(local.bit_errors[None], FRAME_AXIS),
+            jax.lax.psum(local.frame_errors[None], FRAME_AXIS),
+            jax.lax.psum(local.frames[None], FRAME_AXIS),
+            jax.lax.psum(local.iter_sum[None], FRAME_AXIS),
+            jax.lax.all_gather(
+                local.frame_bit_errors, FRAME_AXIS, tiled=True
+            )[None],
+        )
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(POINT_AXIS)),
+        out_specs=(
+            P(POINT_AXIS),
+            P(POINT_AXIS),
+            P(POINT_AXIS),
+            P(POINT_AXIS),
+            P(POINT_AXIS, None),
+        ),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(key: jax.Array, x_values: jnp.ndarray) -> StepCounters:
+        if x_values.shape[0] != n_points:
+            raise ValueError(
+                f"x_values has {x_values.shape[0]} points, mesh expects {n_points}"
+            )
+        return StepCounters(*sharded(key, x_values))
 
     return step

@@ -305,6 +305,101 @@ class Simulator:
                     f"bit_errors={int(errs[b])}\n"
                 )
 
+    # ------------------------------------------------------------ wide sweep
+
+    def start_wide(
+        self,
+        mesh,
+        stop_flag: Optional[Callable[[], bool]] = None,
+    ) -> SimResults:
+        """Point-parallel sweep over a 2-D ``(points, frames)`` mesh.
+
+        The reference runs sweep points strictly sequentially
+        (``src/sim/ldpcsim.cpp:141``); with devices to spare, groups of
+        ``mesh.shape['points']`` points run concurrently, frames sharded
+        within each group.  Each group runs until *every* point in it meets
+        the stopping rule (finished points keep accumulating — harmless and
+        unbiased).  Output totals match :meth:`start` semantics.
+        """
+        from ..parallel.mesh import POINT_AXIS, make_multipoint_sim_step
+
+        n_pts_parallel = mesh.shape[POINT_AXIS]
+        n_frame_dev = mesh.shape["frames"]
+        if self.sim.batch_size % n_frame_dev:
+            raise ValueError(
+                f"batch_size {self.sim.batch_size} not divisible by "
+                f"{n_frame_dev} frame-axis devices"
+            )
+        step = make_multipoint_sim_step(
+            self.dcode,
+            self.ch.type,
+            self.dec,
+            self.sim.batch_size // n_frame_dev,
+            mesh,
+        )
+        x_vals = self.ch.sweep_values()
+        results = SimResults.empty(len(x_vals), x_vals)
+        self.results = results
+        key = jax.random.PRNGKey(self.ch.seed)
+
+        for g0 in range(0, len(x_vals), n_pts_parallel):
+            group = list(range(g0, min(g0 + n_pts_parallel, len(x_vals))))
+            # pad the group to the mesh width by repeating the last point
+            # (its duplicate stats are discarded)
+            padded = group + [group[-1]] * (n_pts_parallel - len(group))
+            xg = np.asarray([x_vals[i] for i in padded], dtype=np.float32)
+            c = {i: _PointCounters() for i in group}
+            batch_idx = 0
+            t_start = time.perf_counter()
+            while True:
+                if stop_flag is not None and stop_flag():
+                    return results
+                unfinished = [
+                    i
+                    for i in group
+                    if c[i].frame_errors < self.sim.fec
+                    and c[i].frames < self.sim.max_frames
+                ]
+                if not unfinished:
+                    break
+                out = step(
+                    jax.random.fold_in(jax.random.fold_in(key, g0), batch_idx),
+                    xg,
+                )
+                bec = np.asarray(out.bit_errors)
+                fec = np.asarray(out.frame_errors)
+                frames = np.asarray(out.frames)
+                iters = np.asarray(out.iter_sum)
+                batch_idx += 1
+                elapsed = time.perf_counter() - t_start
+                for slot, i in enumerate(padded[: len(group)]):
+                    cc = c[i]
+                    if (
+                        cc.frame_errors >= self.sim.fec
+                        or cc.frames >= self.sim.max_frames
+                    ):
+                        continue
+                    cc.bit_errors += int(bec[slot])
+                    cc.frame_errors += int(fec[slot])
+                    cc.frames += int(frames[slot])
+                    cc.iter_sum += int(iters[slot])
+                    results.update_point(
+                        i,
+                        bit_errors=cc.bit_errors,
+                        frame_errors=cc.frame_errors,
+                        frames=cc.frames,
+                        iter_sum=cc.iter_sum,
+                        elapsed_s=elapsed / len(group),
+                        nc=self.code.nc,
+                    )
+            if self.sim.result_file:
+                rows = [
+                    self._row(results, i) if results.frames[i] else ""
+                    for i in range(len(x_vals))
+                ]
+                write_results_file(self.sim.result_file, rows)
+        return results
+
     # --------------------------------------------------------- checkpointing
 
     def _save_checkpoint(

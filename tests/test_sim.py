@@ -144,6 +144,26 @@ class TestMesh:
         np.testing.assert_array_equal(r1.fec, r2.fec)
         np.testing.assert_allclose(r1.ber, r2.ber)
 
+    def test_wide_sweep_2d_mesh(self, code):
+        import jax
+
+        from libldpc_tpu.parallel.mesh import FRAME_AXIS, POINT_AXIS
+
+        mesh = jax.make_mesh((2, 4), (POINT_AXIS, FRAME_AXIS))
+        sim = Simulator(
+            code,
+            DecoderParams(iterations=10),
+            ChannelParams(seed=1, x_range=(-2.0, 1.1, 1.0)),  # 4 points
+            SimulationParams(batch_size=32, fec=5, max_frames=512),
+            verbose=False,
+        )
+        res = sim.start_wide(mesh)
+        assert (res.frames > 0).all()
+        # noisier points see more errors
+        assert res.fer[0] >= res.fer[-1]
+        # frame counts are multiples of the global batch
+        assert (res.frames % 32 == 0).all()
+
     def test_single_vs_multi_device_statistics(self, code):
         # different RNG folding => not identical, but FER within MC noise
         _, r1 = _run(code, None, mesh=None, x_range=(-1.0, 0.0, 1.0),
