@@ -47,6 +47,21 @@ class StepCounters(NamedTuple):
     frame_bit_errors: jnp.ndarray  # int32 [B]: per-frame error counts
 
 
+class ForensicStepCounters(NamedTuple):
+    """:class:`StepCounters` plus the per-frame decisions and truth, for
+    per-error-frame forensic logging (GPU stack's ``log_error``,
+    ``gpu/sim/ldpcsim.cpp:351-464``).  Only materialised when requested —
+    the extra fields cost a [nc, B] device→host transfer per batch."""
+
+    bit_errors: jnp.ndarray
+    frame_errors: jnp.ndarray
+    frames: jnp.ndarray
+    iter_sum: jnp.ndarray
+    frame_bit_errors: jnp.ndarray
+    hard: jnp.ndarray  # uint8 [nc, B] decoded bits
+    codeword: jnp.ndarray  # uint8 [nc, B] true codeword
+
+
 def default_mesh(max_devices: Optional[int] = None) -> Mesh:
     """A 1-D mesh over all (or the first ``max_devices``) local devices."""
     devs = jax.devices()
@@ -64,6 +79,7 @@ def _sim_and_count(
     batch: int,
     use_pallas: bool = False,
     modulation=None,
+    forensics: bool = False,
 ) -> StepCounters:
     """One device-local batch: simulate channel, decode, count errors.
 
@@ -117,13 +133,18 @@ def _sim_and_count(
     tx_hard = hard[dcode.bit_pos]
     tx_true = ch.codeword[dcode.bit_pos]
     frame_errs = (tx_hard != tx_true).astype(jnp.int32).sum(axis=0)  # [B]
-    return StepCounters(
+    base = StepCounters(
         bit_errors=frame_errs.sum(),
         frame_errors=(frame_errs > 0).astype(jnp.int32).sum(),
         frames=jnp.int32(batch),
         iter_sum=iters.astype(jnp.int32).sum(),
         frame_bit_errors=frame_errs,
     )
+    if forensics:
+        return ForensicStepCounters(
+            *base, hard=hard.astype(jnp.uint8), codeword=ch.codeword
+        )
+    return base
 
 
 def make_sim_step(
@@ -134,6 +155,7 @@ def make_sim_step(
     mesh: Optional[Mesh] = None,
     use_pallas: bool = False,
     modulation=None,
+    forensics: bool = False,
 ) -> Callable[[jax.Array, jnp.ndarray], StepCounters]:
     """Build the jitted per-batch simulation step.
 
@@ -152,7 +174,7 @@ def make_sim_step(
         def step(key: jax.Array, x_value: jnp.ndarray) -> StepCounters:
             return _sim_and_count(
                 dcode, key, x_value, channel_type, dec, batch_per_device,
-                use_pallas, modulation,
+                use_pallas, modulation, forensics,
             )
 
         return step
@@ -170,8 +192,9 @@ def make_sim_step(
             batch_per_device,
             use_pallas,
             modulation,
+            forensics,
         )
-        return (
+        out = [
             jax.lax.psum(local.bit_errors, FRAME_AXIS),
             jax.lax.psum(local.frame_errors, FRAME_AXIS),
             jax.lax.psum(local.frames, FRAME_AXIS),
@@ -179,20 +202,35 @@ def make_sim_step(
             jax.lax.all_gather(
                 local.frame_bit_errors, FRAME_AXIS, tiled=True
             ),
-        )
+        ]
+        if forensics:
+            out.append(
+                jax.lax.all_gather(local.hard, FRAME_AXIS, tiled=True, axis=1)
+            )
+            out.append(
+                jax.lax.all_gather(
+                    local.codeword, FRAME_AXIS, tiled=True, axis=1
+                )
+            )
+        return tuple(out)
 
+    out_specs = [P(), P(), P(), P(), P(FRAME_AXIS)]
+    if forensics:
+        out_specs += [P(None, FRAME_AXIS), P(None, FRAME_AXIS)]
     sharded = jax.shard_map(
         shard_body,
         mesh=mesh,
         in_specs=(P(), P()),
-        out_specs=(P(), P(), P(), P(), P(FRAME_AXIS)),
+        out_specs=tuple(out_specs),
         check_vma=False,
     )
+
+    cls = ForensicStepCounters if forensics else StepCounters
 
     @jax.jit
     def step(key: jax.Array, x_value: jnp.ndarray) -> StepCounters:
         out = sharded(key, x_value)
-        return StepCounters(*out)
+        return cls(*out)
 
     return step
 

@@ -166,6 +166,18 @@ class Simulator:
 
             mod_for_step = (cstl, jnp.asarray(mapper.astype(np.int32)))
 
+        # sorted/pallas layouts relabel VNs; keep both maps for reporting
+        # forensic bit indices in the code's original labelling
+        self._vn_inv = None  # original label -> sorted label
+        self._vn_unsort = None  # sorted label -> original label
+        if not (channel_params.type == "BEC" or decoder_params.layered):
+            from ..ops.sorted import sorted_vn_inv
+
+            self._vn_inv = sorted_vn_inv(code)
+            unsort = np.empty_like(self._vn_inv)
+            unsort[self._vn_inv] = np.arange(code.nc)
+            self._vn_unsort = unsort
+
         self._step = make_sim_step(
             self.dcode,
             channel_params.type,
@@ -174,6 +186,7 @@ class Simulator:
             mesh=mesh,
             use_pallas=use_pallas,
             modulation=mod_for_step,
+            forensics=simulation_params.error_log_file is not None,
         )
         self.results: Optional[SimResults] = None
 
@@ -294,16 +307,37 @@ class Simulator:
 
     def _log_error_frames(self, out, x: float, frames: int) -> None:
         """Forensic per-error-frame log — the capability of the GPU stack's
-        ``log_error`` (``gpu/sim/ldpcsim.cpp:351-464``): which frames failed
-        and with how many wrong bits."""
+        ``log_error`` (``gpu/sim/ldpcsim.cpp:351-464``): per errored frame,
+        the failed (transmitted-)bit indices, their count, and the syndrome
+        weight of the decision."""
         errs = np.asarray(out.frame_bit_errors)
         bad = np.nonzero(errs > 0)[0]
+        if bad.size == 0:
+            return
+        hard = np.asarray(out.hard) if hasattr(out, "hard") else None
+        cw = np.asarray(out.codeword) if hasattr(out, "codeword") else None
         with open(self.sim.error_log_file, "a") as f:
             for b in bad:
-                f.write(
+                line = (
                     f"x={x:g} frame={frames - len(errs) + int(b)} "
-                    f"bit_errors={int(errs[b])}\n"
+                    f"bit_errors={int(errs[b])}"
                 )
+                if hard is not None:
+                    wrong = np.nonzero(hard[:, b] != cw[:, b])[0]
+                    if self._vn_unsort is not None:
+                        wrong = np.sort(self._vn_unsort[wrong])
+                    synd_w = int(self.code.syndrome(
+                        hard[self._vn_inv, b]
+                        if self._vn_inv is not None
+                        else hard[:, b]
+                    ).sum())
+                    line += (
+                        f" syndrome_weight={synd_w}"
+                        f" failed_bits={','.join(map(str, wrong[:64]))}"
+                    )
+                    if wrong.size > 64:
+                        line += f",...({wrong.size} total)"
+                f.write(line + "\n")
 
     # ------------------------------------------------------------ wide sweep
 

@@ -107,6 +107,38 @@ class TestCancellation:
         assert (res.frames == 0).sum() >= 8
 
 
+class TestForensicLog:
+    def test_error_log_details(self, code, tmp_path):
+        log = tmp_path / "errors.txt"
+        sim = Simulator(
+            code,
+            DecoderParams(iterations=8),
+            ChannelParams(seed=1, x_range=(-3.0, -2.0, 1.0)),
+            SimulationParams(
+                batch_size=32, fec=3, max_frames=256,
+                error_log_file=str(log),
+            ),
+            verbose=False,
+        )
+        res = sim.start()
+        assert res.fec[0] >= 3
+        lines = log.read_text().strip().splitlines()
+        assert len(lines) >= 3
+        # each entry carries failed-bit indices and syndrome weight
+        assert "failed_bits=" in lines[0]
+        assert "syndrome_weight=" in lines[0]
+        # failed bits are valid original-label indices
+        import re
+
+        m = re.search(r"failed_bits=([\d,]+)", lines[0])
+        idx = [int(v) for v in m.group(1).split(",") if v]
+        assert all(0 <= i < code.nc for i in idx)
+        # a frame decoding to a non-codeword has nonzero syndrome weight or
+        # decodes to a wrong codeword (weight 0) — both are legal; check the
+        # parse only
+        assert re.search(r"syndrome_weight=\d+", lines[0])
+
+
 class TestCheckpointResume:
     def test_resume_continues(self, code, tmp_path):
         ckpt = tmp_path / "ckpt.json"
