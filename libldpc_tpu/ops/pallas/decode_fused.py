@@ -40,7 +40,7 @@ from .layout import PallasDeviceCode
 
 
 def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
-                 minsum_mode, bt):
+                 minsum_mode, bt, dtype=jnp.float32):
     N = pdc.n_pad
     dists = pdc.benes_dists
     S = len(dists)
@@ -92,7 +92,7 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         llr_parts = []
         lv2c_parts = []
         for (base_e, count, d), nb in zip(vn_blocks, vn_node_base):
-            lin = llr_ref[nb : nb + count, :]
+            lin = llr_ref[nb : nb + count, :].astype(dtype)
             if d == 0:
                 llr_parts.append(lin)
                 continue
@@ -121,11 +121,11 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         for (base_e, count, d), nb in zip(vn_blocks, vn_node_base):
             if d == 0:
                 continue
-            lin = llr_ref[nb : nb + count, :]
+            lin = llr_ref[nb : nb + count, :].astype(dtype)
             for _ in range(d):
                 parts.append(lin)
         if N > nnz:
-            parts.append(jnp.zeros((N - nnz, bt), jnp.float32))
+            parts.append(jnp.zeros((N - nnz, bt), dtype))
         return benes(swap_ref, jnp.concatenate(parts, axis=0), reverse=True)
 
     def syndrome(llr_edge):
@@ -150,7 +150,7 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         done_ref[:] = jnp.zeros((8, bt), jnp.int32)
         iters_ref[:] = jnp.zeros((8, bt), jnp.int32)
         iscw_ref[:] = jnp.zeros((8, bt), jnp.int32)
-        out_llr_ref[:] = jnp.zeros((nc, bt), jnp.float32)
+        out_llr_ref[:] = jnp.zeros((nc, bt), dtype)
 
         def body(it, carry):
             def iteration():
@@ -206,7 +206,7 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "early_term", "minsum_mode", "batch_tile",
-                     "interpret"),
+                     "interpret", "message_dtype"),
 )
 def bp_decode_pallas(
     pdc: PallasDeviceCode,
@@ -216,7 +216,16 @@ def bp_decode_pallas(
     minsum_mode: bool = False,
     batch_tile: int = 256,
     interpret: bool = False,
+    message_dtype: str = "float32",
 ) -> SortedDecodeOutput:
+    """See module docstring.
+
+    ``message_dtype="bfloat16"`` stores and transports all messages in bf16
+    — halving VMEM residency and the Beneš (dominant) pass cost at ~0.4%
+    relative message quantisation.  BER impact must be validated
+    statistically (see ``tests``/``benchmarks/parity.py``); the default is
+    exact float32.
+    """
     nc, B = llr_in.shape
     bt = min(batch_tile, B)
     if B % bt:
@@ -232,8 +241,11 @@ def bp_decode_pallas(
 
     S = len(pdc.benes_dists)
     swap = pdc.swap_planes  # int32 [N, S]
+    dtype = jnp.dtype(message_dtype)
 
-    kernel = _make_kernel(pdc, nc, iterations, early_term, minsum_mode, bt)
+    kernel = _make_kernel(
+        pdc, nc, iterations, early_term, minsum_mode, bt, dtype=dtype
+    )
     llr_out, iters8, iscw8 = pl.pallas_call(
         kernel,
         grid=(B // bt,),
@@ -248,12 +260,12 @@ def bp_decode_pallas(
             pl.BlockSpec((8, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((nc, B), jnp.float32),
+            jax.ShapeDtypeStruct((nc, B), dtype),
             jax.ShapeDtypeStruct((8, B), jnp.int32),
             jax.ShapeDtypeStruct((8, B), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((pdc.n_pad, bt), jnp.float32),
+            pltpu.VMEM((pdc.n_pad, bt), dtype),
             pltpu.VMEM((8, bt), jnp.int32),
             pltpu.VMEM((8, bt), jnp.int32),
             pltpu.VMEM((8, bt), jnp.int32),
@@ -264,6 +276,7 @@ def bp_decode_pallas(
         interpret=interpret,
     )(swap, llr_in)
 
+    llr_out = llr_out.astype(jnp.float32)
     return SortedDecodeOutput(
         llr_out=llr_out,
         hard=llr_out <= 0,
