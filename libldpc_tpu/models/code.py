@@ -159,6 +159,25 @@ class LDPCCode:
         )
 
     @classmethod
+    def from_alist(cls, path: str) -> "LDPCCode":
+        """Load from MacKay alist format (see
+        :func:`libldpc_tpu.models.io.parse_alist`)."""
+        parsed = io.parse_alist(path)
+        return cls(
+            rows=parsed.rows, cols=parsed.cols, nc=parsed.nc, mc=parsed.mc
+        )
+
+    def save(self, path: str, headered: bool = True) -> None:
+        """Write the parity-check matrix in the reference codefile format."""
+        io.write_codefile(
+            path, self.rows, self.cols, self.nc, self.mc,
+            puncture=self.puncture, shorten=self.shorten, headered=headered,
+        )
+
+    def save_alist(self, path: str) -> None:
+        io.write_alist(path, self.rows, self.cols, self.nc, self.mc)
+
+    @classmethod
     def from_dense(cls, H: np.ndarray, **kwargs) -> "LDPCCode":
         H = np.asarray(H, dtype=np.uint8) & 1
         r, c = np.nonzero(H)

@@ -226,6 +226,102 @@ def parse_mapfile(path: str, bits: int, n_sym: int) -> np.ndarray:
     return np.array(vals[: bits * n_sym], dtype=np.int32).reshape(bits, n_sym)
 
 
+def write_codefile(
+    path: str,
+    rows: np.ndarray,
+    cols: np.ndarray,
+    nc: int,
+    mc: int,
+    puncture: Optional[np.ndarray] = None,
+    shorten: Optional[np.ndarray] = None,
+    headered: bool = True,
+) -> None:
+    """Write a codefile in the reference's format.
+
+    ``headered=True`` emits the GPU-dialect ``nc:/mc:/...`` counts plus
+    ``puncture``/``shorten`` lines (which the CPU parser skips/extracts,
+    making the file valid for both stacks, like the bundled
+    ``tests/code/h.txt``); ``headered=False`` emits bare pairs.
+    """
+    puncture = np.asarray(puncture if puncture is not None else [], dtype=np.int64)
+    shorten = np.asarray(shorten if shorten is not None else [], dtype=np.int64)
+    with open(path, "w") as f:
+        if headered:
+            nct = nc - puncture.size - shorten.size
+            mct = mc - puncture.size
+            f.write(f"nc: {nc}\nmc: {mc}\nnct: {nct}\nmct: {mct}\n")
+            f.write(f"nnz: {len(rows)}\n")
+            f.write(
+                f"puncture [{puncture.size}]: "
+                + " ".join(map(str, puncture))
+                + "\n"
+            )
+            f.write(
+                f"shorten [{shorten.size}]: " + " ".join(map(str, shorten)) + "\n"
+            )
+        for r, c in zip(rows, cols):
+            f.write(f"{r} {c}\n")
+
+
+def parse_alist(path: str) -> ParsedCode:
+    """Parse MacKay's alist format (not in the reference, but the de-facto
+    LDPC interchange format users will bring along).
+
+    Layout: ``n m`` / ``max_dv max_dc`` / per-column degrees / per-row
+    degrees / per-column 1-based row lists (0-padded) / per-row column
+    lists.
+    """
+    with open(path) as f:
+        tokens = f.read().split()
+    it = iter(tokens)
+    n = int(next(it))
+    m = int(next(it))
+    max_dv = int(next(it))
+    next(it)  # max_dc
+    col_deg = [int(next(it)) for _ in range(n)]
+    [int(next(it)) for _ in range(m)]  # row degrees (redundant)
+    rows_list: list[int] = []
+    cols_list: list[int] = []
+    for v in range(n):
+        for _ in range(max_dv):
+            r = int(next(it))
+            if r > 0:  # 0 entries are padding
+                rows_list.append(r - 1)
+                cols_list.append(v)
+    # the per-row lists that follow are redundant; ignore the remainder
+    if len(cols_list) != sum(col_deg):
+        raise ValueError(f"{path}: alist degree lists inconsistent")
+    order = np.lexsort((np.asarray(cols_list), np.asarray(rows_list)))
+    return ParsedCode(
+        rows=np.asarray(rows_list, dtype=np.int32)[order],
+        cols=np.asarray(cols_list, dtype=np.int32)[order],
+        nc=n,
+        mc=m,
+        puncture=np.zeros(0, np.int32),
+        shorten=np.zeros(0, np.int32),
+    )
+
+
+def write_alist(path: str, rows: np.ndarray, cols: np.ndarray, nc: int, mc: int) -> None:
+    """Write H in alist format."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    col_lists = [sorted(rows[cols == v].tolist()) for v in range(nc)]
+    row_lists = [sorted(cols[rows == r].tolist()) for r in range(mc)]
+    max_dv = max((len(x) for x in col_lists), default=0)
+    max_dc = max((len(x) for x in row_lists), default=0)
+    with open(path, "w") as f:
+        f.write(f"{nc} {mc}\n{max_dv} {max_dc}\n")
+        f.write(" ".join(str(len(x)) for x in col_lists) + "\n")
+        f.write(" ".join(str(len(x)) for x in row_lists) + "\n")
+        for lst in col_lists:
+            padded = [v + 1 for v in lst] + [0] * (max_dv - len(lst))
+            f.write(" ".join(map(str, padded)) + "\n")
+        for lst in row_lists:
+            padded = [v + 1 for v in lst] + [0] * (max_dc - len(lst))
+            f.write(" ".join(map(str, padded)) + "\n")
+
+
 def write_results_file(
     path: str,
     rows: Sequence[str],

@@ -132,6 +132,33 @@ class TestConstruct:
         assert not code.syndrome(cw).any()
 
 
+class TestFileRoundtrips:
+    def test_codefile_roundtrip(self, tmp_path):
+        code = make_regular_code(60, dv=3, dc=6, seed=9)
+        code.puncture = np.array([2, 5], dtype=np.int32)
+        path = str(tmp_path / "h.txt")
+        code.save(path)
+        code2 = LDPCCode.from_files(path)
+        assert code2.nc == code.nc and code2.mc == code.mc
+        assert np.array_equal(code2.H_dense, code.H_dense)
+        assert list(code2.puncture) == [2, 5]
+        assert code2.nct == code.nc - 2
+
+    def test_codefile_bare(self, tmp_path):
+        code = make_regular_code(60, dv=3, dc=6, seed=9)
+        path = str(tmp_path / "h_bare.txt")
+        code.save(path, headered=False)
+        code2 = LDPCCode.from_files(path)
+        assert np.array_equal(code2.H_dense, code.H_dense)
+
+    def test_alist_roundtrip(self, tmp_path):
+        code = make_regular_code(48, dv=3, dc=6, seed=4)
+        path = str(tmp_path / "h.alist")
+        code.save_alist(path)
+        code2 = LDPCCode.from_alist(path)
+        assert np.array_equal(code2.H_dense, code.H_dense)
+
+
 class TestBundledCode:
     """Checks against the reference's bundled sample code — the same
     invariants as ``tests/ldpctest.cpp`` plus known constants from

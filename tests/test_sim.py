@@ -107,6 +107,35 @@ class TestCancellation:
         assert (res.frames == 0).sum() >= 8
 
 
+class TestLayeredSchedule:
+    def test_layered_sweep(self, code, tmp_path):
+        import dataclasses
+
+        code2 = dataclasses.replace(code)
+        code2.layers = [
+            np.arange(0, code.mc, 2, dtype=np.int32),
+            np.arange(1, code.mc, 2, dtype=np.int32),
+        ]
+        sim = Simulator(
+            code2,
+            DecoderParams(iterations=10, layered=True),
+            ChannelParams(seed=1, x_range=(0.0, 1.0, 1.0)),
+            SimulationParams(batch_size=32, fec=3, max_frames=256),
+            verbose=False,
+        )
+        res = sim.start()
+        assert res.frames[0] > 0
+        # layered converges at least as fast on average as flooding
+        flood = Simulator(
+            code,
+            DecoderParams(iterations=10),
+            ChannelParams(seed=1, x_range=(0.0, 1.0, 1.0)),
+            SimulationParams(batch_size=32, fec=3, max_frames=256),
+            verbose=False,
+        ).start()
+        assert res.avg_iter[0] <= flood.avg_iter[0] + 1.0
+
+
 class TestForensicLog:
     def test_error_log_details(self, code, tmp_path):
         log = tmp_path / "errors.txt"
