@@ -76,16 +76,45 @@ def boxplus_linear(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 #: sum-product (any unknown string also maps to it, matching
 #: ``set_param``, ``src/decoding/decoder.h:73-80``); ``BP_MS`` is min-sum;
 #: ``BP_LIN`` is the piecewise-linear approximation (the GPU stack's
-#: compile-time ``CN_APPROX_LIN``, exposed here as a runtime type).
-OPS = {"BP": boxplus, "BP_MS": minsum, "BP_LIN": boxplus_linear}
+#: compile-time ``CN_APPROX_LIN``, exposed here as a runtime type);
+#: ``BP_NMS``/``BP_OMS`` are normalized/offset min-sum (min-sum exclusion
+#: followed by output scaling / offset — see :func:`cn_postprocess`).
+OPS = {
+    "BP": boxplus,
+    "BP_MS": minsum,
+    "BP_LIN": boxplus_linear,
+    "BP_NMS": minsum,
+    "BP_OMS": minsum,
+}
 
 
 def get_op(minsum_mode) -> PairwiseOp:
-    """Operator lookup: accepts the legacy bool (min-sum toggle) or a
-    decoder-type string."""
+    """Operator lookup: accepts the legacy bool (min-sum toggle), a
+    decoder-type string, or a ``(type, scale, offset)`` tuple."""
+    if isinstance(minsum_mode, tuple):
+        minsum_mode = minsum_mode[0]
     if isinstance(minsum_mode, str):
         return OPS.get(minsum_mode, boxplus)
     return minsum if minsum_mode else boxplus
+
+
+def cn_postprocess(lc2v: jnp.ndarray, minsum_mode) -> jnp.ndarray:
+    """Check-output correction for normalized/offset min-sum.
+
+    ``minsum_mode = ("BP_NMS", scale, offset)`` scales every extrinsic CN
+    output by ``scale``; ``("BP_OMS", scale, offset)`` shrinks magnitudes by
+    ``offset`` (floored at 0).  Both are the standard hardware-friendly
+    min-sum corrections; no-ops for other modes.
+    """
+    if not isinstance(minsum_mode, tuple):
+        return lc2v
+    kind, scale, offset = minsum_mode
+    if kind == "BP_NMS":
+        return lc2v * jnp.asarray(scale, lc2v.dtype)
+    if kind == "BP_OMS":
+        mag = jnp.maximum(jnp.abs(lc2v) - jnp.asarray(offset, lc2v.dtype), 0.0)
+        return _sign(lc2v) * mag
+    return lc2v
 
 
 def exclusion_combine(M: jnp.ndarray, op: PairwiseOp) -> jnp.ndarray:

@@ -59,7 +59,8 @@ def cn_update(
     """Check-node update: ``[E, B] -> [E, B]`` extrinsic messages."""
     op = cn_ops.get_op(minsum_mode)
     M = lv2c.reshape(dcode.mc, dcode.max_dc, -1)
-    return cn_ops.exclusion_combine(M, op).reshape(dcode.E, -1)
+    out = cn_ops.exclusion_combine(M, op).reshape(dcode.E, -1)
+    return cn_ops.cn_postprocess(out, minsum_mode)
 
 
 def vn_update(

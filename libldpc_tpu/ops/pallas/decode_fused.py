@@ -86,7 +86,7 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
             parts.extend(out)
         if N > nnz:
             parts.append(jnp.zeros((N - nnz, lv2c.shape[1]), lv2c.dtype))
-        return jnp.concatenate(parts, axis=0)
+        return cn_ops.cn_postprocess(jnp.concatenate(parts, axis=0), minsum_mode)
 
     def vn_stage(llr_ref, lc2v_v):
         llr_parts = []

@@ -196,7 +196,8 @@ def cn_update_sorted(
             continue
         M = jax.lax.slice_in_dim(lv2c, e0, e1, axis=0).reshape(count, degree, B)
         parts.append(cn_ops.exclusion_combine(M, op).reshape(count * degree, B))
-    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    return cn_ops.cn_postprocess(out, minsum_mode)
 
 
 def vn_sum_sorted(sdc: SortedDeviceCode, lc2v_vnspace: jnp.ndarray) -> jnp.ndarray:

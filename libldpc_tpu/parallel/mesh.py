@@ -108,7 +108,7 @@ def _sim_and_count(
                 ch.llr,
                 iterations=dec.iterations,
                 early_term=dec.early_term,
-                minsum_mode=dec.type,
+                minsum_mode=dec.cn_mode,
             )
         elif isinstance(dcode, SortedDeviceCode):
             out = bp_decode_sorted(
@@ -116,7 +116,7 @@ def _sim_and_count(
                 ch.llr,
                 iterations=dec.iterations,
                 early_term=dec.early_term,
-                minsum_mode=dec.type,
+                minsum_mode=dec.cn_mode,
             )
         else:
             out = bp_decode(
@@ -124,7 +124,7 @@ def _sim_and_count(
                 ch.llr,
                 iterations=dec.iterations,
                 early_term=dec.early_term,
-                minsum_mode=dec.type,
+                minsum_mode=dec.cn_mode,
                 layered=dec.layered,
             )
         hard = out.hard.astype(jnp.uint8)

@@ -46,6 +46,11 @@ class DecoderParams:
     #: stack's capability (``gpu/ldpc/ldpc.cpp:111-138``).  Flooding when
     #: False or when the code has no layers.
     layered: bool = False
+    #: Normalized min-sum scale (used when ``type == "BP_NMS"``) and
+    #: offset min-sum offset (``type == "BP_OMS"``) — standard
+    #: hardware-decoder corrections, not present in the reference.
+    ms_scale: float = 0.75
+    ms_offset: float = 0.15
     #: Reproduce the reference's out-of-bounds scratch read for degree-1
     #: variable nodes in the BEC decoder (``src/decoding/decoder.cpp:155-160``
     #: indexes ``mExMsgF[vw-2]`` with ``vw == 1``).  The stale byte (0x00 in
@@ -58,6 +63,13 @@ class DecoderParams:
     @property
     def use_minsum(self) -> bool:
         return self.type == "BP_MS"
+
+    @property
+    def cn_mode(self):
+        """The (hashable) CN-operator spec passed to the decoders."""
+        if self.type in ("BP_NMS", "BP_OMS"):
+            return (self.type, self.ms_scale, self.ms_offset)
+        return self.type
 
 
 @dataclasses.dataclass(frozen=True)
