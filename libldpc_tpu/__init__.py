@@ -20,15 +20,22 @@ __all__ = [
     "ChannelParams",
     "DecoderParams",
     "SimulationParams",
+    "Simulator",
     "make_benchmark_code",
     "make_regular_code",
 ]
 
+_LAZY = {
+    "LDPC": ("api", "LDPC"),
+    "Simulator": ("sim", "Simulator"),
+}
+
 
 def __getattr__(name):
     # Lazy: importing the API pulls in jax; keep models importable without it.
-    if name == "LDPC":
-        from .api import LDPC
+    if name in _LAZY:
+        import importlib
 
-        return LDPC
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(f".{mod}", __name__), attr)
     raise AttributeError(name)

@@ -247,6 +247,30 @@ def bp_decode_sorted(
     :func:`libldpc_tpu.ops.decoder.bp_decode` (iteration counting,
     freezing, early termination)."""
     B = llr_in.shape[1]
+
+    if not early_term and iterations > 0:
+        # fixed-work fast path: no masks, no syndrome, no loop-exit checks
+        def body_fixed(_, carry):
+            lv2c = carry
+            lc2v = cn_update_sorted(sdc, lv2c, minsum_mode)
+            lc2v_v = jnp.take(lc2v, sdc.perm_c2v, axis=0)
+            llr_out = llr_in + vn_sum_sorted(sdc, lc2v_v)
+            return (jnp.take(llr_out, sdc.col_sorted, axis=0) - lc2v,
+                    llr_out)
+
+        lv2c = jnp.take(llr_in, sdc.col_sorted, axis=0)
+        lv2c, llr_out = jax.lax.fori_loop(
+            0, iterations, lambda i, c: body_fixed(i, c[0]),
+            (lv2c, jnp.zeros_like(llr_in)),
+        )
+        hard = llr_out <= 0
+        return SortedDecodeOutput(
+            llr_out=llr_out,
+            hard=hard,
+            iterations=jnp.full((B,), iterations, jnp.int32),
+            is_codeword=syndrome_ok_sorted(sdc, hard),
+        )
+
     state = dict(
         i=jnp.int32(0),
         lv2c=jnp.take(llr_in, sdc.col_sorted, axis=0),
