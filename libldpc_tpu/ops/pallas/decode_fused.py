@@ -21,6 +21,13 @@ edge spaces):
 
 The batch is tiled over the Pallas grid; each tile early-exits (predicated
 iteration body) once every frame in it has converged.
+
+Practical scope: intended for short/medium blocklengths (padded edge space
+up to a few thousand slots — the bundled n=1024 code pads to 4096).  Very
+large codes (n >= 8192 pads the edge space to 32K+, 29+ Beneš stages) make
+Mosaic compilation pathologically slow; use the XLA sorted-layout decoder
+(:func:`libldpc_tpu.ops.sorted.bp_decode_sorted`) there — it scales cleanly
+(see ``benchmarks/res_tp_bl_tpu.txt``).
 """
 
 from __future__ import annotations
