@@ -228,23 +228,48 @@ class Simulator:
             def should_stop() -> bool:
                 return stop_flag is not None and bool(stop_flag())
 
+            # lookahead pipeline: keep a few batches in flight so the host
+            # counter read never stalls the device (see
+            # SimulationParams.pipeline_depth)
+            depth = max(1, self.sim.pipeline_depth)
+            inflight: list = []
+            # rebase so a resumed point continues its accumulated time
+            t_point = time.perf_counter() - c.elapsed_s
+
+            def dispatch():
+                inflight.append(
+                    self._step(
+                        jax.random.fold_in(point_key, c.next_batch),
+                        np.float32(x_vals[i]),
+                    )
+                )
+                c.next_batch += 1
+
+            def can_dispatch() -> bool:
+                # predictive max_frames gate: never launch a batch whose
+                # frames couldn't be counted; fec overshoot of up to
+                # depth-1 batches remains (documented, statistically fine)
+                return (
+                    c.frame_errors < self.sim.fec
+                    and c.frames + len(inflight) * self.sim.batch_size
+                    < self.sim.max_frames
+                    and not should_stop()
+                )
+
             while (
                 c.frame_errors < self.sim.fec
                 and c.frames < self.sim.max_frames
                 and not should_stop()
-            ):
-                t0 = time.perf_counter()
-                out = self._step(
-                    jax.random.fold_in(point_key, c.next_batch),
-                    np.float32(x_vals[i]),
-                )
+            ) or inflight:
+                while len(inflight) < depth and can_dispatch():
+                    dispatch()
+                out = inflight.pop(0)
                 batch_bec = int(out.bit_errors)  # blocks until device done
-                c.elapsed_s += time.perf_counter() - t0  # excludes printing
+                c.elapsed_s = time.perf_counter() - t_point  # excl. printing
                 c.bit_errors += batch_bec
                 c.frame_errors += int(out.frame_errors)
                 c.frames += int(out.frames)
                 c.iter_sum += int(out.iter_sum)
-                c.next_batch += 1
 
                 results.update_point(
                     i,
@@ -255,6 +280,7 @@ class Simulator:
                     elapsed_s=c.elapsed_s,
                     nc=self.code.nc,
                 )
+                t_io = time.perf_counter()
                 if c.frame_errors != last_print_fec:
                     last_print_fec = c.frame_errors
                     result_rows[i] = self._row(results, i)
@@ -262,6 +288,9 @@ class Simulator:
                 if self.sim.error_log_file and batch_bec:
                     self._log_error_frames(out, x_vals[i], c.frames)
                 self._save_checkpoint(x_vals, results, i, c)
+                # don't charge printing/IO to the frame clock
+                # (src/sim/ldpcsim.cpp:251)
+                t_point += time.perf_counter() - t_io
 
             if self.verbose:
                 sys.stdout.write("\n")

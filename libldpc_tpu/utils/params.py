@@ -125,3 +125,10 @@ class SimulationParams:
     error_log_file: Optional[str] = None
     #: Optional path for sweep checkpoint/resume state.
     checkpoint_file: Optional[str] = None
+    #: Device batches kept in flight before the host reads counters.  >1
+    #: hides dispatch/transfer latency (important on tunneled backends) at
+    #: the cost of overshooting the stopping rule by up to
+    #: ``(pipeline_depth-1)`` batches — statistically harmless, like the
+    #: reference's in-flight OpenMP threads at stop time
+    #: (``src/sim/ldpcsim.cpp:178-181``).
+    pipeline_depth: int = 2
