@@ -37,7 +37,6 @@ def main():
 
     from libldpc_tpu.models import LDPCCode, make_benchmark_code
     from libldpc_tpu.parallel.mesh import make_sim_step
-    from libldpc_tpu.ops.device import to_device
     from libldpc_tpu.ops.sorted import to_sorted_device
     from libldpc_tpu.utils.params import DecoderParams
 

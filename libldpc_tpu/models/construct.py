@@ -10,7 +10,7 @@ constructed code can also be encoded.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
@@ -50,7 +50,6 @@ def make_regular_code(
                 mc=mc,
             )
         # keep one representative of each duplicate group in place
-        first_of_group = np.zeros(counts.size, dtype=bool)
         move = []
         seen = set()
         for p in dup_positions:
@@ -83,7 +82,6 @@ def systematic_generator(code: LDPCCode, seed: int = 0) -> Optional[np.ndarray]:
     # bit-packed Gaussian elimination to reduced row echelon form — the
     # dense-byte version is ~50x slower at n=8192
     R = gf2.pack_rows(H)
-    words = R.shape[1]
     pivot_cols: list[int] = []
     r = 0
     for col in range(nc):

@@ -28,7 +28,7 @@ keep their all-zero initialisation, ``src/sim/channel.cpp:29,100,170``).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

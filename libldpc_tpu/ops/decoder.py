@@ -25,7 +25,7 @@ decoded at once over the padded CN-major edge layout
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

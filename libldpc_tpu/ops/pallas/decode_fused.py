@@ -33,7 +33,6 @@ Mosaic compilation pathologically slow; use the XLA sorted-layout decoder
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -179,8 +179,6 @@ def make_sim_step(
 
         return step
 
-    n_dev = mesh.devices.size
-
     def shard_body(key: jax.Array, x_value: jnp.ndarray) -> StepCounters:
         idx = jax.lax.axis_index(FRAME_AXIS)
         local = _sim_and_count(

@@ -14,8 +14,6 @@ The reference's CUDA simulator is configured by files instead of flags
 
 from __future__ import annotations
 
-from typing import Optional
-
 from ..models.code import LDPCCode
 from ..models.io import parse_mapfile, parse_simfile
 from ..ops.modulation import Constellation

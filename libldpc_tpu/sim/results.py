@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional
-
 import numpy as np
 
 
