@@ -399,6 +399,8 @@ class Simulator:
             self.dec,
             self.sim.batch_size // n_frame_dev,
             mesh,
+            use_pallas=self._use_pallas,
+            modulation=self._mod_for_step,
         )
         x_vals = self.ch.sweep_values()
         results = SimResults.empty(len(x_vals), x_vals)

@@ -132,6 +132,40 @@ class TestConstruct:
         assert not code.syndrome(cw).any()
 
 
+class TestNativeRuntime:
+    def test_native_parser_matches_python(self, tmp_path):
+        from libldpc_tpu.runtime import native
+
+        if not native.available():
+            pytest.skip("native toolchain not available")
+        code = make_regular_code(60, dv=3, dc=6, seed=13)
+        code.puncture = np.array([1, 4], dtype=np.int32)
+        path = str(tmp_path / "h.txt")
+        code.save(path)
+        rows_n, cols_n = native.parse_pairs(path)
+        # python fallback: parse the same file with the native path disabled
+        import libldpc_tpu.models.io as io_mod
+
+        saved = io_mod._native
+        try:
+            io_mod._native = None
+            parsed = io_mod.parse_codefile(path)
+        finally:
+            io_mod._native = saved
+        np.testing.assert_array_equal(rows_n, parsed.rows)
+        np.testing.assert_array_equal(cols_n, parsed.cols)
+
+    def test_native_rank_matches_numpy(self):
+        from libldpc_tpu.models import gf2
+        from libldpc_tpu.runtime import native
+
+        if not native.available():
+            pytest.skip("native toolchain not available")
+        rng = np.random.default_rng(3)
+        m = rng.integers(0, 2, size=(40, 70)).astype(np.uint8)
+        assert native.gf2_rank(gf2.pack_rows(m), 70) == _rank_bruteforce(m)
+
+
 class TestFileRoundtrips:
     def test_codefile_roundtrip(self, tmp_path):
         code = make_regular_code(60, dv=3, dc=6, seed=9)
