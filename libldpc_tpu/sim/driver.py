@@ -165,6 +165,8 @@ class Simulator:
             import jax.numpy as jnp
 
             mod_for_step = (cstl, jnp.asarray(mapper.astype(np.int32)))
+        self._use_pallas = use_pallas
+        self._mod_for_step = mod_for_step
 
         # sorted/pallas layouts relabel VNs; keep both maps for reporting
         # forensic bit indices in the code's original labelling
