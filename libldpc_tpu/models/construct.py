@@ -126,6 +126,41 @@ def systematic_generator(code: LDPCCode, seed: int = 0) -> Optional[np.ndarray]:
     return G
 
 
+def expand_qc(base_matrix: np.ndarray, Z: int) -> LDPCCode:
+    """Expand a quasi-cyclic base matrix into an :class:`LDPCCode`.
+
+    ``base_matrix`` is ``[mb, nb]`` of ints: ``-1`` marks an all-zero
+    ``Z×Z`` block, ``s >= 0`` a ``Z×Z`` identity right-cyclic-shifted by
+    ``s`` (the convention of 802.11n/802.16e/5G-NR protograph tables).
+    Beyond the reference's capabilities — included because deployed LDPC
+    codes are overwhelmingly QC, and expansion is pure index arithmetic.
+
+    Row ``i``, column ``j`` of block ``(bi, bj)`` with shift ``s`` connects
+    check ``bi*Z + i`` to variable ``bj*Z + (i + s) mod Z``.
+    """
+    B = np.asarray(base_matrix, dtype=np.int64)
+    mb, nb = B.shape
+    rows_list = []
+    cols_list = []
+    i_in_block = np.arange(Z, dtype=np.int64)
+    for bi in range(mb):
+        for bj in range(nb):
+            s = B[bi, bj]
+            if s < 0:
+                continue
+            rows_list.append(bi * Z + i_in_block)
+            cols_list.append(bj * Z + (i_in_block + s) % Z)
+    rows = np.concatenate(rows_list)
+    cols = np.concatenate(cols_list)
+    order = np.lexsort((cols, rows))
+    return LDPCCode(
+        rows=rows[order].astype(np.int32),
+        cols=cols[order].astype(np.int32),
+        nc=nb * Z,
+        mc=mb * Z,
+    )
+
+
 def make_benchmark_code(
     nc: int, dv: int = 3, dc: int = 6, seed: int = 0, with_G: bool = False
 ) -> LDPCCode:

@@ -132,6 +132,46 @@ class TestConstruct:
         assert not code.syndrome(cw).any()
 
 
+class TestQCExpansion:
+    def test_block_structure(self):
+        from libldpc_tpu.models import expand_qc
+
+        base = np.array([[0, 1, -1], [2, -1, 0]])
+        Z = 4
+        code = expand_qc(base, Z)
+        assert code.nc == 12 and code.mc == 8
+        H = code.H_dense
+        # block (0,0) shift 0 = identity
+        assert np.array_equal(H[:4, :4], np.eye(4, dtype=np.uint8))
+        # block (0,1) shift 1: row i connects to col (i+1) % Z
+        blk = H[:4, 4:8]
+        for i in range(4):
+            assert blk[i, (i + 1) % 4] == 1 and blk[i].sum() == 1
+        # -1 block is empty
+        assert not H[:4, 8:].any()
+        # every row/col degree equals base-row/col nonzero count
+        assert (H.sum(1)[:4] == 2).all() and (H.sum(1)[4:] == 2).all()
+
+    def test_qc_code_decodes(self):
+        import jax
+        import jax.numpy as jnp
+
+        from libldpc_tpu.models import expand_qc
+        from libldpc_tpu.ops.decoder import bp_decode_jit
+        from libldpc_tpu.ops.device import to_device
+
+        # small rate-1/2-ish QC code: 2x4 base, Z=8
+        base = np.array([[0, 3, 1, -1], [5, -1, 2, 7]])
+        code = expand_qc(base, 8)
+        d = to_device(code)
+        rng = np.random.default_rng(0)
+        sigma2 = 10 ** (-6.0 / 10)
+        y = 1.0 + rng.normal(size=(code.nc, 8)) * np.sqrt(sigma2)
+        llr = jnp.asarray((2 * y / sigma2).astype(np.float32))
+        out = bp_decode_jit(d, llr, iterations=30)
+        assert (~np.asarray(out.hard)).all()  # all-zero cw recovered
+
+
 class TestNativeRuntime:
     def test_native_parser_matches_python(self, tmp_path):
         from libldpc_tpu.runtime import native
