@@ -89,14 +89,26 @@ def _sim_and_count(
     ch = simulate_channel(dcode, channel_type, key, batch, x_value,
                           modulation=modulation)
     if channel_type == "BEC":
-        out = bec_decode(
-            dcode,
-            ch.llr,
-            ch.codeword,
-            iterations=dec.iterations,
-            early_term=dec.early_term,
-            degree1_stale_byte=0 if dec.bec_ref_bug_compat else None,
-        )
+        if isinstance(dcode, SortedDeviceCode):
+            from ..ops.bec_sorted import bec_decode_sorted
+
+            out = bec_decode_sorted(
+                dcode,
+                ch.llr,
+                ch.codeword,
+                iterations=dec.iterations,
+                early_term=dec.early_term,
+                degree1_stale_byte=0 if dec.bec_ref_bug_compat else None,
+            )
+        else:
+            out = bec_decode(
+                dcode,
+                ch.llr,
+                ch.codeword,
+                iterations=dec.iterations,
+                early_term=dec.early_term,
+                degree1_stale_byte=0 if dec.bec_ref_bug_compat else None,
+            )
         hard = out.hard
         iters = out.iterations
     else:

@@ -125,16 +125,17 @@ class Simulator:
         self.sim = simulation_params
         self.mesh = mesh
         self.verbose = verbose
-        # the degree-class-sorted layout is the fast path for BP decoding
-        # (fused Pallas kernel over it when use_pallas); BEC and the layered
-        # schedule run over the padded layout
-        if channel_params.type == "BEC" or decoder_params.layered:
-            self.dcode = to_device(code, with_layers=decoder_params.layered)
-        elif use_pallas:
+        # the degree-class-sorted layout is the fast path for BP and BEC
+        # decoding (fused Pallas kernel over it when use_pallas); the
+        # layered schedule runs over the padded layout
+        if decoder_params.layered:
+            self.dcode = to_device(code, with_layers=True)
+        elif use_pallas and channel_params.type != "BEC":
             from ..ops.pallas.layout import to_pallas_device
 
             self.dcode = to_pallas_device(code)
         else:
+            use_pallas = False
             from ..ops.sorted import to_sorted_device
 
             self.dcode = to_sorted_device(code)
@@ -172,7 +173,7 @@ class Simulator:
         # forensic bit indices in the code's original labelling
         self._vn_inv = None  # original label -> sorted label
         self._vn_unsort = None  # sorted label -> original label
-        if not (channel_params.type == "BEC" or decoder_params.layered):
+        if not decoder_params.layered:
             from ..ops.sorted import sorted_vn_inv
 
             self._vn_inv = sorted_vn_inv(code)

@@ -202,6 +202,51 @@ class TestBECRefBugCompat:
         assert (cw[wrong] == 0).all()
 
 
+class TestBECSortedLayout:
+    """bec_decode_sorted must match the padded-layout decoder exactly."""
+
+    @pytest.mark.parametrize("compat", [None, 0])
+    def test_matches_padded(self, bundled_code, compat):
+        from libldpc_tpu.ops.bec_sorted import bec_decode_sorted_jit
+        from libldpc_tpu.ops.sorted import to_sorted_device
+
+        code = bundled_code
+        d = to_device(code)
+        sdc = to_sorted_device(code)
+        rng = np.random.default_rng(5)
+        B = 64
+        cw = np.zeros((code.nc, B), dtype=np.uint8)
+        sym = cw.astype(np.int8).copy()
+        sym[rng.random(sym.shape) < 0.82] = 2
+        sym[code.puncture] = 2
+        out_p = jax.jit(
+            lambda s, c: __import__("libldpc_tpu.ops.bec", fromlist=["bec_decode"]).bec_decode(
+                d, s, c, iterations=30, degree1_stale_byte=compat
+            )
+        )(jnp.asarray(sym), jnp.asarray(cw))
+        vperm = np.asarray(sdc.vn_perm)
+        vinv = np.asarray(sdc.vn_inv)
+        out_s = bec_decode_sorted_jit(
+            sdc,
+            jnp.asarray(sym[vperm]),
+            jnp.asarray(cw[vperm]),
+            iterations=30,
+            degree1_stale_byte=compat,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_s.symbols_out)[vinv], np.asarray(out_p.symbols_out)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_s.hard)[vinv], np.asarray(out_p.hard)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_s.iterations), np.asarray(out_p.iterations)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_s.resolved), np.asarray(out_p.resolved)
+        )
+
+
 class TestDispatch:
     def test_unknown_channel_raises(self, dcode):
         with pytest.raises(ValueError):
