@@ -17,8 +17,6 @@ from typing import Optional
 import numpy as np
 
 from .models.code import LDPCCode
-from .ops import decoder as _decoder
-from .ops.device import DeviceCode, to_device
 from .sim.driver import Simulator
 from .utils.params import ChannelParams, DecoderParams, SimulationParams
 
@@ -38,6 +36,8 @@ _SIM_DEFAULTS = {
     "mesh": None,
     "usePallas": False,
 }
+
+_decode_sorted_jit = None  # lazily-created shared jit for LDPC.decode
 
 
 class LDPC:
@@ -73,7 +73,7 @@ class LDPC:
         self.mct = code.mct
         self.kct = code.kct
 
-        self._dcode: Optional[DeviceCode] = None
+        self._dcode = None
         self.sim_params = dict(_SIM_DEFAULTS)
         self.results: dict = {}
         self._sim_thread: Optional[threading.Thread] = None
@@ -83,9 +83,15 @@ class LDPC:
     # ------------------------------------------------------------ device code
 
     @property
-    def dcode(self) -> DeviceCode:
+    def dcode(self):
+        """Sorted-layout device code (built lazily) + host relabel maps."""
         if self._dcode is None:
-            self._dcode = to_device(self.code)
+            from .ops.sorted import sorted_vn_inv, to_sorted_device
+
+            self._dcode = to_sorted_device(self.code)
+            self._vn_inv = sorted_vn_inv(self.code)
+            self._vn_perm = np.empty_like(self._vn_inv)
+            self._vn_perm[self._vn_inv] = np.arange(self.code.nc)
         return self._dcode
 
     # ------------------------------------------------------------- one-shots
@@ -113,6 +119,7 @@ class LDPC:
         output, exactly like the C ABI ``decode`` (``src/shared.cpp:47-65``).
         Returns ``(llr_out, iterations)`` with shapes matching the input.
         """
+        import jax
         import jax.numpy as jnp
 
         llr_in = np.asarray(llr_in, dtype=np.float32)
@@ -125,14 +132,26 @@ class LDPC:
             )
         full = np.zeros((self.code.nc, llr_in.shape[0]), dtype=np.float32)
         full[self.code.bit_pos] = llr_in.T
-        out = _decoder.bp_decode_jit(
-            self.dcode,
-            jnp.asarray(full),
+        global _decode_sorted_jit
+        if _decode_sorted_jit is None:
+            from .ops.sorted import bp_decode_sorted
+
+            _decode_sorted_jit = jax.jit(
+                bp_decode_sorted,
+                static_argnames=("iterations", "early_term", "minsum_mode"),
+            )
+        sdc = self.dcode
+        vperm = self._vn_perm
+        out = _decode_sorted_jit(
+            sdc,
+            jnp.asarray(full[vperm]),
             iterations=iters,
             early_term=early_term,
-            minsum_mode=(dec_type == "BP_MS"),
+            minsum_mode=dec_type,
         )
-        llr_out = np.asarray(out.llr_out)[self.code.bit_pos].T
+        # un-sort and select transmitted positions
+        llr_out_full = np.asarray(out.llr_out)[self._vn_inv]
+        llr_out = llr_out_full[self.code.bit_pos].T
         iterations = np.asarray(out.iterations)
         if single:
             return llr_out[0], int(iterations[0])
