@@ -1,0 +1,135 @@
+"""Gradient-based decoder parameter tuning.
+
+A capability with no counterpart in the reference, enabled by the
+framework's functional design: the whole decode loop is differentiable, so
+the normalized-min-sum correction factors (cf. "Neural Offset Min-Sum
+Decoding", Lugosch & Gross 2017) can be *learned* by gradient descent on a
+soft bit-error surrogate — on the same TPU, through the same batched decoder
+the simulator uses.
+
+``tune_nms_scales`` learns one scale per iteration (a length-``T`` vector
+α); decoding with the tuned schedule is just
+``DecoderParams(type="BP_NMS", ...)`` generalised to per-iteration scales
+via :func:`decode_soft`.
+
+The surrogate loss is a squashed cross-entropy of every iteration's
+posterior LLRs against the true codeword — smooth in the messages (min-sum
+is piecewise-linear, hence a.e. differentiable).
+
+**Status: experimental research harness.**  On codes with low check degrees
+(like the bundled dc∈{3,4} code) plain min-sum is already near-exact and the
+surrogate's optimum does not coincide with minimum FER — measured FER can
+*regress* versus α=1.  The published gains for learned NMS/OMS target
+higher-degree codes with held-out-FER model selection; this module provides
+the differentiable decode (:func:`decode_soft`/:func:`decode_soft_all`) and
+the training loop to build such recipes on, not a tuned-by-default decoder.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .channel import awgn_channel
+from .sorted import SortedDeviceCode, cn_update_sorted, vn_sum_sorted
+
+
+def decode_soft(
+    sdc: SortedDeviceCode,
+    llr_in: jnp.ndarray,  # f32 [nc, B], sorted labelling
+    scales: jnp.ndarray,  # f32 [T] per-iteration NMS scales
+) -> jnp.ndarray:
+    """Fixed-iteration NMS decode returning final posterior LLRs [nc, B].
+
+    No early termination and no hard decisions — fully differentiable in
+    ``scales`` (and in ``llr_in``).
+    """
+
+    def body(lv2c, scale):
+        lc2v = cn_update_sorted(sdc, lv2c, ("BP_NMS", scale, 0.0))
+        lc2v_v = jnp.take(lc2v, sdc.perm_c2v, axis=0)
+        llr_out = llr_in + vn_sum_sorted(sdc, lc2v_v)
+        lv2c = jnp.take(llr_out, sdc.col_sorted, axis=0) - lc2v
+        return lv2c, llr_out
+
+    lv2c0 = jnp.take(llr_in, sdc.col_sorted, axis=0)
+    _, llr_outs = jax.lax.scan(body, lv2c0, scales)
+    return llr_outs[-1]
+
+
+def decode_soft_all(sdc, llr_in, scales):
+    """Like :func:`decode_soft` but returns every iteration's posterior
+    ``[T, nc, B]`` — for the multiloss training objective (Nachmani et al.:
+    supervising all iterations regularises the learned schedule)."""
+
+    def body(lv2c, scale):
+        lc2v = cn_update_sorted(sdc, lv2c, ("BP_NMS", scale, 0.0))
+        lc2v_v = jnp.take(lc2v, sdc.perm_c2v, axis=0)
+        llr_out = llr_in + vn_sum_sorted(sdc, lc2v_v)
+        lv2c = jnp.take(llr_out, sdc.col_sorted, axis=0) - lc2v
+        return lv2c, llr_out
+
+    lv2c0 = jnp.take(llr_in, sdc.col_sorted, axis=0)
+    _, llr_outs = jax.lax.scan(body, lv2c0, scales)
+    return llr_outs
+
+
+def soft_ber(llr_out: jnp.ndarray, codeword: jnp.ndarray) -> jnp.ndarray:
+    """Binary cross-entropy surrogate: 0 when every bit is confidently
+    correct, large when confidently wrong."""
+    signs = 1.0 - 2.0 * codeword.astype(llr_out.dtype)
+    return jax.nn.softplus(-llr_out * signs).mean()
+
+
+class TuneResult(NamedTuple):
+    scales: jnp.ndarray  # f32 [T] learned per-iteration scales
+    losses: jnp.ndarray  # f32 [steps] training curve
+
+
+def tune_nms_scales(
+    sdc: SortedDeviceCode,
+    snr_db: float,
+    iterations: int = 10,
+    steps: int = 40,
+    batch: int = 256,
+    lr: float = 0.05,
+    seed: int = 0,
+    init_scale: float = 1.0,
+) -> TuneResult:
+    """Learn per-iteration NMS scales at one operating SNR by SGD (Adam)
+    through the decoder, on freshly simulated AWGN batches."""
+    import optax
+
+    opt = optax.adam(lr)
+    scales = jnp.full((iterations,), init_scale, dtype=jnp.float32)
+    opt_state = opt.init(scales)
+    base_key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def step(scales, opt_state, key):
+        ch = awgn_channel(sdc, key, batch, jnp.float32(snr_db))
+        signs = 1.0 - 2.0 * ch.codeword.astype(jnp.float32)
+
+        def loss_fn(s):
+            outs = decode_soft_all(sdc, ch.llr, s)  # [T, nc, B]
+            # multiloss over iterations; tanh-squash the margins so
+            # already-lost frames cannot dominate the gradient
+            margins = jnp.tanh(-outs * signs[None] / 4.0)
+            return jax.nn.softplus(4.0 * margins).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(scales)
+        updates, opt_state = opt.update(grads, opt_state)
+        scales = optax.apply_updates(scales, updates)
+        # keep scales in a sane range
+        scales = jnp.clip(scales, 0.3, 1.25)
+        return scales, opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        scales, opt_state, loss = step(
+            scales, opt_state, jax.random.fold_in(base_key, i)
+        )
+        losses.append(loss)
+    return TuneResult(scales=scales, losses=jnp.stack(losses))

@@ -1,0 +1,59 @@
+"""Gradient-based NMS tuning: differentiability and learning progress."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from libldpc_tpu.models import make_benchmark_code
+from libldpc_tpu.ops.channel import awgn_channel
+from libldpc_tpu.ops.sorted import bp_decode_sorted, to_sorted_device
+from libldpc_tpu.ops.tuning import decode_soft, soft_ber, tune_nms_scales
+
+
+@pytest.fixture(scope="module")
+def setup():
+    code = make_benchmark_code(120, dv=3, dc=6, seed=2, with_G=True)
+    return code, to_sorted_device(code)
+
+
+class TestDecodeSoft:
+    def test_matches_nms_decoder_at_constant_scale(self, setup):
+        code, sdc = setup
+        ch = awgn_channel(sdc, jax.random.PRNGKey(0), 16, jnp.float32(1.0))
+        T = 6
+        out_soft = decode_soft(sdc, ch.llr, jnp.full((T,), 0.8, jnp.float32))
+        out_ref = bp_decode_sorted(
+            sdc, ch.llr, iterations=T, early_term=False,
+            minsum_mode=("BP_NMS", 0.8, 0.0),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_soft), np.asarray(out_ref.llr_out),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_gradient_exists_and_nonzero(self, setup):
+        code, sdc = setup
+        ch = awgn_channel(sdc, jax.random.PRNGKey(1), 8, jnp.float32(-1.0))
+
+        def loss(s):
+            return soft_ber(decode_soft(sdc, ch.llr, s), ch.codeword)
+
+        g = jax.grad(loss)(jnp.full((5,), 1.0, jnp.float32))
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+
+class TestTuning:
+    def test_loss_decreases(self, setup):
+        code, sdc = setup
+        res = tune_nms_scales(
+            sdc, snr_db=-1.0, iterations=6, steps=12, batch=64, seed=3
+        )
+        losses = np.asarray(res.losses)
+        assert np.isfinite(losses).all()
+        # averaged late loss below averaged early loss (per-batch noise)
+        assert losses[-4:].mean() < losses[:4].mean()
+        # scales moved away from the 1.0 init
+        assert np.abs(np.asarray(res.scales) - 1.0).max() > 1e-3
