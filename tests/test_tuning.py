@@ -46,6 +46,39 @@ class TestDecodeSoft:
 
 
 class TestTuning:
+    def test_tuned_beats_plain_minsum_on_high_dc_code(self):
+        # high check degree is where min-sum overestimates most and learned
+        # scales pay off; small instance keeps this CPU-fast
+        code = make_benchmark_code(256, dv=4, dc=16, seed=5)
+        sdc = to_sorted_device(code)
+        T = 10
+        res = tune_nms_scales(
+            sdc, snr_db=5.5, iterations=T, steps=25, batch=128, seed=2,
+            lr=0.03,
+        )
+        dec = jax.jit(lambda llr, s: __import__(
+            "libldpc_tpu.ops.tuning", fromlist=["decode_soft"]
+        ).decode_soft(sdc, llr, s))
+        tx = np.asarray(sdc.bit_pos)
+
+        def fer(scales):
+            fe = n = 0
+            for i in range(3):
+                ch = awgn_channel(
+                    sdc, jax.random.PRNGKey(3000 + i), 256, jnp.float32(5.5)
+                )
+                hard = (np.asarray(dec(ch.llr, scales)) <= 0).astype(np.uint8)
+                cw = np.asarray(ch.codeword)
+                fe += int(((hard[tx] != cw[tx]).sum(0) > 0).sum())
+                n += 256
+            return fe / n
+
+        fer_plain = fer(jnp.ones((T,), jnp.float32))
+        fer_tuned = fer(res.scales)
+        assert fer_tuned < fer_plain * 0.7, (fer_tuned, fer_plain)
+        # learned scales shrink toward the known-good NMS range
+        assert 0.4 < float(np.asarray(res.scales).mean()) < 1.0
+
     def test_loss_decreases(self, setup):
         code, sdc = setup
         res = tune_nms_scales(
