@@ -104,7 +104,7 @@ class TestThreadedSimulation:
 
 
 class TestCLI:
-    def test_cli_end_to_end(self, tmp_path):
+    def test_cli_end_to_end(self, tmp_path, bundled_code):
         out = tmp_path / "res.txt"
         cmd = [
             sys.executable, "-m", "libldpc_tpu.cli",
