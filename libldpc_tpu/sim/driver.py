@@ -223,6 +223,18 @@ class Simulator:
         ]
 
         key = jax.random.PRNGKey(self.ch.seed)
+
+        if start_point < len(x_vals):
+            # trigger compilation outside the frame clock so the first
+            # point's time/frame is comparable to later points (the
+            # reference's clock also starts after setup,
+            # src/sim/ldpcsim.cpp:148); the warm-up batch is discarded
+            warm = self._step(
+                jax.random.fold_in(key, 0x7FFFFFFF),
+                np.float32(x_vals[start_point]),
+            )
+            int(warm.frames)
+
         for i in range(start_point, len(x_vals)):
             point_key = jax.random.fold_in(key, i)
             c = counters if i == start_point else _PointCounters()
