@@ -48,23 +48,29 @@ from .layout import PallasDeviceCode
 def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
                  minsum_mode, bt, dtype=jnp.float32):
     N = pdc.n_pad
-    dists = pdc.benes_dists
-    S = len(dists)
     cn_blocks = pdc.cn_blocks
     vn_blocks = pdc.vn_blocks
     vn_node_base = pdc.vn_node_base
     nnz = pdc.nnz
     op = cn_ops.get_op(minsum_mode)
 
-    active = pdc.benes_active
+    # active-stage-compressed network (quiet stages dropped at build time)
+    act_dists = tuple(
+        d for d, a in zip(pdc.benes_dists, pdc.benes_active) if a
+    )
+    Sa = len(act_dists)
 
     def benes(swap_ref, v, reverse):
-        order = range(S - 1, -1, -1) if reverse else range(S)
+        # Statically unrolled over the active stages.  (A fori_loop form with
+        # traced roll shifts was tried and is NOT worth it: Mosaic compile
+        # cost scales with the vector tile count, not the program length —
+        # a trivial 60-roll loop kernel at N=32768 still takes ~3 minutes to
+        # compile — and dynamic lane slicing of the switch planes is
+        # unsupported anyway.  Large-N codes use the XLA sorted path.)
         iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+        order = range(Sa - 1, -1, -1) if reverse else range(Sa)
         for s in order:
-            if not active[s]:  # statically quiet stage
-                continue
-            d = dists[s]
+            d = act_dists[s]
             sw = swap_ref[:, s : s + 1] > 0  # [N, 1]
             top = (iota & d) == 0
             partner = jnp.where(
@@ -150,8 +156,8 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         # their conversions)
         return jnp.where(viol == 0, 1, 0).astype(jnp.int32)  # [1, Bt]
 
-    def kernel(swap_ref, llr_ref, out_llr_ref, out_iters_ref, out_iscw_ref,
-               lv2c_ref, done_ref, iters_ref, iscw_ref):
+    def kernel(swap_ref, llr_ref, out_llr_ref, out_iters_ref,
+               out_iscw_ref, lv2c_ref, done_ref, iters_ref, iscw_ref):
         lv2c_ref[:] = init_lv2c(llr_ref, swap_ref)
         done_ref[:] = jnp.zeros((8, bt), jnp.int32)
         iters_ref[:] = jnp.zeros((8, bt), jnp.int32)
@@ -245,8 +251,8 @@ def bp_decode_pallas(
             is_codeword=jnp.zeros((B,), bool),
         )
 
-    S = len(pdc.benes_dists)
-    swap = pdc.swap_planes  # int32 [N, S]
+    swap = pdc.swap_planes  # int32 [N, S_active]
+    Sa = swap.shape[1]
     dtype = jnp.dtype(message_dtype)
 
     kernel = _make_kernel(
@@ -256,7 +262,7 @@ def bp_decode_pallas(
         kernel,
         grid=(B // bt,),
         in_specs=[
-            pl.BlockSpec((pdc.n_pad, S), lambda b: (0, 0),
+            pl.BlockSpec((pdc.n_pad, Sa), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nc, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
         ],

@@ -187,9 +187,13 @@ def to_pallas_device(code: LDPCCode) -> PallasDeviceCode:
         cn_blocks=tuple(cn_blocks),
         vn_blocks=tuple(vn_blocks),
         vn_node_base=tuple(vn_node_base),
-        # int32 planes: sub-word vector compares are rejected by Mosaic on
-        # some TPU targets
+        # planes compressed to ACTIVE stages only (quiet stages are
+        # skipped); int32 because sub-word vector compares are rejected by
+        # Mosaic on some TPU targets
         swap_planes=jnp.asarray(
-            np.ascontiguousarray(net.swap.T.astype(np.int32))
+            np.ascontiguousarray(
+                net.swap[[s for s in range(len(net.dists)) if net.swap[s].any()]]
+                .T.astype(np.int32)
+            )
         ),
     )
