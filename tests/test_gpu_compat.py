@@ -76,6 +76,19 @@ class TestSimfileParsing:
             io.parse_simfile(str(bad))
 
 
+class TestSimCudaCLI:
+    def test_main_runs(self, code, tmp_path):
+        from libldpc_tpu.sim_cuda import main
+
+        h, g = _write_code_files(tmp_path, code)
+        simf, mapf = _write_sim_map_files(tmp_path, code, snrs=(8.0,))
+        rc = main([
+            "-code", h, "-sim", simf, "-map", mapf, "-G", g,
+            "-threads", "64",
+        ])
+        assert rc == 0
+
+
 class TestFileDrivenSimulation:
     def test_end_to_end(self, code, tmp_path):
         h, g = _write_code_files(tmp_path, code)
