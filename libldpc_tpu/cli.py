@@ -121,6 +121,21 @@ def main(argv=None) -> int:
         verbose=primary,
     )
 
+    if primary:
+        # config dump like the reference's `std::cout << sim`
+        # (src/sim/ldpcsim.cpp:84-95)
+        print("== Decoder Parameters")
+        print(f"Type: {args.decoding}\nIterations: {args.num_iterations}\n"
+              f"Early Termination: {int(not args.no_early_term)}")
+        print("== Channel Parameters")
+        print(f"Type: {args.channel}\nSeed: {args.seed}\n"
+              f"Range: [{snr[0]}, {snr[1]}], step {snr[2]}")
+        print("== Simulation Parameters")
+        print(f"Batch size: {batch}\nMax frames: {int(args.max_frames)}\n"
+              f"Frame error count: {args.frame_error_count}\n"
+              f"Result file: {args.output_file}")
+        print("=" * 88)
+
     stop = threading.Event()
     try:
         sim.start(stop_flag=stop.is_set, resume=args.resume)
