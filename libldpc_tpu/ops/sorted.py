@@ -75,6 +75,9 @@ class SortedDeviceCode:
     vn_perm: jnp.ndarray  # int32 [nc] sorted label -> original label
     vn_inv: jnp.ndarray  # int32 [nc] original label -> sorted label
     G: Optional[jnp.ndarray]  # f32 [kc, nc] generator, columns sorted
+    #: bool [nl, nnz] per-layer CN-edge membership for the layered schedule
+    #: (None when the code has no layers / layers not requested)
+    layer_edge_masks: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         children = (
@@ -86,6 +89,7 @@ class SortedDeviceCode:
             self.vn_perm,
             self.vn_inv,
             self.G,
+            self.layer_edge_masks,
         )
         aux = (self.nc, self.mc, self.nnz, self.cn_classes, self.vn_classes)
         return children, aux
@@ -93,12 +97,13 @@ class SortedDeviceCode:
     @classmethod
     def tree_unflatten(cls, aux, children):
         nc, mc, nnz, cn_classes, vn_classes = aux
-        (col_sorted, perm_c2v, bit_pos, puncture, shorten, vn_perm, vn_inv, G) = children
+        (col_sorted, perm_c2v, bit_pos, puncture, shorten, vn_perm, vn_inv, G,
+         layer_edge_masks) = children
         return cls(
             nc=nc, mc=mc, nnz=nnz, cn_classes=cn_classes, vn_classes=vn_classes,
             col_sorted=col_sorted, perm_c2v=perm_c2v, bit_pos=bit_pos,
             puncture=puncture, shorten=shorten, vn_perm=vn_perm, vn_inv=vn_inv,
-            G=G,
+            G=G, layer_edge_masks=layer_edge_masks,
         )
 
     @property
@@ -122,8 +127,12 @@ def sorted_vn_inv(code: LDPCCode) -> np.ndarray:
     return vn_inv
 
 
-def to_sorted_device(code: LDPCCode) -> SortedDeviceCode:
-    """Build the sorted-layout device tables from a host code."""
+def to_sorted_device(code: LDPCCode, with_layers: bool = False) -> SortedDeviceCode:
+    """Build the sorted-layout device tables from a host code.
+
+    ``with_layers`` additionally builds per-layer CN-edge masks from the
+    code's layerfile for the layered schedule (GPU stack capability,
+    ``gpu/ldpc/ldpc.cpp:111-138``)."""
     rows = code.rows.astype(np.int64)
     cols = code.cols.astype(np.int64)
     nc, mc, nnz = code.nc, code.mc, code.nnz
@@ -154,6 +163,19 @@ def to_sorted_device(code: LDPCCode) -> SortedDeviceCode:
     def dev(x, dtype):
         return jnp.asarray(np.ascontiguousarray(np.asarray(x, dtype=dtype)))
 
+    layer_edge_masks = None
+    if with_layers and code.layers:
+        # per-edge sorted row label: class blocks are contiguous rows
+        slot_row = np.repeat(
+            np.arange(mc), np.sort(cn_deg)
+        )  # [nnz] sorted row per CN-space slot
+        masks = np.zeros((len(code.layers), nnz), dtype=bool)
+        for li, layer in enumerate(code.layers):
+            in_layer = np.zeros(mc, dtype=bool)
+            in_layer[cn_inv[np.asarray(layer, dtype=np.int64)]] = True
+            masks[li] = in_layer[slot_row]
+        layer_edge_masks = jnp.asarray(masks)
+
     return SortedDeviceCode(
         nc=nc,
         mc=mc,
@@ -168,6 +190,7 @@ def to_sorted_device(code: LDPCCode) -> SortedDeviceCode:
         vn_perm=dev(vn_perm, np.int32),
         vn_inv=dev(vn_inv, np.int32),
         G=None if code.G is None else dev(code.G[:, vn_perm], np.float32),
+        layer_edge_masks=layer_edge_masks,
     )
 
 
@@ -242,10 +265,19 @@ def bp_decode_sorted(
     iterations: int = 50,
     early_term: bool = True,
     minsum_mode: bool = False,
+    layered: bool = False,
 ) -> SortedDecodeOutput:
-    """Flooding BP over the sorted layout; same semantics as
+    """Flooding (or layered) BP over the sorted layout; same semantics as
     :func:`libldpc_tpu.ops.decoder.bp_decode` (iteration counting,
     freezing, early termination)."""
+    if (
+        layered
+        and sdc.layer_edge_masks is not None
+        and sdc.layer_edge_masks.shape[0] > 1
+    ):
+        return _bp_decode_sorted_layered(
+            sdc, llr_in, iterations, early_term, minsum_mode
+        )
     B = llr_in.shape[1]
 
     if not early_term and iterations > 0:
@@ -302,6 +334,70 @@ def bp_decode_sorted(
             hard=jnp.where(keep, s["hard"], hard),
             done=s["done"] | finished_now,
             iters=s["iters"] + (active & ~finished_now).astype(jnp.int32),
+        )
+
+    if iterations > 0:
+        state = jax.lax.while_loop(cond, body, state)
+    return SortedDecodeOutput(
+        llr_out=state["llr_out"],
+        hard=state["hard"],
+        iterations=state["iters"],
+        is_codeword=syndrome_ok_sorted(sdc, state["hard"]),
+    )
+
+
+def _bp_decode_sorted_layered(sdc, llr_in, iterations, early_term, minsum_mode):
+    """Layered (serial) schedule over the sorted layout, mirroring the GPU
+    stack's per-layer CN update + APP recompute sequence
+    (``gpu/device/kernel.cpp:54-74``) and the padded-layout implementation
+    (:func:`libldpc_tpu.ops.decoder._bp_decode_layered`)."""
+    B = llr_in.shape[1]
+    layer_edges = sdc.layer_edge_masks  # bool [nl, nnz]
+    nl = layer_edges.shape[0]
+
+    state = dict(
+        i=jnp.int32(0),
+        lv2c=jnp.take(llr_in, sdc.col_sorted, axis=0),
+        lc2v=jnp.zeros((sdc.nnz, B), dtype=llr_in.dtype),
+        llr_out=jnp.zeros_like(llr_in),
+        hard=jnp.zeros(llr_in.shape, dtype=bool),
+        done=jnp.zeros((B,), dtype=bool),
+        iters=jnp.zeros((B,), dtype=jnp.int32),
+    )
+
+    def cond(s):
+        return (s["i"] < iterations) & ~jnp.all(s["done"])
+
+    def body(s):
+        lv2c, lc2v = s["lv2c"], s["lc2v"]
+        llr_out, hard = s["llr_out"], s["hard"]
+        done = s["done"]
+        for l in range(nl):
+            lc2v_new = cn_update_sorted(sdc, lv2c, minsum_mode)
+            lc2v_l = jnp.where(layer_edges[l][:, None], lc2v_new, lc2v)
+            lc2v_v = jnp.take(lc2v_l, sdc.perm_c2v, axis=0)
+            llr_out_l = llr_in + vn_sum_sorted(sdc, lc2v_v)
+            hard_l = llr_out_l <= 0
+            lv2c_l = jnp.take(llr_out_l, sdc.col_sorted, axis=0) - lc2v_l
+            if early_term:
+                finished_now = ~done & syndrome_ok_sorted(sdc, hard_l)
+            else:
+                finished_now = jnp.zeros_like(done)
+            keep = done[None, :]
+            lv2c = jnp.where(keep, lv2c, lv2c_l)
+            lc2v = jnp.where(keep, lc2v, lc2v_l)
+            llr_out = jnp.where(keep, llr_out, llr_out_l)
+            hard = jnp.where(keep, hard, hard_l)
+            done = done | finished_now
+        active = ~s["done"]
+        return dict(
+            i=s["i"] + 1,
+            lv2c=lv2c,
+            lc2v=lc2v,
+            llr_out=llr_out,
+            hard=hard,
+            done=done,
+            iters=s["iters"] + (active & ~done).astype(jnp.int32),
         )
 
     if iterations > 0:

@@ -129,6 +129,7 @@ def _sim_and_count(
                 iterations=dec.iterations,
                 early_term=dec.early_term,
                 minsum_mode=dec.cn_mode,
+                layered=dec.layered,
             )
         else:
             out = bp_decode(

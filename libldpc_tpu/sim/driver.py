@@ -125,11 +125,12 @@ class Simulator:
         self.sim = simulation_params
         self.mesh = mesh
         self.verbose = verbose
-        # the degree-class-sorted layout is the fast path for BP and BEC
-        # decoding (fused Pallas kernel over it when use_pallas); the
-        # layered schedule runs over the padded layout
+        # the degree-class-sorted layout is the fast path for BP, BEC and
+        # layered decoding (fused Pallas kernel over it when use_pallas)
         if decoder_params.layered:
-            self.dcode = to_device(code, with_layers=True)
+            from ..ops.sorted import to_sorted_device
+
+            self.dcode = to_sorted_device(code, with_layers=True)
         elif use_pallas and channel_params.type != "BEC":
             from ..ops.pallas.layout import to_pallas_device
 
@@ -159,27 +160,25 @@ class Simulator:
                     f"bit mapper covers {mapper.size} bits, expected "
                     f"nct={code.nct} (reference check: gpu/sim/ldpcsim.cpp:117-122)"
                 )
-            if not (channel_params.type == "BEC" or decoder_params.layered):
-                from ..ops.sorted import sorted_vn_inv
+            # every driver layout (sorted / pallas / sorted-layered) uses the
+            # sorted VN labelling
+            from ..ops.sorted import sorted_vn_inv
 
-                mapper = sorted_vn_inv(code)[mapper]
+            mapper = sorted_vn_inv(code)[mapper]
             import jax.numpy as jnp
 
             mod_for_step = (cstl, jnp.asarray(mapper.astype(np.int32)))
         self._use_pallas = use_pallas
         self._mod_for_step = mod_for_step
 
-        # sorted/pallas layouts relabel VNs; keep both maps for reporting
+        # all driver layouts relabel VNs; keep both maps for reporting
         # forensic bit indices in the code's original labelling
-        self._vn_inv = None  # original label -> sorted label
-        self._vn_unsort = None  # sorted label -> original label
-        if not decoder_params.layered:
-            from ..ops.sorted import sorted_vn_inv
+        from ..ops.sorted import sorted_vn_inv
 
-            self._vn_inv = sorted_vn_inv(code)
-            unsort = np.empty_like(self._vn_inv)
-            unsort[self._vn_inv] = np.arange(code.nc)
-            self._vn_unsort = unsort
+        self._vn_inv = sorted_vn_inv(code)  # original -> sorted label
+        unsort = np.empty_like(self._vn_inv)
+        unsort[self._vn_inv] = np.arange(code.nc)
+        self._vn_unsort = unsort  # sorted -> original label
 
         self._step = make_sim_step(
             self.dcode,

@@ -124,6 +124,40 @@ class TestDecoderEquivalence:
             )
             assert int(out.iterations[b]) == g_iters
 
+    def test_layered_sorted_matches_padded(self, small_code):
+        import dataclasses
+
+        from libldpc_tpu.ops.device import to_device
+
+        code = dataclasses.replace(small_code)
+        code.layers = [
+            np.arange(0, code.mc, 2, dtype=np.int32),
+            np.arange(1, code.mc, 2, dtype=np.int32),
+        ]
+        sdc = to_sorted_device(code, with_layers=True)
+        d = to_device(code, with_layers=True)
+        rng = np.random.default_rng(4)
+        sigma2 = 10 ** (-1.0 / 10)
+        y = 1.0 + rng.normal(size=(code.nc, 8)) * np.sqrt(sigma2)
+        llr = (2 * y / sigma2).astype(np.float32)
+        vperm = np.asarray(sdc.vn_perm)
+        vinv = np.asarray(sdc.vn_inv)
+        out_s = jax.jit(
+            lambda l: bp_decode_sorted(sdc, l, iterations=12, layered=True)
+        )(jnp.asarray(llr[vperm]))
+        out_p = bp_decode_jit(d, jnp.asarray(llr), iterations=12, layered=True)
+        np.testing.assert_array_equal(
+            np.asarray(out_s.hard)[vinv], np.asarray(out_p.hard)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_s.iterations), np.asarray(out_p.iterations)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s.llr_out)[vinv],
+            np.asarray(out_p.llr_out),
+            rtol=2e-3, atol=2e-3,
+        )
+
     def test_syndrome_sorted(self, small_code):
         code = small_code
         sdc = to_sorted_device(code)
