@@ -135,6 +135,19 @@ class Simulator:
             from ..ops.pallas.layout import to_pallas_device
 
             self.dcode = to_pallas_device(code)
+            if self.dcode.n_pad > 16384:
+                # Mosaic compile time scales with the vector tile count and
+                # becomes pathological for edge spaces this large (see
+                # ops/pallas/decode_fused.py docstring) — use the XLA path
+                import warnings
+
+                warnings.warn(
+                    f"padded edge space {self.dcode.n_pad} too large for the "
+                    "fused Pallas kernel; falling back to the XLA sorted "
+                    "decoder"
+                )
+                use_pallas = False
+                self.dcode = self.dcode.sorted_dc
         else:
             use_pallas = False
             from ..ops.sorted import to_sorted_device
