@@ -38,7 +38,7 @@ def _time_decode(decode_fn, llr, n_calls=4):
     return (time.perf_counter() - t0) / n_calls
 
 
-def build_decode(code, iterations, use_pallas, batch):
+def build_decode(code, iterations, use_pallas, batch, decoder="BP"):
     import functools
 
     import jax
@@ -57,7 +57,8 @@ def build_decode(code, iterations, use_pallas, batch):
         pdc = to_pallas_device(code)
         llr_j = jnp.asarray(llr[np.asarray(pdc.sorted_dc.vn_perm)])
         fn = functools.partial(
-            bp_decode_pallas, pdc, iterations=iterations, early_term=False
+            bp_decode_pallas, pdc, iterations=iterations, early_term=False,
+            minsum_mode=decoder,
         )
     else:
         from libldpc_tpu.ops.sorted import bp_decode_sorted, to_sorted_device
@@ -66,7 +67,8 @@ def build_decode(code, iterations, use_pallas, batch):
         llr_j = jnp.asarray(llr[np.asarray(sdc.vn_perm)])
         fn = jax.jit(
             functools.partial(
-                bp_decode_sorted, sdc, iterations=iterations, early_term=False
+                bp_decode_sorted, sdc, iterations=iterations,
+                early_term=False, minsum_mode=decoder,
             )
         )
     return fn, llr_j
@@ -78,6 +80,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--best", type=int, default=3)
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--decoder", default="BP",
+                    help="BP | BP_MS | BP_LIN (decode throughput varies with "
+                         "the CN operator's transcendental cost)")
     ap.add_argument("--iters-list", default="1,2,5,10,25,50,100,200")
     ap.add_argument("--bl-list", default="256,512,1024,2048,4096,8192")
     ap.add_argument("--bl-iters", type=int, default=32)
@@ -87,6 +92,8 @@ def main():
     from libldpc_tpu.models import LDPCCode, make_benchmark_code
 
     suffix = "pallas" if args.pallas else "tpu"
+    if args.decoder != "BP":
+        suffix += "_" + args.decoder.lower()
 
     if args.mode in ("iter", "both"):
         h = "/root/reference/tests/code/h.txt"
@@ -97,7 +104,7 @@ def main():
         )
         rows = []
         for iters in [int(v) for v in args.iters_list.split(",")]:
-            fn, llr = build_decode(code, iters, args.pallas, args.batch)
+            fn, llr = build_decode(code, iters, args.pallas, args.batch, args.decoder)
             dt = min(_time_decode(fn, llr) for _ in range(args.best))
             fps = args.batch / dt
             mbps = fps * code.nct / 1e6
@@ -113,7 +120,7 @@ def main():
         rows = []
         for n in [int(v) for v in args.bl_list.split(",")]:
             code = make_benchmark_code(n, dv=3, dc=6, seed=1)
-            fn, llr = build_decode(code, args.bl_iters, args.pallas, args.batch)
+            fn, llr = build_decode(code, args.bl_iters, args.pallas, args.batch, args.decoder)
             dt = min(_time_decode(fn, llr) for _ in range(args.best))
             fps = args.batch / dt
             mbps = fps * code.nct / 1e6
