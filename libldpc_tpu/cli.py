@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Disable early termination for decoding.")
     p.add_argument("--devices", type=int, default=0,
                    help="Shard frames over this many devices (0 = all).")
+    p.add_argument("--points-parallel", type=int, default=1,
+                   help="Simulate this many sweep points concurrently over a "
+                        "2-D (points x frames) device mesh (the reference "
+                        "runs points strictly sequentially, "
+                        "src/sim/ldpcsim.cpp:141).")
     p.add_argument("--multihost", action="store_true",
                    help="Initialize jax.distributed and shard over every "
                         "device of the job (run one process per host).")
@@ -96,7 +101,23 @@ def main(argv=None) -> int:
         print(bar)
 
     n_dev = len(jax.devices())
-    if mesh is None and args.devices != 1 and n_dev > 1:
+    wide_mesh = None
+    if args.points_parallel > 1:
+        from .parallel.mesh import FRAME_AXIS, POINT_AXIS
+
+        use = args.devices or n_dev
+        if use % args.points_parallel:
+            print(
+                f"--points-parallel {args.points_parallel} does not divide "
+                f"{use} devices", file=sys.stderr,
+            )
+            return 1
+        wide_mesh = jax.make_mesh(
+            (args.points_parallel, use // args.points_parallel),
+            (POINT_AXIS, FRAME_AXIS),
+            devices=jax.devices()[:use],
+        )
+    elif mesh is None and args.devices != 1 and n_dev > 1:
         mesh = default_mesh(args.devices or None)
 
     batch = args.num_threads if args.num_threads > 0 else args.batch_size
@@ -138,7 +159,11 @@ def main(argv=None) -> int:
 
     stop = threading.Event()
     try:
-        sim.start(stop_flag=stop.is_set, resume=args.resume)
+        if wide_mesh is not None:
+            sim.start_wide(wide_mesh, stop_flag=stop.is_set,
+                           resume=args.resume)
+        else:
+            sim.start(stop_flag=stop.is_set, resume=args.resume)
     except KeyboardInterrupt:
         stop.set()
         print("\ninterrupted — partial results written", file=sys.stderr)

@@ -205,24 +205,21 @@ def make_sim_step(
             modulation,
             forensics,
         )
+        # per-frame outputs stay device-local shards; shard_map assembles
+        # the global [batch] / [nc, batch] arrays from the P(FRAME_AXIS)
+        # out_specs (an explicit all_gather here would make every device
+        # return the full array and the concatenated result would repeat
+        # each frame n_devices times)
         out = [
             jax.lax.psum(local.bit_errors, FRAME_AXIS),
             jax.lax.psum(local.frame_errors, FRAME_AXIS),
             jax.lax.psum(local.frames, FRAME_AXIS),
             jax.lax.psum(local.iter_sum, FRAME_AXIS),
-            jax.lax.all_gather(
-                local.frame_bit_errors, FRAME_AXIS, tiled=True
-            ),
+            local.frame_bit_errors,
         ]
         if forensics:
-            out.append(
-                jax.lax.all_gather(local.hard, FRAME_AXIS, tiled=True, axis=1)
-            )
-            out.append(
-                jax.lax.all_gather(
-                    local.codeword, FRAME_AXIS, tiled=True, axis=1
-                )
-            )
+            out.append(local.hard)
+            out.append(local.codeword)
         return tuple(out)
 
     out_specs = [P(), P(), P(), P(), P(FRAME_AXIS)]

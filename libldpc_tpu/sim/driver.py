@@ -181,6 +181,10 @@ class Simulator:
             import jax.numpy as jnp
 
             mod_for_step = (cstl, jnp.asarray(mapper.astype(np.int32)))
+            # host copy for forensic Euclidean distances (log_error analogue)
+            self._forensic_mod = (cstl, mapper)
+        else:
+            self._forensic_mod = None
         self._use_pallas = use_pallas
         self._mod_for_step = mod_for_step
 
@@ -361,17 +365,42 @@ class Simulator:
         if self.sim.result_file:
             write_results_file(self.sim.result_file, rows)
 
+    def _forensic_dE(self, hard_col, cw_col, tx_errs: int) -> float:
+        """Squared-root Euclidean distance between the modulated true and
+        decoded words (``gpu/sim/ldpcsim.cpp:423-431``).  BPSK (the CPU
+        stack's map, ``src/sim/channel.cpp:54-59``) gives
+        ``dE^2 = 4 * (# differing transmitted bits)``; with a constellation
+        the bits are packed through the bit mapper to symbols first."""
+        if self._forensic_mod is None:
+            return 2.0 * float(np.sqrt(tx_errs))
+        cstl, mapper = self._forensic_mod  # mapper [bits, n_sym] sorted labels
+        bits = mapper.shape[0]
+        weights = (1 << np.arange(bits - 1, -1, -1))[:, None]
+
+        def symbols(col):
+            lab = (col[mapper].astype(np.int64) * weights).sum(axis=0)
+            return cstl.points[cstl.labels_rev[lab]]
+
+        d = symbols(hard_col) - symbols(cw_col)
+        return float(np.sqrt((d * d).sum()))
+
     def _log_error_frames(self, out, x: float, frames: int) -> None:
         """Forensic per-error-frame log — the capability of the GPU stack's
         ``log_error`` (``gpu/sim/ldpcsim.cpp:351-464``): per errored frame,
-        the failed (transmitted-)bit indices, their count, and the syndrome
-        weight of the decision."""
+        the failed (transmitted-)bit indices, the Euclidean and Hamming
+        distances between decision and truth, the syndrome weight and the
+        failed check indices."""
         errs = np.asarray(out.frame_bit_errors)
         bad = np.nonzero(errs > 0)[0]
         if bad.size == 0:
             return
         hard = np.asarray(out.hard) if hasattr(out, "hard") else None
         cw = np.asarray(out.codeword) if hasattr(out, "codeword") else None
+
+        def trunc(idx):
+            s = ",".join(map(str, idx[:64]))
+            return s + (f",...({idx.size} total)" if idx.size > 64 else "")
+
         with open(self.sim.error_log_file, "a") as f:
             for b in bad:
                 line = (
@@ -379,20 +408,25 @@ class Simulator:
                     f"bit_errors={int(errs[b])}"
                 )
                 if hard is not None:
+                    # full-word Hamming distance over all nc bits
+                    # (gpu/sim/ldpcsim.cpp:380-388 counts over nc())
                     wrong = np.nonzero(hard[:, b] != cw[:, b])[0]
                     if self._vn_unsort is not None:
                         wrong = np.sort(self._vn_unsort[wrong])
-                    synd_w = int(self.code.syndrome(
+                    synd = self.code.syndrome(
                         hard[self._vn_inv, b]
                         if self._vn_inv is not None
                         else hard[:, b]
-                    ).sum())
-                    line += (
-                        f" syndrome_weight={synd_w}"
-                        f" failed_bits={','.join(map(str, wrong[:64]))}"
                     )
-                    if wrong.size > 64:
-                        line += f",...({wrong.size} total)"
+                    failed_checks = np.nonzero(synd)[0]
+                    dE = self._forensic_dE(hard[:, b], cw[:, b], int(errs[b]))
+                    line += (
+                        f" is_codeword={int(failed_checks.size == 0)}"
+                        f" dE={dE:.3f} dH={wrong.size}"
+                        f" syndrome_weight={failed_checks.size}"
+                        f" failed_bits={trunc(wrong)}"
+                        f" failed_checks={trunc(failed_checks)}"
+                    )
                 f.write(line + "\n")
 
     # ------------------------------------------------------------ wide sweep
@@ -401,6 +435,7 @@ class Simulator:
         self,
         mesh,
         stop_flag: Optional[Callable[[], bool]] = None,
+        resume: bool = False,
     ) -> SimResults:
         """Point-parallel sweep over a 2-D ``(points, frames)`` mesh.
 
@@ -408,8 +443,10 @@ class Simulator:
         (``src/sim/ldpcsim.cpp:141``); with devices to spare, groups of
         ``mesh.shape['points']`` points run concurrently, frames sharded
         within each group.  Each group runs until *every* point in it meets
-        the stopping rule (finished points keep accumulating — harmless and
-        unbiased).  Output totals match :meth:`start` semantics.
+        the stopping rule (once a point finishes, further batches for its
+        slot are discarded).  Output totals match :meth:`start` semantics:
+        same stopping rule per point, same results file format, live console
+        status, and checkpoint/resume parity.
         """
         from ..parallel.mesh import POINT_AXIS, make_multipoint_sim_step
 
@@ -431,28 +468,63 @@ class Simulator:
         )
         x_vals = self.ch.sweep_values()
         results = SimResults.empty(len(x_vals), x_vals)
+        group_start = 0
+        resumed_counters: dict[int, _PointCounters] = {}
+        resumed_batch = 0
+        if resume:
+            loaded = self._load_checkpoint_wide(x_vals)
+            if loaded is not None:
+                results, group_start, resumed_counters, resumed_batch = loaded
         self.results = results
         key = jax.random.PRNGKey(self.ch.seed)
+        if self.verbose:
+            xval_name = "SNR" if self.ch.type == "AWGN" else "EPS"
+            print(_CONSOLE_HEADER.format(xval=xval_name))
 
-        for g0 in range(0, len(x_vals), n_pts_parallel):
+        def emit_rows():
+            if self.sim.result_file:
+                rows = [
+                    self._row(results, i) if results.frames[i] else ""
+                    for i in range(len(x_vals))
+                ]
+                write_results_file(self.sim.result_file, rows)
+
+        for g0 in range(group_start, len(x_vals), n_pts_parallel):
             group = list(range(g0, min(g0 + n_pts_parallel, len(x_vals))))
             # pad the group to the mesh width by repeating the last point
             # (its duplicate stats are discarded)
             padded = group + [group[-1]] * (n_pts_parallel - len(group))
             xg = np.asarray([x_vals[i] for i in padded], dtype=np.float32)
-            c = {i: _PointCounters() for i in group}
-            batch_idx = 0
-            t_start = time.perf_counter()
+            if g0 == group_start and resumed_counters:
+                c = {i: resumed_counters.get(i, _PointCounters()) for i in group}
+                batch_idx = resumed_batch
+            else:
+                c = {i: _PointCounters() for i in group}
+                batch_idx = 0
+            done_printed: set[int] = set()
+            t_start = time.perf_counter() - max(
+                (cc.elapsed_s for cc in c.values()), default=0.0
+            )
             while True:
                 if stop_flag is not None and stop_flag():
                     return results
-                unfinished = [
-                    i
-                    for i in group
-                    if c[i].frame_errors < self.sim.fec
-                    and c[i].frames < self.sim.max_frames
-                ]
-                if not unfinished:
+
+                def finished(i):
+                    return (
+                        c[i].frame_errors >= self.sim.fec
+                        or c[i].frames >= self.sim.max_frames
+                    )
+
+                for i in group:
+                    if finished(i) and i not in done_printed:
+                        done_printed.add(i)
+                        if self.verbose and results.frames[i]:
+                            sys.stdout.write(
+                                "\r" + " " * 100 + "\r"
+                                + self._row(results, i) + "\n"
+                            )
+                            sys.stdout.flush()
+                if all(finished(i) for i in group):
                     break
                 out = step(
                     jax.random.fold_in(jax.random.fold_in(key, g0), batch_idx),
@@ -475,21 +547,30 @@ class Simulator:
                     cc.frame_errors += int(fec[slot])
                     cc.frames += int(frames[slot])
                     cc.iter_sum += int(iters[slot])
+                    cc.elapsed_s = elapsed / len(group)
                     results.update_point(
                         i,
                         bit_errors=cc.bit_errors,
                         frame_errors=cc.frame_errors,
                         frames=cc.frames,
                         iter_sum=cc.iter_sum,
-                        elapsed_s=elapsed / len(group),
+                        elapsed_s=cc.elapsed_s,
                         nc=self.code.nc,
                     )
-            if self.sim.result_file:
-                rows = [
-                    self._row(results, i) if results.frames[i] else ""
-                    for i in range(len(x_vals))
-                ]
-                write_results_file(self.sim.result_file, rows)
+                if self.verbose:
+                    status = "  ".join(
+                        f"x={x_vals[i]:g}:{c[i].frame_errors}/{self.sim.fec}"
+                        for i in group
+                    )
+                    sys.stdout.write(f"\r {status}"[:100].ljust(100))
+                    sys.stdout.flush()
+                emit_rows()
+                self._save_checkpoint_wide(x_vals, results, g0, c, batch_idx)
+            # group finished: checkpoint the next group at batch 0
+            self._save_checkpoint_wide(
+                x_vals, results, g0 + n_pts_parallel, {}, 0
+            )
+        emit_rows()
         return results
 
     # --------------------------------------------------------- checkpointing
@@ -511,6 +592,47 @@ class Simulator:
         with open(tmp, "w") as f:
             json.dump(state, f)
         os.replace(tmp, self.sim.checkpoint_file)
+
+    def _save_checkpoint_wide(
+        self, x_vals, results: SimResults, group_start: int,
+        counters: dict, batch_idx: int,
+    ) -> None:
+        if not self.sim.checkpoint_file:
+            return
+        state = {
+            "wide": True,
+            "x_vals": list(map(float, x_vals)),
+            "group_start": group_start,
+            "batch_idx": batch_idx,
+            "counters": {str(i): c.as_list() for i, c in counters.items()},
+            "seed": self.ch.seed,
+            "channel": self.ch.type,
+            "results": json.loads(results.to_json()),
+        }
+        tmp = self.sim.checkpoint_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.sim.checkpoint_file)
+
+    def _load_checkpoint_wide(self, x_vals):
+        path = self.sim.checkpoint_file
+        if not path or not os.path.exists(path):
+            return None
+        with open(path) as f:
+            state = json.load(f)
+        if (
+            not state.get("wide")
+            or state.get("x_vals") != list(map(float, x_vals))
+            or state.get("seed") != self.ch.seed
+            or state.get("channel") != self.ch.type
+        ):
+            return None  # sweep config changed; start fresh
+        results = SimResults.from_json(json.dumps(state["results"]))
+        counters = {
+            int(i): _PointCounters.from_list(v)
+            for i, v in state["counters"].items()
+        }
+        return results, state["group_start"], counters, state["batch_idx"]
 
     def _load_checkpoint(self, x_vals):
         path = self.sim.checkpoint_file

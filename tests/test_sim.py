@@ -166,6 +166,21 @@ class TestForensicLog:
         # decodes to a wrong codeword (weight 0) — both are legal; check the
         # parse only
         assert re.search(r"syndrome_weight=\d+", lines[0])
+        # Euclidean/Hamming distance fields (gpu/sim/ldpcsim.cpp:409-443):
+        # BPSK dE^2 = 4 * (# differing transmitted bits), dH counts all nc
+        # bits (so dH >= transmitted bit errors)
+        for line in lines:
+            dE = float(re.search(r"dE=([\d.]+)", line).group(1))
+            dH = int(re.search(r"dH=(\d+)", line).group(1))
+            be = int(re.search(r"bit_errors=(\d+)", line).group(1))
+            iscw = int(re.search(r"is_codeword=([01])", line).group(1))
+            sw = int(re.search(r"syndrome_weight=(\d+)", line).group(1))
+            assert dH >= be >= 1
+            np.testing.assert_allclose(dE, 2.0 * np.sqrt(be), atol=1e-3)
+            assert iscw == (1 if sw == 0 else 0)
+            n_checks = len(re.search(r"failed_checks=([\d,]*)", line)
+                           .group(1).split(",")) if sw else 0
+            assert min(sw, 64) == (n_checks if sw else 0) or sw > 64
 
 
 class TestCheckpointResume:
@@ -224,6 +239,81 @@ class TestMesh:
         assert res.fer[0] >= res.fer[-1]
         # frame counts are multiples of the global batch
         assert (res.frames % 32 == 0).all()
+
+    def test_wide_sweep_totals_match_sequential_semantics(self, code, tmp_path):
+        """start_wide obeys the same per-point stopping rule, results file
+        format, and checkpoint/resume semantics as start."""
+        import jax
+
+        from libldpc_tpu.parallel.mesh import FRAME_AXIS, POINT_AXIS
+
+        mesh = jax.make_mesh((2, 4), (POINT_AXIS, FRAME_AXIS))
+        ckpt = tmp_path / "wide_ckpt.json"
+        res_file = tmp_path / "wide_res.txt"
+
+        def build():
+            return Simulator(
+                code,
+                DecoderParams(iterations=10),
+                ChannelParams(seed=1, x_range=(-2.0, 2.1, 1.0)),  # 5 points
+                SimulationParams(
+                    batch_size=32, fec=5, max_frames=512,
+                    result_file=str(res_file), checkpoint_file=str(ckpt),
+                ),
+                verbose=False,
+            )
+
+        res = build().start_wide(mesh)
+        # sequential-mode stopping semantics per point: fec target met or
+        # max_frames reached; frame counts are whole batches
+        for i in range(len(res.x_values)):
+            assert res.fec[i] >= 5 or res.frames[i] >= 512
+            assert res.frames[i] % 32 == 0
+        # results file in the reference column format, one row per point
+        rows = [l for l in res_file.read_text().splitlines() if l.strip()]
+        assert rows[0].startswith("snr")  # header row
+        assert len(rows) == 6
+        assert np.isclose(float(rows[1].split()[0]), -2.0)
+        # resume of a completed sweep does not redo any work
+        res2 = build().start_wide(mesh, resume=True)
+        np.testing.assert_array_equal(res.frames, res2.frames)
+        np.testing.assert_allclose(res.fer, res2.fer)
+
+    def test_wide_sweep_cli(self, code, tmp_path):
+        """--points-parallel end-to-end through the CLI on the CPU mesh."""
+        from libldpc_tpu import cli
+        from libldpc_tpu.models.io import write_codefile
+
+        h = tmp_path / "h.txt"
+        write_codefile(str(h), code.rows, code.cols, code.nc, code.mc)
+        out = tmp_path / "res.txt"
+        rc = cli.main([
+            str(h), str(out), "1.0", "3.1", "1.0",
+            "--points-parallel", "2", "--batch-size", "32",
+            "--frame-error-count", "3", "--max-frames", "256",
+            "-i", "8",
+        ])
+        assert rc == 0
+        rows = [l for l in out.read_text().splitlines() if l.strip()]
+        assert len(rows) == 4  # header + 3 sweep points
+
+    def test_sharded_forensics_no_duplication(self, code, tmp_path):
+        """Per-frame outputs under shard_map are assembled from local
+        shards — frame numbers in the forensic log must be unique,
+        non-negative, and < total frames (regression: an all_gather +
+        P(FRAME_AXIS) out_spec repeated every frame n_devices times)."""
+        import re
+
+        log = tmp_path / "errors_mesh.txt"
+        sim, res = _run(
+            code, None, mesh=default_mesh(), x_range=(-3.0, -2.0, 1.0),
+            fec=3, batch=64, max_frames=256, error_log_file=str(log),
+        )
+        lines = log.read_text().strip().splitlines()
+        assert lines
+        frames = [int(re.search(r"frame=(-?\d+)", l).group(1)) for l in lines]
+        assert all(0 <= f < res.frames[0] for f in frames)
+        assert len(frames) == len(set(frames))
 
     def test_single_vs_multi_device_statistics(self, code):
         # different RNG folding => not identical, but FER within MC noise
