@@ -112,6 +112,23 @@ def main():
         with open(bl_path) as f:
             baseline_fps = json.load(f)["frames_per_s"]["bp_no_early_term"]
 
+    # VPU roofline accounting (see libldpc_tpu/utils/roofline.py and
+    # docs/DESIGN.md "Performance model"): price the winning path's work
+    # per frame and relate measured frames/s to the assumed VPU peak
+    from libldpc_tpu.utils import roofline as rl
+
+    if pallas_on:
+        cost = rl.decode_frame_cost(
+            nc=sdc.nc, nnz=sdc.nnz, cn_classes=sdc.cn_classes,
+            iterations=50, minsum=False, early_term=False,
+            n_pad=pdc.n_pad, benes_stages=sum(pdc.benes_active),
+        )
+    else:
+        cost = rl.decode_frame_cost(
+            nc=sdc.nc, nnz=sdc.nnz, cn_classes=sdc.cn_classes,
+            iterations=50, minsum=False, early_term=False,
+        )
+
     result = {
         "metric": "decoded frames/s (n=1024, BP, 50 iters, AWGN, no early-term)",
         "value": round(fps, 1),
@@ -121,6 +138,10 @@ def main():
         "platform": platform,
         "pallas": pallas_on,
         "steps": n_steps,
+        "model_flops_per_frame": round(cost.total_ops),
+        "model_split": cost.as_dict(),
+        "vpu_peak_ops_assumed": rl.VPU_PEAK_OPS,
+        "roofline_pct": round(rl.roofline_pct(fps, cost), 1),
     }
     print(json.dumps(result))
 

@@ -252,6 +252,34 @@ def syndrome_ok_sorted(sdc: SortedDeviceCode, hard: jnp.ndarray) -> jnp.ndarray:
     return ~bad
 
 
+def syndrome_ok_from_posterior(
+    sdc: SortedDeviceCode, g: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-frame codeword check from the posterior LLRs *gathered at the
+    CN-space edge slots* (``g = take(llr_out, col_sorted)``).
+
+    ``sign(g)`` at an edge is the hard decision of that edge's variable,
+    so the parity of ``signbit(g)`` per check row is the syndrome — no
+    second gather needed when ``g`` is already in hand for the extrinsic
+    update (``lv2c = g - lc2v``).  Equivalent to
+    :func:`syndrome_ok_sorted` on ``hard = llr_out <= 0`` because the
+    reference's decision rule is exactly ``LLROut <= 0``
+    (``src/decoding/decoder.cpp:58``) and ``signbit`` differs only at
+    ``llr == 0``, where the decision is 1 and ``signbit`` is False —
+    handled by using ``g <= 0`` below.
+    """
+    bits = (g <= 0).astype(jnp.int32)  # [nnz, B]
+    bad = None
+    for e0, e1, count, degree in _class_slices(sdc.cn_classes):
+        if degree == 0:
+            continue
+        B = bits.shape[1]
+        blk = jax.lax.slice_in_dim(bits, e0, e1, axis=0).reshape(count, degree, B)
+        o = (blk.sum(axis=1) % 2).any(axis=0)
+        bad = o if bad is None else (bad | o)
+    return ~bad
+
+
 class SortedDecodeOutput(NamedTuple):
     llr_out: jnp.ndarray  # f32 [nc, B] (sorted VN labelling)
     hard: jnp.ndarray  # bool [nc, B]

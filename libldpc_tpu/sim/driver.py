@@ -197,16 +197,44 @@ class Simulator:
         unsort[self._vn_inv] = np.arange(code.nc)
         self._vn_unsort = unsort  # sorted -> original label
 
-        self._step = make_sim_step(
-            self.dcode,
-            channel_params.type,
-            decoder_params,
-            simulation_params.batch_size // n_dev,
-            mesh=mesh,
-            use_pallas=use_pallas,
-            modulation=mod_for_step,
-            forensics=simulation_params.error_log_file is not None,
+        # streaming compaction (ops/streaming.py): the early-termination
+        # fast path — per-stream reload makes ET strictly cheaper than
+        # fixed-iteration decoding (vs. the batch decoder's whole-batch
+        # while_loop, gated by its slowest frame)
+        self._streaming = (
+            simulation_params.streaming
+            and decoder_params.early_term
+            and decoder_params.iterations >= 1
+            and channel_params.type != "BEC"
+            and not decoder_params.layered
+            and not use_pallas
+            and simulation_params.error_log_file is None
         )
+        if self._streaming:
+            from ..ops.streaming import make_streaming_step
+
+            self._stream_init, self._stream_step = make_streaming_step(
+                self.dcode,
+                channel_params.type,
+                decoder_params,
+                simulation_params.batch_size // n_dev,
+                mesh=mesh,
+                modulation=mod_for_step,
+                chunk_iters=simulation_params.streaming_chunk,
+                max_frames=simulation_params.max_frames,
+            )
+            self._step = None
+        else:
+            self._step = make_sim_step(
+                self.dcode,
+                channel_params.type,
+                decoder_params,
+                simulation_params.batch_size // n_dev,
+                mesh=mesh,
+                use_pallas=use_pallas,
+                modulation=mod_for_step,
+                forensics=simulation_params.error_log_file is not None,
+            )
         self.results: Optional[SimResults] = None
 
     # ------------------------------------------------------------------ API
@@ -245,11 +273,21 @@ class Simulator:
             # point's time/frame is comparable to later points (the
             # reference's clock also starts after setup,
             # src/sim/ldpcsim.cpp:148); the warm-up batch is discarded
-            warm = self._step(
-                jax.random.fold_in(key, 0x7FFFFFFF),
-                np.float32(x_vals[start_point]),
-            )
-            int(warm.frames)
+            if self._streaming:
+                wstate, wacc = self._stream_step(
+                    self._stream_init(),
+                    jax.random.fold_in(key, 0x7FFFFFFF),
+                    np.float32(x_vals[start_point]),
+                    np.bool_(False),
+                )
+                int(wacc.frames)
+                del wstate
+            else:
+                warm = self._step(
+                    jax.random.fold_in(key, 0x7FFFFFFF),
+                    np.float32(x_vals[start_point]),
+                )
+                int(warm.frames)
 
         for i in range(start_point, len(x_vals)):
             point_key = jax.random.fold_in(key, i)
@@ -258,6 +296,18 @@ class Simulator:
 
             def should_stop() -> bool:
                 return stop_flag is not None and bool(stop_flag())
+
+            if self._streaming:
+                self._run_point_streaming(
+                    i, x_vals, point_key, c, results, result_rows,
+                    should_stop,
+                )
+                if self.verbose:
+                    sys.stdout.write("\n")
+                if should_stop():
+                    break
+                self._save_checkpoint(x_vals, results, i + 1, _PointCounters())
+                continue
 
             # lookahead pipeline: keep a few batches in flight so the host
             # counter read never stalls the device (see
@@ -333,6 +383,81 @@ class Simulator:
         return results
 
     # ------------------------------------------------------------- internals
+
+    def _run_point_streaming(
+        self, i, x_vals, point_key, c: _PointCounters,
+        results: SimResults, result_rows, should_stop,
+    ) -> None:
+        """One sweep point on the streaming compaction decoder.
+
+        Super-steps are dispatched with ``refill = stopping-rule-unmet``;
+        once the rule trips, further steps run with ``refill=False`` until
+        every in-flight frame drains, so every started frame is counted
+        (no censoring of preferentially-slow frames).  Counter absorption
+        lags dispatch by ``pipeline_depth`` steps to keep the device busy;
+        the overshoot is bounded and statistically harmless (see
+        :class:`~libldpc_tpu.utils.params.SimulationParams`).
+        """
+        x = np.float32(x_vals[i])
+        state = self._stream_init(started_offset=c.frames)
+        pending: list = []
+        last_print_fec = -1
+        n_active_last: Optional[int] = None
+        depth = max(1, self.sim.pipeline_depth)
+        t_point = time.perf_counter() - c.elapsed_s
+
+        def absorb():
+            nonlocal n_active_last, last_print_fec
+            acc = pending.pop(0)
+            bec = int(acc.bit_errors)  # blocks until the step finishes
+            c.elapsed_s = time.perf_counter() - t_point
+            c.bit_errors += bec
+            c.frame_errors += int(acc.frame_errors)
+            c.frames += int(acc.frames)
+            c.iter_sum += int(acc.iter_sum)
+            n_active_last = int(acc.n_active)
+            if c.frames:
+                results.update_point(
+                    i,
+                    bit_errors=c.bit_errors,
+                    frame_errors=c.frame_errors,
+                    frames=c.frames,
+                    iter_sum=c.iter_sum,
+                    elapsed_s=c.elapsed_s,
+                    nc=self.code.nc,
+                )
+            t_io = time.perf_counter()
+            if c.frame_errors != last_print_fec and c.frames:
+                last_print_fec = c.frame_errors
+                result_rows[i] = self._row(results, i)
+                self._emit(results, i, float(x), result_rows)
+            self._save_checkpoint(x_vals, results, i, c)
+            return t_io
+
+        while True:
+            can_refill = (
+                c.frame_errors < self.sim.fec
+                and c.frames < self.sim.max_frames
+                and not should_stop()
+            )
+            if not can_refill and n_active_last == 0 and not pending:
+                break  # drained
+            if can_refill or n_active_last != 0:
+                state, acc = self._stream_step(
+                    state,
+                    jax.random.fold_in(point_key, c.next_batch),
+                    x,
+                    np.bool_(can_refill),
+                )
+                c.next_batch += 1
+                pending.append(acc)
+            while pending and (
+                len(pending) >= depth
+                or (not can_refill and n_active_last == 0)
+            ):
+                t_io = absorb()
+                # don't charge printing/IO to the frame clock
+                t_point += time.perf_counter() - t_io
 
     def _row(self, results: SimResults, i: int) -> str:
         return format_result_row(

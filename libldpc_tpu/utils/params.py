@@ -132,3 +132,14 @@ class SimulationParams:
     #: reference's in-flight OpenMP threads at stop time
     #: (``src/sim/ldpcsim.cpp:178-181``).
     pipeline_depth: int = 2
+    #: Use the streaming compaction decoder for early-terminating sweeps
+    #: (:mod:`libldpc_tpu.ops.streaming`): each batch lane is an
+    #: independent frame stream that reloads on convergence, so device
+    #: work per frame tracks ``avg_iter`` instead of the batch's slowest
+    #: frame.  Applies when early termination is on and the point is not
+    #: BEC/layered/Pallas/forensic (those use the batch decoders).
+    streaming: bool = True
+    #: Device passes per streaming super-step (0 = one decode's worth,
+    #: ``iterations``).  Larger chunks amortise dispatch; the stopping
+    #: rule is still evaluated between super-steps.
+    streaming_chunk: int = 0

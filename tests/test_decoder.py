@@ -269,3 +269,109 @@ class TestLayeredDecoder:
         assert np.asarray(out.iterations).mean() <= np.asarray(
             flood.iterations
         ).mean() + 1
+
+
+class TestDegree1Checks:
+    """Pinned semantics for degree-1 check nodes.
+
+    A check row with a single nonzero pins its variable to 0; the extrinsic
+    message of a degree-1 CN is the hard "bit is 0" message ``PAD_LLR``
+    (`ops/cn_ops.py` exclusion_combine, `ops/pallas/decode_fused.py`
+    cn_exclusion).  The reference instead reads uninitialised scratch for
+    this case (``src/decoding/decoder.cpp:31-44`` with ``cw == 1`` reads
+    ``mExMsgF[cw-2]``), so there is nothing to be bit-compatible with — all
+    three device paths here must agree with each other and with the
+    mathematically correct peeling behaviour.
+    """
+
+    def _code(self):
+        H = np.array(
+            [
+                [1, 1, 0, 1, 0],
+                [0, 1, 1, 0, 1],
+                [1, 0, 0, 0, 0],  # degree-1 check pinning bit 0
+                [0, 0, 1, 1, 1],
+            ],
+            dtype=np.uint8,
+        )
+        return LDPCCode.from_dense(H)
+
+    def test_all_paths_agree_and_pin_bit(self):
+        from libldpc_tpu.ops.pallas.decode_fused import bp_decode_pallas
+        from libldpc_tpu.ops.pallas.layout import to_pallas_device
+        from libldpc_tpu.ops.sorted import bp_decode_sorted, to_sorted_device
+
+        code = self._code()
+        rng = np.random.default_rng(5)
+        B = 128
+        llr = rng.normal(size=(code.nc, B)).astype(np.float32) * 2.0
+        # channel weakly votes bit 0 -> 1; the degree-1 check must win
+        llr[0] = -0.5
+
+        for minsum in (False, True):
+            dout = bp_decode_jit(
+                to_device(code), jnp.asarray(llr), iterations=6,
+                early_term=False, minsum_mode=minsum,
+            )
+            hard_padded = np.asarray(dout.hard)
+
+            sdc = to_sorted_device(code)
+            vn_perm = np.asarray(sdc.vn_perm)
+            llr_s = jnp.asarray(llr[vn_perm])
+            sout = bp_decode_sorted(
+                sdc, llr_s, iterations=6, early_term=False,
+                minsum_mode=minsum,
+            )
+            hard_sorted = np.empty_like(hard_padded)
+            hard_sorted[vn_perm] = np.asarray(sout.hard)
+
+            pdc = to_pallas_device(code)
+            pout = bp_decode_pallas(
+                pdc, llr_s, iterations=6, early_term=False,
+                minsum_mode=minsum, batch_tile=128, interpret=True,
+            )
+            hard_pallas = np.empty_like(hard_padded)
+            hard_pallas[vn_perm] = np.asarray(pout.hard)
+
+            np.testing.assert_array_equal(hard_padded, hard_sorted)
+            np.testing.assert_array_equal(hard_padded, hard_pallas)
+            # the pinned bit decodes to 0 in every frame despite the
+            # channel voting 1
+            assert not hard_padded[0].any()
+
+    def test_fuzz_codes_with_degree1_checks(self):
+        """Random irregular codes with planted degree-1 rows: padded and
+        sorted paths agree bit-for-bit (incl. iteration counts)."""
+        from libldpc_tpu.ops.sorted import bp_decode_sorted, to_sorted_device
+
+        for trial in range(3):
+            rng = np.random.default_rng(900 + trial)
+            while True:
+                H = (rng.random((12, 24)) < 0.15).astype(np.uint8)
+                for v in range(24):
+                    if not H[:, v].any():
+                        H[rng.integers(0, 12), v] = 1
+                # plant two degree-1 checks
+                for i in (3, 7):
+                    H[i] = 0
+                    H[i, rng.integers(0, 24)] = 1
+                if (H.sum(1) >= 1).all():
+                    break
+            code = LDPCCode.from_dense(H)
+            B = 32
+            llr = rng.normal(size=(code.nc, B)).astype(np.float32) * 2.0
+            dout = bp_decode_jit(
+                to_device(code), jnp.asarray(llr), iterations=8,
+                early_term=True,
+            )
+            sdc = to_sorted_device(code)
+            vn_perm = np.asarray(sdc.vn_perm)
+            sout = bp_decode_sorted(
+                sdc, jnp.asarray(llr[vn_perm]), iterations=8, early_term=True,
+            )
+            hard_sorted = np.empty((code.nc, B), dtype=bool)
+            hard_sorted[vn_perm] = np.asarray(sout.hard)
+            np.testing.assert_array_equal(np.asarray(dout.hard), hard_sorted)
+            np.testing.assert_array_equal(
+                np.asarray(dout.iterations), np.asarray(sout.iterations)
+            )

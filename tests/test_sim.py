@@ -211,7 +211,9 @@ class TestMesh:
         sim, res = _run(code, None, mesh=mesh, x_range=(1.0, 2.0, 1.0),
                         fec=5, batch=64, max_frames=512)
         assert res.frames[0] > 0
-        assert res.frames[0] % 64 == 0
+        # streaming decode counts frames individually (not in batch
+        # multiples); the stopping rule must still hold
+        assert res.fec[0] >= 5 or res.frames[0] >= 512
 
     def test_sharded_deterministic(self, code):
         mesh = default_mesh()
