@@ -38,7 +38,8 @@ def _time_decode(decode_fn, llr, n_calls=4):
     return (time.perf_counter() - t0) / n_calls
 
 
-def build_decode(code, iterations, use_pallas, batch, decoder="BP"):
+def build_decode(code, iterations, use_pallas, batch, decoder="BP",
+                 message_dtype="float32"):
     import functools
 
     import jax
@@ -58,7 +59,7 @@ def build_decode(code, iterations, use_pallas, batch, decoder="BP"):
         llr_j = jnp.asarray(llr[np.asarray(pdc.sorted_dc.vn_perm)])
         fn = functools.partial(
             bp_decode_pallas, pdc, iterations=iterations, early_term=False,
-            minsum_mode=decoder,
+            minsum_mode=decoder, message_dtype=message_dtype,
         )
     else:
         from libldpc_tpu.ops.sorted import bp_decode_sorted, to_sorted_device
@@ -83,6 +84,9 @@ def main():
     ap.add_argument("--decoder", default="BP",
                     help="BP | BP_MS | BP_LIN (decode throughput varies with "
                          "the CN operator's transcendental cost)")
+    ap.add_argument("--message-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="Fused-kernel message dtype (bf16 transport).")
     ap.add_argument("--iters-list", default="1,2,5,10,25,50,100,200")
     ap.add_argument("--bl-list", default="256,512,1024,2048,4096,8192")
     ap.add_argument("--bl-iters", type=int, default=32)
@@ -94,6 +98,8 @@ def main():
     suffix = "pallas" if args.pallas else "tpu"
     if args.decoder != "BP":
         suffix += "_" + args.decoder.lower()
+    if args.message_dtype != "float32":
+        suffix += "_bf16"
 
     if args.mode in ("iter", "both"):
         h = "/root/reference/tests/code/h.txt"
@@ -104,7 +110,8 @@ def main():
         )
         rows = []
         for iters in [int(v) for v in args.iters_list.split(",")]:
-            fn, llr = build_decode(code, iters, args.pallas, args.batch, args.decoder)
+            fn, llr = build_decode(code, iters, args.pallas, args.batch,
+                                   args.decoder, args.message_dtype)
             dt = min(_time_decode(fn, llr) for _ in range(args.best))
             fps = args.batch / dt
             mbps = fps * code.nct / 1e6
@@ -120,7 +127,8 @@ def main():
         rows = []
         for n in [int(v) for v in args.bl_list.split(",")]:
             code = make_benchmark_code(n, dv=3, dc=6, seed=1)
-            fn, llr = build_decode(code, args.bl_iters, args.pallas, args.batch, args.decoder)
+            fn, llr = build_decode(code, args.bl_iters, args.pallas, args.batch,
+                                   args.decoder, args.message_dtype)
             dt = min(_time_decode(fn, llr) for _ in range(args.best))
             fps = args.batch / dt
             mbps = fps * code.nct / 1e6

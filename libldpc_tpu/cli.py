@@ -5,8 +5,10 @@ snr-range``, ``-G``, ``-i/--num-iterations``, ``-s/--seed``, ``--channel``,
 ``--decoding``, ``--max-frames``, ``--frame-error-count``,
 ``--no-early-term``) with TPU-native additions: ``--batch-size`` (replaces
 ``-t/--num-threads``; the old flag is still accepted and folded into the
-batch), ``--devices``, ``--pallas``, ``--checkpoint``, ``--error-log``,
-``--layered``.
+batch), ``--devices``, ``--points-parallel``, ``--pallas``,
+``--message-dtype``, ``--checkpoint``, ``--error-log``; ``--layer-file``
+both loads the decoding layers and enables the layered (serial) schedule,
+like the GPU stack's ``-layer`` (``gpu/sim_cuda.cpp``).
 
 Usage::
 
@@ -60,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "device of the job (run one process per host).")
     p.add_argument("--pallas", action="store_true",
                    help="Use the fused Pallas decode kernel.")
+    p.add_argument("--message-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Message dtype for the fused kernel (bfloat16 "
+                        "halves transport cost at ~0.4%% quantisation).")
     p.add_argument("--layer-file", default="", help="Decoding-layer file for the layered schedule.")
     p.add_argument("--checkpoint", default="", help="Sweep checkpoint file (enables --resume).")
     p.add_argument("--resume", action="store_true", help="Resume from checkpoint.")
@@ -127,6 +133,8 @@ def main(argv=None) -> int:
             early_term=not args.no_early_term,
             iterations=args.num_iterations,
             type=args.decoding,
+            layered=bool(args.layer_file),
+            message_dtype=args.message_dtype,
         ),
         ChannelParams(seed=args.seed, x_range=tuple(snr), type=args.channel),
         SimulationParams(

@@ -46,7 +46,7 @@ from .layout import PallasDeviceCode
 
 
 def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
-                 minsum_mode, bt, dtype=jnp.float32):
+                 minsum_mode, bt, dtype=jnp.float32, nl=0):
     N = pdc.n_pad
     cn_blocks = pdc.cn_blocks
     vn_blocks = pdc.vn_blocks
@@ -67,8 +67,37 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         # a trivial 60-roll loop kernel at N=32768 still takes ~3 minutes to
         # compile — and dynamic lane slicing of the switch planes is
         # unsupported anyway.  Large-N codes use the XLA sorted path.)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
         order = range(Sa - 1, -1, -1) if reverse else range(Sa)
+        if dtype == jnp.bfloat16:
+            # Mosaic's roll is 32-bit-only; exchange bf16 rows through the
+            # packed int32 view instead (sublane pairing: word w holds
+            # bf16 rows 2w [low half] and 2w+1 [high half] — verified on
+            # hardware).  A distance-d exchange (d even) is a distance-d/2
+            # int32 exchange of whole words; d == 1 is a 16-bit rotate of
+            # every word.  Selects stay at bf16 granularity because switch
+            # planes are per-edge.  Halves the transport's register
+            # traffic relative to float32.
+            iota32 = jax.lax.broadcasted_iota(jnp.int32, (N // 2, 1), 0)
+            for s in order:
+                d = act_dists[s]
+                if d == 1:
+                    wu = pltpu.bitcast(v, jnp.uint32)  # [N//2, bt]
+                    pw = (wu << 16) | (wu >> 16)
+                    partner = pltpu.bitcast(pw, jnp.bfloat16)
+                else:
+                    d32 = d // 2
+                    w = pltpu.bitcast(v, jnp.int32)
+                    top = (iota32 & d32) == 0
+                    pw = jnp.where(
+                        top,
+                        pltpu.roll(w, N // 2 - d32, axis=0),
+                        pltpu.roll(w, d32, axis=0),
+                    )
+                    partner = pltpu.bitcast(pw, jnp.bfloat16)
+                sw = swap_ref[:, s : s + 1] > 0  # [N, 1]
+                v = jnp.where(sw, partner, v)
+            return v
+        iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
         for s in order:
             d = act_dists[s]
             sw = swap_ref[:, s : s + 1] > 0  # [N, 1]
@@ -79,10 +108,19 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
             v = jnp.where(sw, partner, v)
         return v
 
+    # messages may be stored/transported in bf16; the CN/VN arithmetic
+    # always runs in float32 (upcast per class slice) so quantisation is
+    # confined to the stored representation (~0.4% relative per message)
+    compute = jnp.float32
+
     def cn_exclusion(lv2c):
         parts = []
         for base, count, d in cn_blocks:
-            M = [lv2c[base + j * count : base + (j + 1) * count, :] for j in range(d)]
+            M = [
+                lv2c[base + j * count : base + (j + 1) * count, :]
+                .astype(compute)
+                for j in range(d)
+            ]
             if d == 1:
                 parts.append(jnp.full_like(M[0], 1e30))
                 continue
@@ -97,32 +135,33 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
             out.append(fwd[d - 2])
             parts.extend(out)
         if N > nnz:
-            parts.append(jnp.zeros((N - nnz, lv2c.shape[1]), lv2c.dtype))
-        return cn_ops.cn_postprocess(jnp.concatenate(parts, axis=0), minsum_mode)
+            parts.append(jnp.zeros((N - nnz, lv2c.shape[1]), compute))
+        return cn_ops.cn_postprocess(
+            jnp.concatenate(parts, axis=0), minsum_mode
+        ).astype(dtype)
 
     def vn_stage(llr_ref, lc2v_v):
         llr_parts = []
         lv2c_parts = []
         for (base_e, count, d), nb in zip(vn_blocks, vn_node_base):
-            lin = llr_ref[nb : nb + count, :].astype(dtype)
+            lin = llr_ref[nb : nb + count, :].astype(compute)
             if d == 0:
-                llr_parts.append(lin)
+                llr_parts.append(lin.astype(dtype))
                 continue
             msgs = [
                 lc2v_v[base_e + j * count : base_e + (j + 1) * count, :]
+                .astype(compute)
                 for j in range(d)
             ]
             tot = msgs[0]
             for j in range(1, d):
                 tot = tot + msgs[j]
             llr_b = lin + tot
-            llr_parts.append(llr_b)
+            llr_parts.append(llr_b.astype(dtype))
             for j in range(d):
-                lv2c_parts.append(llr_b - msgs[j])
+                lv2c_parts.append((llr_b - msgs[j]).astype(dtype))
         if N > nnz:
-            lv2c_parts.append(
-                jnp.zeros((N - nnz, lc2v_v.shape[1]), lc2v_v.dtype)
-            )
+            lv2c_parts.append(jnp.zeros((N - nnz, lc2v_v.shape[1]), dtype))
         return (
             jnp.concatenate(llr_parts, axis=0),
             jnp.concatenate(lv2c_parts, axis=0),
@@ -145,8 +184,10 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         for base, count, d in cn_blocks:
             bits = None
             for j in range(d):
+                # compare in f32: Mosaic rejects cmpf on packed bf16 vectors
                 b = (
                     llr_edge[base + j * count : base + (j + 1) * count, :]
+                    .astype(jnp.float32)
                     <= 0
                 ).astype(jnp.int32)
                 bits = b if bits is None else bits + b
@@ -155,6 +196,78 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         # 0/1 int32 plane (avoid i1/i8 vectors — Mosaic rejects some of
         # their conversions)
         return jnp.where(viol == 0, 1, 0).astype(jnp.int32)  # [1, Bt]
+
+    def kernel_layered(swap_ref, layer_ref, llr_ref, out_llr_ref,
+                       out_iters_ref, out_iscw_ref, lv2c_ref, lc2v_ref,
+                       done_ref, iters_ref, iscw_ref):
+        """Layered (serial) schedule: per iteration, each layer refreshes
+        its checks' messages and the APP recomputes — the GPU stack's
+        kernel capability (``gpu/device/kernel.cpp:54-74``), with the
+        same per-layer freeze/early-termination semantics as the XLA
+        layered decoder (:func:`.._bp_decode_sorted_layered`)."""
+        lv2c_ref[:] = init_lv2c(llr_ref, swap_ref)
+        lc2v_ref[:] = jnp.zeros((N, bt), dtype)
+        done_ref[:] = jnp.zeros((8, bt), jnp.int32)
+        iters_ref[:] = jnp.zeros((8, bt), jnp.int32)
+        iscw_ref[:] = jnp.zeros((8, bt), jnp.int32)
+        out_llr_ref[:] = jnp.zeros((nc, bt), dtype)
+
+        def body(it, carry):
+            def iteration():
+                done_start = done_ref[0:1, :]
+                for l in range(nl):
+                    lv2c = lv2c_ref[:]
+                    lc2v_state = lc2v_ref[:]
+                    lc2v_new = cn_exclusion(lv2c)
+                    lp = layer_ref[:, l : l + 1] > 0
+                    lc2v_l = jnp.where(lp, lc2v_new, lc2v_state)
+                    lc2v_v = benes(swap_ref, lc2v_l, reverse=False)
+                    llr_out, lv2c_v = vn_stage(llr_ref, lc2v_v)
+                    lv2c_l = benes(swap_ref, lv2c_v, reverse=True)
+                    done_i = done_ref[0:1, :]
+                    keep = done_i > 0
+                    if early_term:
+                        is_cw = syndrome(lv2c_l + lc2v_l)
+                        newly = (1 - done_i) * is_cw
+                        done_ref[0:1, :] = done_i + newly
+                        iscw_ref[0:1, :] = (
+                            done_i * iscw_ref[0:1, :] + (1 - done_i) * is_cw
+                        )
+                    lv2c_ref[:] = jnp.where(keep, lv2c, lv2c_l)
+                    lc2v_ref[:] = jnp.where(keep, lc2v_state, lc2v_l)
+                    out_llr_ref[:] = jnp.where(keep, out_llr_ref[:], llr_out)
+                if early_term:
+                    # iteration counted iff unconverged at both the start
+                    # and the end of the full iteration (XLA layered
+                    # semantics, ops/sorted.py _bp_decode_sorted_layered)
+                    iters_ref[0:1, :] = iters_ref[0:1, :] + (
+                        (1 - done_start) * (1 - done_ref[0:1, :])
+                    )
+                else:
+                    @pl.when(it == iterations - 1)
+                    def _():
+                        iscw_ref[0:1, :] = syndrome(
+                            lv2c_ref[:] + lc2v_ref[:]
+                        )
+
+            if early_term:
+                active = jnp.sum(done_ref[0:1, :]) < bt
+
+                @pl.when(active)
+                def _():
+                    iteration()
+            else:
+                iteration()
+            return carry
+
+        jax.lax.fori_loop(0, iterations, body, 0)
+        if not early_term:
+            iters_ref[0:1, :] = jnp.full((1, bt), iterations, jnp.int32)
+        out_iters_ref[:] = iters_ref[:]
+        out_iscw_ref[:] = iscw_ref[:]
+
+    if nl:
+        return kernel_layered
 
     def kernel(swap_ref, llr_ref, out_llr_ref, out_iters_ref,
                out_iscw_ref, lv2c_ref, done_ref, iters_ref, iscw_ref):
@@ -218,7 +331,7 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "early_term", "minsum_mode", "batch_tile",
-                     "interpret", "message_dtype"),
+                     "interpret", "message_dtype", "layered"),
 )
 def bp_decode_pallas(
     pdc: PallasDeviceCode,
@@ -229,6 +342,7 @@ def bp_decode_pallas(
     batch_tile: int = 256,
     interpret: bool = False,
     message_dtype: str = "float32",
+    layered: bool = False,
 ) -> SortedDecodeOutput:
     """See module docstring.
 
@@ -255,17 +369,42 @@ def bp_decode_pallas(
     Sa = swap.shape[1]
     dtype = jnp.dtype(message_dtype)
 
-    kernel = _make_kernel(
-        pdc, nc, iterations, early_term, minsum_mode, bt, dtype=dtype
+    use_layered = (
+        layered
+        and pdc.layer_planes is not None
+        and pdc.layer_planes.shape[1] > 1
     )
+    nl = int(pdc.layer_planes.shape[1]) if use_layered else 0
+    kernel = _make_kernel(
+        pdc, nc, iterations, early_term, minsum_mode, bt, dtype=dtype, nl=nl
+    )
+    in_specs = [
+        pl.BlockSpec((pdc.n_pad, Sa), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [swap]
+    if use_layered:
+        in_specs.append(
+            pl.BlockSpec((pdc.n_pad, nl), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(pdc.layer_planes)
+    in_specs.append(
+        pl.BlockSpec((nc, bt), lambda b: (0, b), memory_space=pltpu.VMEM)
+    )
+    inputs.append(llr_in)
+    scratch = [pltpu.VMEM((pdc.n_pad, bt), dtype)]
+    if use_layered:
+        scratch.append(pltpu.VMEM((pdc.n_pad, bt), dtype))  # lc2v state
+    scratch += [
+        pltpu.VMEM((8, bt), jnp.int32),
+        pltpu.VMEM((8, bt), jnp.int32),
+        pltpu.VMEM((8, bt), jnp.int32),
+    ]
     llr_out, iters8, iscw8 = pl.pallas_call(
         kernel,
         grid=(B // bt,),
-        in_specs=[
-            pl.BlockSpec((pdc.n_pad, Sa), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((nc, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
@@ -276,17 +415,12 @@ def bp_decode_pallas(
             jax.ShapeDtypeStruct((8, B), jnp.int32),
             jax.ShapeDtypeStruct((8, B), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((pdc.n_pad, bt), dtype),
-            pltpu.VMEM((8, bt), jnp.int32),
-            pltpu.VMEM((8, bt), jnp.int32),
-            pltpu.VMEM((8, bt), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(swap, llr_in)
+    )(*inputs)
 
     llr_out = llr_out.astype(jnp.float32)
     return SortedDecodeOutput(

@@ -51,9 +51,12 @@ class PallasDeviceCode:
     vn_node_base: tuple[int, ...]  # node offset of each vn class block
     # arrays
     swap_planes: jnp.ndarray  # int32 [n_pad, S] kernel-ready switch planes
+    #: int32 [n_pad, nl] per-layer CN-edge membership planes for the
+    #: layered schedule (None for flooding-only codes)
+    layer_planes: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
-        return (self.sorted_dc, self.swap_planes), (
+        return (self.sorted_dc, self.swap_planes, self.layer_planes), (
             self.n_pad,
             self.benes_dists,
             self.benes_active,
@@ -64,7 +67,7 @@ class PallasDeviceCode:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        sorted_dc, swap_planes = children
+        sorted_dc, swap_planes, layer_planes = children
         n_pad, benes_dists, benes_active, cn_blocks, vn_blocks, vn_node_base = aux
         return cls(
             sorted_dc=sorted_dc,
@@ -75,6 +78,7 @@ class PallasDeviceCode:
             vn_blocks=vn_blocks,
             vn_node_base=vn_node_base,
             swap_planes=swap_planes,
+            layer_planes=layer_planes,
         )
 
     # channel-facing delegation -------------------------------------------
@@ -115,8 +119,8 @@ class PallasDeviceCode:
         return self.sorted_dc.shorten
 
 
-def to_pallas_device(code: LDPCCode) -> PallasDeviceCode:
-    sdc = to_sorted_device(code)
+def to_pallas_device(code: LDPCCode, with_layers: bool = False) -> PallasDeviceCode:
+    sdc = to_sorted_device(code, with_layers=with_layers)
     rows = code.rows.astype(np.int64)
     cols = code.cols.astype(np.int64)
     nnz = code.nnz
@@ -179,6 +183,20 @@ def to_pallas_device(code: LDPCCode) -> PallasDeviceCode:
     perm_c2v[vn_slot] = cn_slot
     net = build_benes(perm_c2v)
 
+    layer_planes = None
+    if with_layers and code.layers:
+        # per-layer membership of each CN-space position-major edge slot
+        # (layered schedule capability, gpu/ldpc/ldpc.cpp:111-138); padded
+        # slots belong to no layer
+        row_layer = np.full(code.mc, -1, dtype=np.int64)
+        for li, layer in enumerate(code.layers):
+            row_layer[np.asarray(layer, dtype=np.int64)] = li
+        planes = np.zeros((net.n, len(code.layers)), dtype=np.int32)
+        slot_layer = row_layer[rows]  # per original edge
+        valid = slot_layer >= 0
+        planes[cn_slot[valid], slot_layer[valid]] = 1
+        layer_planes = jnp.asarray(planes)
+
     return PallasDeviceCode(
         sorted_dc=sdc,
         n_pad=net.n,
@@ -196,4 +214,5 @@ def to_pallas_device(code: LDPCCode) -> PallasDeviceCode:
                 .T.astype(np.int32)
             )
         ),
+        layer_planes=layer_planes,
     )

@@ -268,14 +268,17 @@ def syndrome_ok_from_posterior(
     ``llr == 0``, where the decision is 1 and ``signbit`` is False —
     handled by using ``g <= 0`` below.
     """
-    bits = (g <= 0).astype(jnp.int32)  # [nnz, B]
+    # int8 accumulation: the check is memory-bound, and the [nnz, B] bit
+    # plane in int8 moves 4x less data than int32 (max check degree < 128
+    # so the parity sums are exact)
+    bits = (g <= 0).astype(jnp.int8)  # [nnz, B]
     bad = None
     for e0, e1, count, degree in _class_slices(sdc.cn_classes):
         if degree == 0:
             continue
         B = bits.shape[1]
         blk = jax.lax.slice_in_dim(bits, e0, e1, axis=0).reshape(count, degree, B)
-        o = (blk.sum(axis=1) % 2).any(axis=0)
+        o = ((blk.sum(axis=1, dtype=jnp.int8) & 1) > 0).any(axis=0)
         bad = o if bad is None else (bad | o)
     return ~bad
 

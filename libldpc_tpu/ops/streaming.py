@@ -114,6 +114,8 @@ def _superstep_body(
     batch: int,
     modulation,
     quota,
+    fast_rng: bool,
+    gen_threshold: int,
     key: jax.Array,
     x_value: jnp.ndarray,
     refill: jnp.ndarray,
@@ -121,6 +123,17 @@ def _superstep_body(
     n_iters: int,
 ):
     is_tx = _tx_mask(sdc)[:, None]
+    if fast_rng:
+        # Hardware-RNG ("rbg") keys for the channel draws — measured
+        # NEGATIVE result on v5e: 50x normal(1024x4096) takes 37 ms with
+        # rbg vs 41 ms with threefry, because the uniform->normal erfinv
+        # transform dominates, not bit generation.  Kept as an option
+        # (identical distribution, backend-deterministic streams) but the
+        # default stays threefry; the effective fix for channel-gen cost
+        # is the idle-threshold gating below.
+        key = jax.random.wrap_key_data(
+            jax.random.bits(key, (4,), jnp.uint32), impl="rbg"
+        )
 
     def one_pass(i, carry):
         st, acc = carry
@@ -152,11 +165,32 @@ def _superstep_body(
         )
         active = st.active & ~finished
         # --- reload finished/idle streams with fresh frames --------------
-        ch = simulate_channel(
-            sdc, channel_type, jax.random.fold_in(key, i), batch, x_value,
-            modulation=modulation,
+        # Generating fresh frames costs ~30% of a decode pass (the
+        # uniform->normal transform dominates); gate generation on enough
+        # streams being idle so the cost amortises in the slow-convergence
+        # regime, where few streams finish per pass, at the price of a
+        # bounded idle wait (<~1 pass on average) for finished streams.
+        idle = ~active
+        do_gen = refill & (
+            idle.astype(jnp.int32).sum() >= jnp.int32(gen_threshold)
         )
-        rs = refill & ~active  # [B] lane-broadcast reload mask
+
+        def gen(k):
+            ch = simulate_channel(
+                sdc, channel_type, k, batch, x_value, modulation=modulation
+            )
+            return ch.llr, ch.codeword
+
+        def no_gen(k):
+            return (
+                jnp.zeros((sdc.nc, batch), st.llr_in.dtype),
+                jnp.zeros((sdc.nc, batch), st.codeword.dtype),
+            )
+
+        fresh_llr, fresh_cw = jax.lax.cond(
+            do_gen, gen, no_gen, jax.random.fold_in(key, i)
+        )
+        rs = do_gen & idle  # [B] lane-broadcast reload mask
         # max_frames enforcement: never start more than this device's
         # quota of frames (the TPU equivalent of the reference's
         # per-frame `frames < maxFrames` check, src/sim/ldpcsim.cpp:255)
@@ -165,8 +199,8 @@ def _superstep_body(
         lv2c = jnp.where(rs, jnp.float32(0.0), g - lc2v)
         return (
             StreamState(
-                llr_in=jnp.where(rs, ch.llr, st.llr_in),
-                codeword=jnp.where(rs, ch.codeword, st.codeword),
+                llr_in=jnp.where(rs, fresh_llr, st.llr_in),
+                codeword=jnp.where(rs, fresh_cw, st.codeword),
                 lv2c=lv2c,
                 active=active | rs,
                 age=jnp.where(rs, 0, age),
@@ -195,6 +229,8 @@ def make_streaming_step(
     modulation=None,
     chunk_iters: int = 0,
     max_frames: int = int(10e9),
+    fast_rng: bool = False,
+    gen_threshold: Optional[int] = None,
 ):
     """Build ``(init_fn, step_fn)`` for the streaming decoder.
 
@@ -217,11 +253,16 @@ def make_streaming_step(
         raise ValueError("streaming decode requires iterations >= 1")
     cn_mode = dec.cn_mode
     n_iters = chunk_iters or iterations
+    if gen_threshold is None:
+        # default: reload in bursts of ~1/16 of the pool — amortises the
+        # channel-generation cost ~16x in the slow-convergence regime for
+        # an average idle wait well under one pass elsewhere
+        gen_threshold = max(1, batch_per_device // 16)
 
     def body_with_quota(quota):
         return functools.partial(
             _superstep_body, sdc, channel_type, iterations, cn_mode,
-            batch_per_device, modulation, quota,
+            batch_per_device, modulation, quota, fast_rng, gen_threshold,
         )
 
     if mesh is None:

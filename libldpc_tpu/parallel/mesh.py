@@ -121,6 +121,8 @@ def _sim_and_count(
                 iterations=dec.iterations,
                 early_term=dec.early_term,
                 minsum_mode=dec.cn_mode,
+                layered=dec.layered,
+                message_dtype=dec.message_dtype,
             )
         elif isinstance(dcode, SortedDeviceCode):
             out = bp_decode_sorted(

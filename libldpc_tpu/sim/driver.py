@@ -127,14 +127,18 @@ class Simulator:
         self.verbose = verbose
         # the degree-class-sorted layout is the fast path for BP, BEC and
         # layered decoding (fused Pallas kernel over it when use_pallas)
-        if decoder_params.layered:
+        if decoder_params.layered and not (
+            use_pallas and channel_params.type != "BEC"
+        ):
             from ..ops.sorted import to_sorted_device
 
             self.dcode = to_sorted_device(code, with_layers=True)
         elif use_pallas and channel_params.type != "BEC":
             from ..ops.pallas.layout import to_pallas_device
 
-            self.dcode = to_pallas_device(code)
+            self.dcode = to_pallas_device(
+                code, with_layers=decoder_params.layered
+            )
             if self.dcode.n_pad > 16384:
                 # Mosaic compile time scales with the vector tile count and
                 # becomes pathological for edge spaces this large (see

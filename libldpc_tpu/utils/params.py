@@ -51,6 +51,12 @@ class DecoderParams:
     #: hardware-decoder corrections, not present in the reference.
     ms_scale: float = 0.75
     ms_offset: float = 0.15
+    #: Message storage/transport dtype for the fused Pallas kernel
+    #: (``"float32"`` or ``"bfloat16"``).  bf16 halves VMEM residency and
+    #: the Beneš transport cost at ~0.4% relative message quantisation
+    #: (arithmetic stays float32); BER impact validated statistically in
+    #: ``benchmarks/parity.py``.  Ignored by the XLA paths.
+    message_dtype: str = "float32"
     #: Reproduce the reference's out-of-bounds scratch read for degree-1
     #: variable nodes in the BEC decoder (``src/decoding/decoder.cpp:155-160``
     #: indexes ``mExMsgF[vw-2]`` with ``vw == 1``).  The stale byte (0x00 in

@@ -99,3 +99,72 @@ class TestFusedKernel:
         out = bp_decode_pallas(pdc, llr_s, iterations=0, interpret=True)
         assert (np.asarray(out.iterations) == 0).all()
         assert (np.asarray(out.llr_out) == 0).all()
+
+
+class TestLayeredKernel:
+    def test_layered_matches_sorted_layered(self):
+        """Fused-kernel layered schedule vs the XLA layered decoder
+        (kernel capability of gpu/device/kernel.cpp:54-74)."""
+        import dataclasses
+
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+        code = dataclasses.replace(code)
+        code.layers = [
+            np.arange(0, code.mc, 2, dtype=np.int32),
+            np.arange(1, code.mc, 2, dtype=np.int32),
+        ]
+        pdc = to_pallas_device(code, with_layers=True)
+        assert pdc.layer_planes is not None
+        assert pdc.layer_planes.shape == (pdc.n_pad, 2)
+
+        rng = np.random.default_rng(11)
+        B = 128
+        sigma2 = 10 ** (-1.0 / 10)
+        y = 1.0 + rng.normal(size=(code.nc, B)) * np.sqrt(sigma2)
+        llr = (2 * y / sigma2).astype(np.float32)
+        vperm = np.asarray(jax.device_get(pdc.sorted_dc.vn_perm))
+        llr_s = jnp.asarray(llr[vperm])
+
+        for early_term in (True, False):
+            out_p = bp_decode_pallas(
+                pdc, llr_s, iterations=8, early_term=early_term,
+                batch_tile=128, interpret=True, layered=True,
+            )
+            out_s = bp_decode_sorted(
+                pdc.sorted_dc, llr_s, iterations=8, early_term=early_term,
+                layered=True,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out_p.hard), np.asarray(out_s.hard)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out_p.iterations), np.asarray(out_s.iterations)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out_p.is_codeword), np.asarray(out_s.is_codeword)
+            )
+
+
+class TestBf16Transport:
+    def test_bf16_matches_f32_decisions(self, pallas_setup):
+        """bf16 message transport: same convergence behaviour as f32 up to
+        quantisation — hard decisions must agree on (nearly) all bits and
+        codeword flags on (nearly) all frames.  Exact BER impact is
+        validated statistically on hardware (benchmarks/parity.py)."""
+        code, pdc, llr_s = pallas_setup
+        out32 = bp_decode_pallas(
+            pdc, llr_s, iterations=10, early_term=False,
+            batch_tile=128, interpret=True,
+        )
+        out16 = bp_decode_pallas(
+            pdc, llr_s, iterations=10, early_term=False,
+            batch_tile=128, interpret=True, message_dtype="bfloat16",
+        )
+        mismatch = (
+            np.asarray(out16.hard) != np.asarray(out32.hard)
+        ).mean()
+        assert mismatch < 0.01, mismatch
+        agree = (
+            np.asarray(out16.is_codeword) == np.asarray(out32.is_codeword)
+        ).mean()
+        assert agree > 0.95

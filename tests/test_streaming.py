@@ -110,7 +110,9 @@ class TestRefill:
                 jnp.asarray(True),
             )
             total_frames += int(acc.frames)
-            assert int(acc.n_active) == B  # refill keeps every stream busy
+            # refill keeps streams busy up to the reload-burst threshold
+            # (idle slots below gen_threshold wait for the next burst)
+            assert int(acc.n_active) >= B - max(1, B // 16)
         # at 2 dB most frames converge in ~a few iterations: streams must
         # recycle well beyond one frame per slot per chunk
         assert total_frames > 2 * B
@@ -175,8 +177,10 @@ class TestSharded:
                 s1, jax.random.PRNGKey(s), np.float32(-1.0), jnp.asarray(True)
             )
             tot1 += np.array([int(acc1.frame_errors), int(acc1.frames)])
-        # same frame throughput, FER within Monte-Carlo noise
-        assert tot[1] == tot1[1]
+        # same frame throughput (up to reload-burst threshold rounding,
+        # which differs between per-device and whole-batch pools), FER
+        # within Monte-Carlo noise
+        assert abs(tot[1] - tot1[1]) <= B
         f_mesh = tot[0] / tot[1]
         f_one = tot1[0] / tot1[1]
         assert f_mesh > 0 and f_one > 0
