@@ -81,8 +81,14 @@ def main():
     # compile caches make it a few seconds, but a cold Mosaic compile on a
     # tunneled backend can take many minutes — fall back on timeout.
     # BENCH_PALLAS=0 disables the attempt, =1 forces it with no watchdog.
+    # bf16 message transport + (when the code is block-local) the MXU
+    # one-hot-matmul permutation is the fastest configuration — measured
+    # bit-identical hard decisions to float32+Benes at 50 iterations
+    # (benchmarks/kernel_variants_r2.txt); float32 is the fallback.
     want_pallas = os.environ.get("BENCH_PALLAS", "auto")
+    message_dtype = "float32"
     if on_tpu and want_pallas != "0":
+        import dataclasses
         import signal
 
         def _timeout(signum, frame):
@@ -91,15 +97,18 @@ def main():
         try:
             if want_pallas != "1":
                 signal.signal(signal.SIGALRM, _timeout)
-                signal.alarm(240)
+                signal.alarm(420)
             from libldpc_tpu.ops.pallas.layout import to_pallas_device
 
             pdc = to_pallas_device(code)
-            fps_p, n_p = measure(
-                make_sim_step(pdc, "AWGN", dec, batch, use_pallas=True)
-            )
-            if fps_p > fps:
-                fps, n_steps, pallas_on = fps_p, n_p, True
+            for md in ("bfloat16", "float32"):
+                dec_p = dataclasses.replace(dec, message_dtype=md)
+                fps_p, n_p = measure(
+                    make_sim_step(pdc, "AWGN", dec_p, batch, use_pallas=True)
+                )
+                if fps_p > fps:
+                    fps, n_steps, pallas_on = fps_p, n_p, True
+                    message_dtype = md
         except Exception:
             pass
         finally:
@@ -118,10 +127,15 @@ def main():
     from libldpc_tpu.utils import roofline as rl
 
     if pallas_on:
+        mxu_pairs = (
+            0 if pdc.mxu_blocks_fwd is None
+            else int(pdc.mxu_blocks_fwd.shape[0])
+        )
         cost = rl.decode_frame_cost(
             nc=sdc.nc, nnz=sdc.nnz, cn_classes=sdc.cn_classes,
             iterations=50, minsum=False, early_term=False,
             n_pad=pdc.n_pad, benes_stages=sum(pdc.benes_active),
+            mxu_pairs=mxu_pairs,
         )
     else:
         cost = rl.decode_frame_cost(
@@ -137,11 +151,15 @@ def main():
         "batch": batch,
         "platform": platform,
         "pallas": pallas_on,
+        "message_dtype": message_dtype if pallas_on else None,
         "steps": n_steps,
         "model_flops_per_frame": round(cost.total_ops),
         "model_split": cost.as_dict(),
         "vpu_peak_ops_assumed": rl.VPU_PEAK_OPS,
         "roofline_pct": round(rl.roofline_pct(fps, cost), 1),
+        "mxu_pct": round(
+            100.0 * fps * cost.mxu_flops / rl.MXU_PEAK_FLOPS, 2
+        ) if cost.mxu_flops else 0.0,
     }
     print(json.dumps(result))
 

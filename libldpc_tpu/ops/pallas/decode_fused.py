@@ -11,16 +11,28 @@ edge spaces):
 1. CN exclusion combine — contiguous position-major class slices, the same
    forward/backward box-plus/min-sum order as the reference
    (``src/decoding/decoder.cpp:24-45``).
-2. CN-space → VN-space edge permutation as a Beneš roll/select network.
+2. CN-space → VN-space edge permutation, by one of two transports:
+   * **Beneš network**: ``2·log2(N)−1`` stages of ``pltpu.roll`` + select
+     on the VPU (works for any permutation);
+   * **MXU block matmuls**: when the permutation is block-local (the
+     degree-class position-major layout makes it so — the bundled n=1024
+     code touches only 60 of 1024 possible 128×128 block pairs), apply it
+     as a handful of one-hot matmuls on the otherwise-idle MXU.
 3. VN sums, posterior LLRs, extrinsic subtraction — contiguous slices; the
    ``LLROut[col]`` expansion is a free broadcast in VN space.
-4. VN-space → CN-space permutation (same network, reversed).
+4. VN-space → CN-space permutation (reverse transport).
 5. Syndrome from ``Lv2c + Lc2v`` signs (= posterior sign per edge), per-frame
    early termination with the reference's break-before-increment iteration
    counting, and freezing of finished frames.
 
 The batch is tiled over the Pallas grid; each tile early-exits (predicated
 iteration body) once every frame in it has converged.
+
+Message dtype: ``float32`` (exact) or ``bfloat16`` — messages are stored and
+transported in bf16 (Beneš exchanges run on the packed int32 view because
+Mosaic's roll is 32-bit-only: distance-d exchange = d/2 word roll, d = 1 is
+a 16-bit rotate of every word) while the CN/VN arithmetic always runs in
+float32.
 
 Practical scope: intended for short/medium blocklengths (padded edge space
 up to a few thousand slots — the bundled n=1024 code pads to 4096).  Very
@@ -46,7 +58,7 @@ from .layout import PallasDeviceCode
 
 
 def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
-                 minsum_mode, bt, dtype=jnp.float32, nl=0):
+                 minsum_mode, bt, dtype=jnp.float32, nl=0, mxu=False):
     N = pdc.n_pad
     cn_blocks = pdc.cn_blocks
     vn_blocks = pdc.vn_blocks
@@ -59,6 +71,11 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         d for d, a in zip(pdc.benes_dists, pdc.benes_active) if a
     )
     Sa = len(act_dists)
+
+    # messages may be stored/transported in bf16; the CN/VN arithmetic
+    # always runs in float32 (upcast per class slice) so quantisation is
+    # confined to the stored representation (~0.4% relative per message)
+    compute = jnp.float32
 
     def benes(swap_ref, v, reverse):
         # Statically unrolled over the active stages.  (A fori_loop form with
@@ -108,10 +125,41 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
             v = jnp.where(sw, partner, v)
         return v
 
-    # messages may be stored/transported in bf16; the CN/VN arithmetic
-    # always runs in float32 (upcast per class slice) so quantisation is
-    # confined to the stored representation (~0.4% relative per message)
-    compute = jnp.float32
+    def mxu_permute(blocks_ref, plan, v):
+        """``out[i] = in[perm[i]]`` as one-hot 128x128 block matmuls.
+
+        One-hot selection is exact for bf16 operands (values pass through
+        a single multiply by 1.0 and an f32 accumulate); for f32 messages
+        HIGHEST precision keeps the f32 values exact through the MXU's
+        bf16-decomposed passes.
+        """
+        precision = (
+            None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        )
+        parts = []
+        for d in range(N // 128):
+            acc = None
+            for p, s in plan[d]:
+                c = jax.lax.dot_general(
+                    blocks_ref[p].astype(dtype),
+                    v[s * 128 : (s + 1) * 128, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+                acc = c if acc is None else acc + c
+            parts.append(acc.astype(dtype))
+        return jnp.concatenate(parts, axis=0)
+
+    def transport(pref, v, reverse):
+        """CN-space <-> VN-space edge permutation (see module docstring)."""
+        if mxu:
+            fwd_ref, rev_ref = pref
+            if reverse:
+                return mxu_permute(rev_ref, pdc.mxu_plan_rev, v)
+            return mxu_permute(fwd_ref, pdc.mxu_plan_fwd, v)
+        (swap_ref,) = pref
+        return benes(swap_ref, v, reverse)
 
     def cn_exclusion(lv2c):
         parts = []
@@ -167,7 +215,7 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
             jnp.concatenate(lv2c_parts, axis=0),
         )
 
-    def init_lv2c(llr_ref, swap_ref):
+    def init_lv2c(llr_ref, pref):
         parts = []
         for (base_e, count, d), nb in zip(vn_blocks, vn_node_base):
             if d == 0:
@@ -177,7 +225,7 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
                 parts.append(lin)
         if N > nnz:
             parts.append(jnp.zeros((N - nnz, bt), dtype))
-        return benes(swap_ref, jnp.concatenate(parts, axis=0), reverse=True)
+        return transport(pref, jnp.concatenate(parts, axis=0), reverse=True)
 
     def syndrome(llr_edge):
         viol = jnp.zeros((1, llr_edge.shape[1]), jnp.int32)
@@ -197,15 +245,18 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         # their conversions)
         return jnp.where(viol == 0, 1, 0).astype(jnp.int32)  # [1, Bt]
 
-    def kernel_layered(swap_ref, layer_ref, llr_ref, out_llr_ref,
-                       out_iters_ref, out_iscw_ref, lv2c_ref, lc2v_ref,
-                       done_ref, iters_ref, iscw_ref):
+    n_perm_refs = 2 if mxu else 1
+
+    def kernel_layered(*args):
         """Layered (serial) schedule: per iteration, each layer refreshes
         its checks' messages and the APP recomputes — the GPU stack's
         kernel capability (``gpu/device/kernel.cpp:54-74``), with the
         same per-layer freeze/early-termination semantics as the XLA
         layered decoder (:func:`.._bp_decode_sorted_layered`)."""
-        lv2c_ref[:] = init_lv2c(llr_ref, swap_ref)
+        pref = args[:n_perm_refs]
+        (layer_ref, llr_ref, out_llr_ref, out_iters_ref, out_iscw_ref,
+         lv2c_ref, lc2v_ref, done_ref, iters_ref, iscw_ref) = args[n_perm_refs:]
+        lv2c_ref[:] = init_lv2c(llr_ref, pref)
         lc2v_ref[:] = jnp.zeros((N, bt), dtype)
         done_ref[:] = jnp.zeros((8, bt), jnp.int32)
         iters_ref[:] = jnp.zeros((8, bt), jnp.int32)
@@ -221,9 +272,9 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
                     lc2v_new = cn_exclusion(lv2c)
                     lp = layer_ref[:, l : l + 1] > 0
                     lc2v_l = jnp.where(lp, lc2v_new, lc2v_state)
-                    lc2v_v = benes(swap_ref, lc2v_l, reverse=False)
+                    lc2v_v = transport(pref, lc2v_l, reverse=False)
                     llr_out, lv2c_v = vn_stage(llr_ref, lc2v_v)
-                    lv2c_l = benes(swap_ref, lv2c_v, reverse=True)
+                    lv2c_l = transport(pref, lv2c_v, reverse=True)
                     done_i = done_ref[0:1, :]
                     keep = done_i > 0
                     if early_term:
@@ -269,9 +320,11 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
     if nl:
         return kernel_layered
 
-    def kernel(swap_ref, llr_ref, out_llr_ref, out_iters_ref,
-               out_iscw_ref, lv2c_ref, done_ref, iters_ref, iscw_ref):
-        lv2c_ref[:] = init_lv2c(llr_ref, swap_ref)
+    def kernel(*args):
+        pref = args[:n_perm_refs]
+        (llr_ref, out_llr_ref, out_iters_ref, out_iscw_ref,
+         lv2c_ref, done_ref, iters_ref, iscw_ref) = args[n_perm_refs:]
+        lv2c_ref[:] = init_lv2c(llr_ref, pref)
         done_ref[:] = jnp.zeros((8, bt), jnp.int32)
         iters_ref[:] = jnp.zeros((8, bt), jnp.int32)
         iscw_ref[:] = jnp.zeros((8, bt), jnp.int32)
@@ -281,9 +334,9 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
             def iteration():
                 lv2c = lv2c_ref[:]
                 lc2v_c = cn_exclusion(lv2c)
-                lc2v_v = benes(swap_ref, lc2v_c, reverse=False)
+                lc2v_v = transport(pref, lc2v_c, reverse=False)
                 llr_out, lv2c_v = vn_stage(llr_ref, lc2v_v)
-                lv2c_new = benes(swap_ref, lv2c_v, reverse=True)
+                lv2c_new = transport(pref, lv2c_v, reverse=True)
 
                 if early_term:
                     # pure int32 0/1 flag arithmetic
@@ -331,7 +384,7 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "early_term", "minsum_mode", "batch_tile",
-                     "interpret", "message_dtype", "layered"),
+                     "interpret", "message_dtype", "layered", "permute"),
 )
 def bp_decode_pallas(
     pdc: PallasDeviceCode,
@@ -343,19 +396,29 @@ def bp_decode_pallas(
     interpret: bool = False,
     message_dtype: str = "float32",
     layered: bool = False,
+    permute: str = "benes",
 ) -> SortedDecodeOutput:
     """See module docstring.
 
     ``message_dtype="bfloat16"`` stores and transports all messages in bf16
     — halving VMEM residency and the Beneš (dominant) pass cost at ~0.4%
-    relative message quantisation.  BER impact must be validated
-    statistically (see ``tests``/``benchmarks/parity.py``); the default is
-    exact float32.
+    relative message quantisation (arithmetic stays float32).  BER impact
+    must be validated statistically (see ``benchmarks/parity.py``); the
+    default is exact float32.
+
+    ``permute="mxu"`` runs the edge permutations as one-hot 128x128 block
+    matmuls on the MXU instead of the Beneš network — available when the
+    code's permutation is block-local (``pdc.mxu_blocks_fwd is not None``).
     """
     nc, B = llr_in.shape
     bt = min(batch_tile, B)
     if B % bt:
         raise ValueError(f"batch {B} not divisible by tile {bt}")
+    if permute == "mxu" and pdc.mxu_blocks_fwd is None:
+        raise ValueError(
+            "permute='mxu' requires a block-local permutation plan "
+            "(this code's plan exceeded the pair budget — use 'benes')"
+        )
     if iterations == 0:
         zeros = jnp.zeros_like(llr_in)
         return SortedDecodeOutput(
@@ -368,6 +431,7 @@ def bp_decode_pallas(
     swap = pdc.swap_planes  # int32 [N, S_active]
     Sa = swap.shape[1]
     dtype = jnp.dtype(message_dtype)
+    mxu = permute == "mxu"
 
     use_layered = (
         layered
@@ -376,13 +440,24 @@ def bp_decode_pallas(
     )
     nl = int(pdc.layer_planes.shape[1]) if use_layered else 0
     kernel = _make_kernel(
-        pdc, nc, iterations, early_term, minsum_mode, bt, dtype=dtype, nl=nl
+        pdc, nc, iterations, early_term, minsum_mode, bt, dtype=dtype, nl=nl,
+        mxu=mxu,
     )
-    in_specs = [
-        pl.BlockSpec((pdc.n_pad, Sa), lambda b: (0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    inputs = [swap]
+    in_specs = []
+    inputs = []
+    if mxu:
+        for blocks in (pdc.mxu_blocks_fwd, pdc.mxu_blocks_rev):
+            in_specs.append(
+                pl.BlockSpec(blocks.shape, lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            inputs.append(blocks)
+    else:
+        in_specs.append(
+            pl.BlockSpec((pdc.n_pad, Sa), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(swap)
     if use_layered:
         in_specs.append(
             pl.BlockSpec((pdc.n_pad, nl), lambda b: (0, 0),

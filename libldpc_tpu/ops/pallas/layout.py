@@ -49,26 +49,47 @@ class PallasDeviceCode:
     cn_blocks: tuple[tuple[int, int, int], ...]  # (base, count, degree)
     vn_blocks: tuple[tuple[int, int, int], ...]  # (base_edge, count, degree)
     vn_node_base: tuple[int, ...]  # node offset of each vn class block
+    #: per-direction block-matmul permutation plans: for each destination
+    #: 128-block, the list of ``(stacked_block_index, src_block)`` pairs.
+    #: The degree-class position-major layout makes the CN<->VN edge
+    #: permutation strongly block-local (the bundled n=1024 code touches
+    #: only 60 of 1024 possible 128-block pairs), so the permutation can
+    #: run as a handful of one-hot 128x128 matmuls on the otherwise-idle
+    #: MXU instead of ~19 Benes roll stages on the VPU.
+    mxu_plan_fwd: tuple = ()
+    mxu_plan_rev: tuple = ()
     # arrays
-    swap_planes: jnp.ndarray  # int32 [n_pad, S] kernel-ready switch planes
+    swap_planes: jnp.ndarray = None  # int32 [n_pad, S] switch planes
     #: int32 [n_pad, nl] per-layer CN-edge membership planes for the
     #: layered schedule (None for flooding-only codes)
     layer_planes: Optional[jnp.ndarray] = None
+    #: bf16 [P, 128, 128] stacked one-hot blocks, forward (CN->VN edge
+    #: space) and reverse; None when the pair count made MXU permutation
+    #: unattractive
+    mxu_blocks_fwd: Optional[jnp.ndarray] = None
+    mxu_blocks_rev: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
-        return (self.sorted_dc, self.swap_planes, self.layer_planes), (
+        return (
+            self.sorted_dc, self.swap_planes, self.layer_planes,
+            self.mxu_blocks_fwd, self.mxu_blocks_rev,
+        ), (
             self.n_pad,
             self.benes_dists,
             self.benes_active,
             self.cn_blocks,
             self.vn_blocks,
             self.vn_node_base,
+            self.mxu_plan_fwd,
+            self.mxu_plan_rev,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        sorted_dc, swap_planes, layer_planes = children
-        n_pad, benes_dists, benes_active, cn_blocks, vn_blocks, vn_node_base = aux
+        (sorted_dc, swap_planes, layer_planes, mxu_blocks_fwd,
+         mxu_blocks_rev) = children
+        (n_pad, benes_dists, benes_active, cn_blocks, vn_blocks,
+         vn_node_base, mxu_plan_fwd, mxu_plan_rev) = aux
         return cls(
             sorted_dc=sorted_dc,
             n_pad=n_pad,
@@ -77,8 +98,12 @@ class PallasDeviceCode:
             cn_blocks=cn_blocks,
             vn_blocks=vn_blocks,
             vn_node_base=vn_node_base,
+            mxu_plan_fwd=mxu_plan_fwd,
+            mxu_plan_rev=mxu_plan_rev,
             swap_planes=swap_planes,
             layer_planes=layer_planes,
+            mxu_blocks_fwd=mxu_blocks_fwd,
+            mxu_blocks_rev=mxu_blocks_rev,
         )
 
     # channel-facing delegation -------------------------------------------
@@ -117,6 +142,38 @@ class PallasDeviceCode:
     @property
     def shorten(self):
         return self.sorted_dc.shorten
+
+
+def _block_permute_plan(perm: np.ndarray, block: int = 128):
+    """Factor ``out[i] = in[perm[i]]`` into one-hot ``block x block``
+    matmuls.
+
+    Returns ``(plan, blocks)``: ``plan[dst_block]`` is a tuple of
+    ``(stacked_index, src_block)`` pairs and ``blocks`` is the stacked
+    ``[P, block, block]`` one-hot array (``out_d = sum_s M[p] @ in_s``).
+    """
+    N = perm.size
+    nb = N // block
+    dst_of = np.arange(N) // block
+    src_of = perm // block
+    keys = dst_of * nb + src_of
+    order = np.argsort(keys, kind="stable")
+    uniq, starts = np.unique(keys[order], return_index=True)
+    blocks = np.zeros((uniq.size, block, block), dtype=np.float32)
+    plan: list[list[tuple[int, int]]] = [[] for _ in range(nb)]
+    bounds = np.append(starts, N)
+    for p, key in enumerate(uniq):
+        d, s = int(key) // nb, int(key) % nb
+        idx = order[bounds[p] : bounds[p + 1]]
+        blocks[p, idx % block, perm[idx] % block] = 1.0
+        plan[d].append((p, s))
+    return tuple(tuple(x) for x in plan), blocks
+
+
+#: Use the MXU permutation only while the one-hot matmul flops stay under
+#: this multiple of the dense-identity cost (pairs <= factor * nb); above
+#: it the Benes network wins.
+_MXU_MAX_PAIRS_PER_DST = 6.0
 
 
 def to_pallas_device(code: LDPCCode, with_layers: bool = False) -> PallasDeviceCode:
@@ -183,6 +240,26 @@ def to_pallas_device(code: LDPCCode, with_layers: bool = False) -> PallasDeviceC
     perm_c2v[vn_slot] = cn_slot
     net = build_benes(perm_c2v)
 
+    # block-matmul permutation plans (both directions); built only when
+    # the permutation is block-local enough for the MXU to win
+    full_perm = np.arange(net.n, dtype=np.int64)
+    full_perm[:nnz] = perm_c2v
+    # pad slots beyond nnz map identically only if they were not disturbed
+    # by build_benes' internal padding (they are not: perm extends with
+    # identity there)
+    mxu_plan_fwd: tuple = ()
+    mxu_plan_rev: tuple = ()
+    mxu_blocks_fwd = mxu_blocks_rev = None
+    if net.n >= 256 and net.n % 128 == 0:
+        inv_perm = np.empty(net.n, dtype=np.int64)
+        inv_perm[full_perm] = np.arange(net.n)
+        plan_f, blocks_f = _block_permute_plan(full_perm)
+        if blocks_f.shape[0] <= _MXU_MAX_PAIRS_PER_DST * (net.n // 128):
+            plan_r, blocks_r = _block_permute_plan(inv_perm)
+            mxu_plan_fwd, mxu_plan_rev = plan_f, plan_r
+            mxu_blocks_fwd = jnp.asarray(blocks_f.astype(jnp.bfloat16))
+            mxu_blocks_rev = jnp.asarray(blocks_r.astype(jnp.bfloat16))
+
     layer_planes = None
     if with_layers and code.layers:
         # per-layer membership of each CN-space position-major edge slot
@@ -215,4 +292,8 @@ def to_pallas_device(code: LDPCCode, with_layers: bool = False) -> PallasDeviceC
             )
         ),
         layer_planes=layer_planes,
+        mxu_plan_fwd=mxu_plan_fwd,
+        mxu_plan_rev=mxu_plan_rev,
+        mxu_blocks_fwd=mxu_blocks_fwd,
+        mxu_blocks_rev=mxu_blocks_rev,
     )

@@ -115,6 +115,9 @@ def _sim_and_count(
         if use_pallas:
             from ..ops.pallas import decode_fused
 
+            perm = dec.permute
+            if perm == "auto":
+                perm = "mxu" if dcode.mxu_blocks_fwd is not None else "benes"
             out = decode_fused.bp_decode_pallas(
                 dcode,
                 ch.llr,
@@ -123,6 +126,7 @@ def _sim_and_count(
                 minsum_mode=dec.cn_mode,
                 layered=dec.layered,
                 message_dtype=dec.message_dtype,
+                permute=perm,
             )
         elif isinstance(dcode, SortedDeviceCode):
             out = bp_decode_sorted(

@@ -57,6 +57,12 @@ class DecoderParams:
     #: (arithmetic stays float32); BER impact validated statistically in
     #: ``benchmarks/parity.py``.  Ignored by the XLA paths.
     message_dtype: str = "float32"
+    #: Edge-permutation transport for the fused Pallas kernel: ``"auto"``
+    #: picks one-hot 128x128 block matmuls on the MXU when the code's
+    #: permutation is block-local (structured/QC codes — 1.9x faster than
+    #: the Beneš network on the bundled code, 2.3x in bf16) and the Beneš
+    #: roll/select network otherwise.
+    permute: str = "auto"
     #: Reproduce the reference's out-of-bounds scratch read for degree-1
     #: variable nodes in the BEC decoder (``src/decoding/decoder.cpp:155-160``
     #: indexes ``mExMsgF[vw-2]`` with ``vw == 1``).  The stale byte (0x00 in

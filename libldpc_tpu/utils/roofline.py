@@ -54,6 +54,10 @@ MINSUM_OPS = 7
 BENES_STAGE_OPS = 4
 
 
+#: Assumed MXU peak for TPU v5e (bf16).
+MXU_PEAK_FLOPS = 197e12
+
+
 @dataclasses.dataclass(frozen=True)
 class FrameCost:
     """Per-frame operation budget at a fixed iteration count."""
@@ -64,9 +68,14 @@ class FrameCost:
     syndrome_ops: float  # early-termination checks
     other_ops: float  # init gather + channel (AWGN sim + LLRs)
     iterations: float
+    #: MXU matmul flops per frame when the permutation runs as one-hot
+    #: block matmuls (0 when the Beneš/gather transport is used — those
+    #: are charged to ``permute_ops`` on the VPU instead)
+    mxu_flops: float = 0.0
 
     @property
     def total_ops(self) -> float:
+        """VPU ops per frame (the MXU budget is separate)."""
         return (
             self.cn_ops + self.permute_ops + self.vn_ops
             + self.syndrome_ops + self.other_ops
@@ -80,6 +89,7 @@ class FrameCost:
             "syndrome_ops": round(self.syndrome_ops),
             "other_ops": round(self.other_ops),
             "total_ops": round(self.total_ops),
+            "mxu_flops": round(self.mxu_flops),
             "iterations": self.iterations,
         }
 
@@ -104,6 +114,7 @@ def decode_frame_cost(
     n_pad: Optional[int] = None,
     benes_stages: Optional[int] = None,
     channel: bool = True,
+    mxu_pairs: int = 0,
 ) -> FrameCost:
     """Operation budget for one decoded frame.
 
@@ -116,7 +127,13 @@ def decode_frame_cost(
     """
     op_cost = MINSUM_OPS if minsum else BOXPLUS_OPS
     cn = _cn_pairwise_ops(cn_classes) * op_cost * iterations
-    if n_pad is not None:
+    mxu_flops = 0.0
+    if mxu_pairs:
+        # one-hot block matmuls on the MXU: 2*128*128 flops per pair per
+        # batch element, two transports per iteration plus the init
+        mxu_flops = mxu_pairs * 2 * 128 * 128 * (2 * iterations + 1)
+        permute = 0.0
+    elif n_pad is not None:
         stages = benes_stages if benes_stages is not None else 0
         per_pass = n_pad * stages * BENES_STAGE_OPS
         permute = per_pass * (2 * iterations + 1)
@@ -135,6 +152,7 @@ def decode_frame_cost(
         syndrome_ops=synd,
         other_ops=other,
         iterations=iterations,
+        mxu_flops=mxu_flops,
     )
 
 

@@ -168,3 +168,48 @@ class TestBf16Transport:
             np.asarray(out16.is_codeword) == np.asarray(out32.is_codeword)
         ).mean()
         assert agree > 0.95
+
+
+class TestMxuPermute:
+    def test_plan_covers_permutation(self):
+        from libldpc_tpu.ops.pallas.layout import _block_permute_plan
+
+        rng = np.random.default_rng(0)
+        N = 512
+        perm = rng.permutation(N)
+        plan, blocks = _block_permute_plan(perm)
+        x = rng.normal(size=(N, 4)).astype(np.float32)
+        out = np.zeros_like(x)
+        for d, entries in enumerate(plan):
+            acc = np.zeros((128, 4), np.float32)
+            for p, s in entries:
+                acc += blocks[p] @ x[s * 128 : (s + 1) * 128]
+            out[d * 128 : (d + 1) * 128] = acc
+        np.testing.assert_array_equal(out, x[perm])
+
+    @pytest.mark.parametrize("message_dtype", ["float32", "bfloat16"])
+    def test_mxu_matches_benes(self, pallas_setup, message_dtype):
+        """permute='mxu' (one-hot block matmuls on the MXU) must reproduce
+        the Beneš transport exactly — one-hot selection is exact in both
+        dtypes."""
+        code, pdc, llr_s = pallas_setup
+        assert pdc.mxu_blocks_fwd is not None  # the layout is block-local
+        out_b = bp_decode_pallas(
+            pdc, llr_s, iterations=10, early_term=True,
+            batch_tile=128, interpret=True, message_dtype=message_dtype,
+        )
+        out_m = bp_decode_pallas(
+            pdc, llr_s, iterations=10, early_term=True,
+            batch_tile=128, interpret=True, message_dtype=message_dtype,
+            permute="mxu",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_b.hard), np.asarray(out_m.hard)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_b.iterations), np.asarray(out_m.iterations)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b.llr_out), np.asarray(out_m.llr_out),
+            rtol=1e-5, atol=1e-5,
+        )
