@@ -58,7 +58,8 @@ from .layout import PallasDeviceCode
 
 
 def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
-                 minsum_mode, bt, dtype=jnp.float32, nl=0, mxu=False):
+                 minsum_mode, bt, dtype=jnp.float32, nl=0, mxu=False,
+                 chunk=False, cap=0):
     N = pdc.n_pad
     cn_blocks = pdc.cn_blocks
     vn_blocks = pdc.vn_blocks
@@ -246,6 +247,64 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         return jnp.where(viol == 0, 1, 0).astype(jnp.int32)  # [1, Bt]
 
     n_perm_refs = 2 if mxu else 1
+
+    def kernel_chunk(*args):
+        """Resumable chunk: ``iterations`` BP passes from carried state.
+
+        The streaming compaction loop (:mod:`libldpc_tpu.ops.streaming_pallas`)
+        calls this between reloads: ``lv2c``/``done``/``iters``/``age`` ride
+        in and out (input/output-aliased), reloaded streams arrive with
+        ``lv2c = 0`` (one zero-message pass reproduces the standard
+        ``Lv2c = LLRIn[col]`` init exactly — no gather) and ``age = 0``
+        gates their convergence check off during that warm-up pass.
+        Semantics per frame match :mod:`libldpc_tpu.ops.streaming`
+        (break-before-increment iteration counts, freeze at first
+        convergence, cap at ``cap`` real iterations).
+        """
+        pref = args[:n_perm_refs]
+        (llr_ref, lv2c_in, done_in, iters_in, age_in,
+         lv2c_ref, out_llr_ref, done_ref, iters_ref, age_ref) = args[n_perm_refs:]
+        lv2c_ref[:] = lv2c_in[:]
+        done_ref[:] = done_in[:]
+        iters_ref[:] = iters_in[:]
+        age_ref[:] = age_in[:]
+        out_llr_ref[:] = jnp.zeros((nc, bt), dtype)
+
+        def body(it, carry):
+            def one_pass():
+                lv2c = lv2c_ref[:]
+                lc2v_c = cn_exclusion(lv2c)
+                lc2v_v = transport(pref, lc2v_c, reverse=False)
+                llr_out, lv2c_v = vn_stage(llr_ref, lc2v_v)
+                lv2c_new = transport(pref, lv2c_v, reverse=True)
+
+                done_i = done_ref[0:1, :]
+                age_i = age_ref[0:1, :]
+                is_cw = syndrome(lv2c_new + lc2v_c)
+                checking = (1 - done_i) * jnp.where(age_i >= 1, 1, 0)
+                newly = checking * is_cw
+                iters_ref[0:1, :] = iters_ref[0:1, :] + checking * (1 - is_cw)
+                age2 = age_i + (1 - done_i)
+                age_ref[0:1, :] = age2
+                finished = (1 - done_i) * jnp.where(
+                    (newly > 0) | (age2 >= cap + 1), 1, 0
+                )
+                done_ref[0:1, :] = done_i + finished
+                keep = done_i > 0
+                lv2c_ref[:] = jnp.where(keep, lv2c, lv2c_new)
+                out_llr_ref[:] = jnp.where(keep, out_llr_ref[:], llr_out)
+
+            active = jnp.sum(done_ref[0:1, :]) < bt
+
+            @pl.when(active)
+            def _():
+                one_pass()
+            return carry
+
+        jax.lax.fori_loop(0, iterations, body, 0)
+
+    if chunk:
+        return kernel_chunk
 
     def kernel_layered(*args):
         """Layered (serial) schedule: per iteration, each layer refreshes
@@ -504,3 +563,104 @@ def bp_decode_pallas(
         iterations=iters8[0],
         is_codeword=iscw8[0] > 0,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "cap", "minsum_mode", "batch_tile", "interpret",
+                     "message_dtype", "permute"),
+)
+def bp_chunk_pallas(
+    pdc: PallasDeviceCode,
+    llr_in: jnp.ndarray,  # f32 [nc, B], sorted VN labelling
+    lv2c: jnp.ndarray,  # dtype [n_pad, B] carried message state
+    done8: jnp.ndarray,  # i32 [8, B] (row 0: finished flag)
+    iters8: jnp.ndarray,  # i32 [8, B]
+    age8: jnp.ndarray,  # i32 [8, B]
+    *,
+    k: int,
+    cap: int,
+    minsum_mode=False,
+    batch_tile: int = 256,
+    interpret: bool = False,
+    message_dtype: str = "float32",
+    permute: str = "benes",
+):
+    """Run ``k`` BP passes from carried per-stream state (see
+    ``kernel_chunk``).  Returns ``(lv2c, llr_out, done8, iters8, age8)``;
+    the state operands are donated/aliased in place.  Semantics per frame
+    match :mod:`libldpc_tpu.ops.streaming`."""
+    nc, B = llr_in.shape
+    bt = min(batch_tile, B)
+    if B % bt:
+        raise ValueError(f"batch {B} not divisible by tile {bt}")
+    if permute == "mxu" and pdc.mxu_blocks_fwd is None:
+        raise ValueError("permute='mxu' requires a block-local plan")
+    dtype = jnp.dtype(message_dtype)
+    mxu = permute == "mxu"
+    kernel = _make_kernel(
+        pdc, nc, k, True, minsum_mode, bt, dtype=dtype, mxu=mxu,
+        chunk=True, cap=cap,
+    )
+    swap = pdc.swap_planes
+    Sa = swap.shape[1]
+    in_specs = []
+    inputs = []
+    if mxu:
+        for blocks in (pdc.mxu_blocks_fwd, pdc.mxu_blocks_rev):
+            in_specs.append(
+                pl.BlockSpec(blocks.shape, lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            inputs.append(blocks)
+    else:
+        in_specs.append(
+            pl.BlockSpec((pdc.n_pad, Sa), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(swap)
+    n_perm = len(inputs)
+    for arr, shape in (
+        (llr_in, (nc, bt)),
+        (lv2c, (pdc.n_pad, bt)),
+        (done8, (8, bt)),
+        (iters8, (8, bt)),
+        (age8, (8, bt)),
+    ):
+        in_specs.append(
+            pl.BlockSpec(shape, lambda b: (0, b), memory_space=pltpu.VMEM)
+        )
+        inputs.append(arr)
+    out_specs = [
+        pl.BlockSpec((pdc.n_pad, bt), lambda b: (0, b),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nc, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+    ]
+    out_shape = (
+        jax.ShapeDtypeStruct((pdc.n_pad, B), dtype),
+        jax.ShapeDtypeStruct((nc, B), dtype),
+        jax.ShapeDtypeStruct((8, B), jnp.int32),
+        jax.ShapeDtypeStruct((8, B), jnp.int32),
+        jax.ShapeDtypeStruct((8, B), jnp.int32),
+    )
+    lv2c2, llr_out, done2, iters2, age2 = pl.pallas_call(
+        kernel,
+        grid=(B // bt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases={
+            n_perm + 1: 0,  # lv2c
+            n_perm + 2: 2,  # done8
+            n_perm + 3: 3,  # iters8
+            n_perm + 4: 4,  # age8
+        },
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return lv2c2, llr_out.astype(jnp.float32), done2, iters2, age2

@@ -139,16 +139,23 @@ class Simulator:
             self.dcode = to_pallas_device(
                 code, with_layers=decoder_params.layered
             )
-            if self.dcode.n_pad > 16384:
+            if (
+                self.dcode.n_pad > 16384
+                and self.dcode.mxu_blocks_fwd is None
+            ):
                 # Mosaic compile time scales with the vector tile count and
-                # becomes pathological for edge spaces this large (see
-                # ops/pallas/decode_fused.py docstring) — use the XLA path
+                # becomes pathological for Benes kernels on edge spaces
+                # this large (see ops/pallas/decode_fused.py docstring).
+                # Block-local (structured/QC) codes run the MXU-permute
+                # kernel instead (n=8192 QC: 2.45x the XLA path, ~6 min
+                # first compile, seconds warm); unstructured large codes
+                # use the XLA path.
                 import warnings
 
                 warnings.warn(
                     f"padded edge space {self.dcode.n_pad} too large for the "
-                    "fused Pallas kernel; falling back to the XLA sorted "
-                    "decoder"
+                    "fused Benes kernel and the code is not block-local; "
+                    "falling back to the XLA sorted decoder"
                 )
                 use_pallas = False
                 self.dcode = self.dcode.sorted_dc
@@ -211,10 +218,25 @@ class Simulator:
             and decoder_params.iterations >= 1
             and channel_params.type != "BEC"
             and not decoder_params.layered
-            and not use_pallas
             and simulation_params.error_log_file is None
         )
-        if self._streaming:
+        if self._streaming and use_pallas:
+            # streaming compaction with the decode chunks on the fused
+            # Pallas kernel (ops/streaming_pallas.py)
+            from ..ops.streaming_pallas import make_streaming_pallas_step
+
+            self._stream_init, self._stream_step = make_streaming_pallas_step(
+                self.dcode,
+                channel_params.type,
+                decoder_params,
+                simulation_params.batch_size // n_dev,
+                mesh=mesh,
+                modulation=mod_for_step,
+                chunk_iters=simulation_params.streaming_chunk,
+                max_frames=simulation_params.max_frames,
+            )
+            self._step = None
+        elif self._streaming:
             from ..ops.streaming import make_streaming_step
 
             self._stream_init, self._stream_step = make_streaming_step(
