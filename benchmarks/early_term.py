@@ -69,14 +69,37 @@ def main():
     batch = args.batch
     points = [float(p) for p in args.points.split(",")]
 
-    # fixed-iteration fast path (the bar to beat)
-    noet_step = make_sim_step(
-        sdc, "AWGN", DecoderParams(early_term=False, iterations=50), batch
-    )
-    # streaming early termination (driver default for ET sweeps)
-    init_fn, et_step = make_streaming_step(
-        sdc, "AWGN", DecoderParams(early_term=True, iterations=50), batch
-    )
+    use_pallas = os.environ.get("ET_PALLAS", "0") == "1"
+    dec_kw = dict(message_dtype="bfloat16") if use_pallas else {}
+    if use_pallas:
+        from libldpc_tpu.ops.pallas.layout import to_pallas_device
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_pallas_step,
+        )
+
+        pdc = to_pallas_device(code)
+        # fixed-iteration fast path on the fused kernel (the bar to beat)
+        noet_step = make_sim_step(
+            pdc, "AWGN",
+            DecoderParams(early_term=False, iterations=50, **dec_kw),
+            batch, use_pallas=True,
+        )
+        init_fn, et_step = make_streaming_pallas_step(
+            pdc, "AWGN",
+            DecoderParams(early_term=True, iterations=50, **dec_kw),
+            batch,
+        )
+    else:
+        # fixed-iteration fast path (the bar to beat)
+        noet_step = make_sim_step(
+            sdc, "AWGN", DecoderParams(early_term=False, iterations=50),
+            batch,
+        )
+        # streaming early termination (driver default for ET sweeps)
+        init_fn, et_step = make_streaming_step(
+            sdc, "AWGN", DecoderParams(early_term=True, iterations=50),
+            batch,
+        )
 
     key = jax.random.PRNGKey(0)
     rows = []

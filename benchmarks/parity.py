@@ -30,16 +30,19 @@ def z_two_proportion(k1, n1, k2, n2):
 
 
 def run_config(code, channel, dec_type, x, fec, max_frames, batch,
-               bec_compat=False, seed=123):
+               bec_compat=False, seed=123, use_pallas=False,
+               message_dtype="float32"):
     from libldpc_tpu.sim import Simulator
     from libldpc_tpu.utils import ChannelParams, DecoderParams, SimulationParams
 
     sim = Simulator(
         code,
         DecoderParams(iterations=50, type=dec_type,
-                      bec_ref_bug_compat=bec_compat),
+                      bec_ref_bug_compat=bec_compat,
+                      message_dtype=message_dtype),
         ChannelParams(seed=seed, x_range=(x, x + 1e-6, 1.0), type=channel),
         SimulationParams(batch_size=batch, fec=fec, max_frames=max_frames),
+        use_pallas=use_pallas and channel != "BEC",
         verbose=False,
     )
     res = sim.start()
@@ -52,6 +55,11 @@ def main():
     ap.add_argument("--max-frames", type=int, default=400000)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "PARITY.md"))
+    ap.add_argument("--pallas", action="store_true",
+                    help="Run the AWGN/BSC configs through the fused "
+                         "Pallas kernel (streaming ET path).")
+    ap.add_argument("--message-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     from libldpc_tpu.models import LDPCCode
@@ -77,6 +85,7 @@ def main():
             k1, n1, ber1 = run_config(
                 code, channel, dec_type, x, args.fec, args.max_frames,
                 args.batch, bec_compat=bec_compat,
+                use_pallas=args.pallas, message_dtype=args.message_dtype,
             )
             z = z_two_proportion(k1, n1, k2, n2)
             worst_z = max(worst_z, abs(z))

@@ -61,49 +61,66 @@ def _init_state(pdc: PallasDeviceCode, batch: int, dtype,
 
 def _superstep(
     pdc, channel_type, iterations, cn_mode, batch, modulation, quota,
-    k, batch_tile, message_dtype, permute, interpret,
+    k, n_outer, batch_tile, message_dtype, permute, interpret,
     key, x_value, refill, st: PStreamState,
 ):
+    """``n_outer`` chunks of ``k`` fused decode passes, with counting and
+    reload between chunks — all inside one jitted call, so per-dispatch
+    host/tunnel latency amortises over a full decode's worth of passes."""
     is_tx = jnp.zeros((pdc.nc,), bool).at[pdc.bit_pos].set(True)[:, None]
-    # --- k fused decode passes with in-kernel bookkeeping ----------------
-    lv2c, llr_out, done8, iters8, age8 = bp_chunk_pallas(
-        pdc, st.llr_in, st.lv2c, st.done8, st.iters8, st.age8,
-        k=k, cap=iterations, minsum_mode=cn_mode, batch_tile=batch_tile,
-        message_dtype=message_dtype, permute=permute, interpret=interpret,
+
+    def one_chunk(j, carry):
+        st, acc = carry
+        # --- k fused decode passes with in-kernel bookkeeping -------------
+        lv2c, llr_out, done8, iters8, age8 = bp_chunk_pallas(
+            pdc, st.llr_in, st.lv2c, st.done8, st.iters8, st.age8,
+            k=k, cap=iterations, minsum_mode=cn_mode, batch_tile=batch_tile,
+            message_dtype=message_dtype, permute=permute,
+            interpret=interpret,
+        )
+        done = done8[0] > 0
+        # --- count frames that finished during this chunk ------------------
+        newly = done & ~st.counted
+        hard = llr_out <= 0
+        biterr = (
+            (hard != (st.codeword > 0)) & is_tx
+        ).astype(jnp.int32).sum(0)
+        acc = StreamDeltas(
+            bit_errors=acc.bit_errors + jnp.where(newly, biterr, 0).sum(),
+            frame_errors=acc.frame_errors
+            + (newly & (biterr > 0)).astype(jnp.int32).sum(),
+            frames=acc.frames + newly.astype(jnp.int32).sum(),
+            iter_sum=acc.iter_sum + jnp.where(newly, iters8[0], 0).sum(),
+            n_active=acc.n_active,
+        )
+        counted = st.counted | newly
+        # --- reload finished streams with fresh frames ----------------------
+        ch = simulate_channel(
+            pdc, channel_type, jax.random.fold_in(key, j), batch, x_value,
+            modulation=modulation,
+        )
+        rs = refill & done & counted
+        rs = rs & (st.started[0] + jnp.cumsum(rs.astype(jnp.int32)) <= quota)
+        rs_i = rs.astype(jnp.int32)
+        st2 = PStreamState(
+            llr_in=jnp.where(rs, ch.llr, st.llr_in),
+            codeword=jnp.where(rs, ch.codeword, st.codeword),
+            lv2c=jnp.where(rs, jnp.zeros((), lv2c.dtype), lv2c),
+            done8=done8 * (1 - rs_i),
+            iters8=iters8 * (1 - rs_i),
+            age8=age8 * (1 - rs_i),
+            counted=counted & ~rs,
+            started=st.started + rs_i.sum()[None],
+        )
+        return st2, acc
+
+    zero = jnp.int32(0)
+    acc0 = StreamDeltas(zero, zero, zero, zero, zero)
+    st, acc = jax.lax.fori_loop(0, n_outer, one_chunk, (st, acc0))
+    acc = acc._replace(
+        n_active=(st.done8[0] == 0).astype(jnp.int32).sum()
     )
-    done = done8[0] > 0
-    # --- count frames that finished during this chunk ---------------------
-    newly = done & ~st.counted
-    hard = llr_out <= 0
-    biterr = ((hard != (st.codeword > 0)) & is_tx).astype(jnp.int32).sum(0)
-    d = StreamDeltas(
-        bit_errors=jnp.where(newly, biterr, 0).sum(),
-        frame_errors=(newly & (biterr > 0)).astype(jnp.int32).sum(),
-        frames=newly.astype(jnp.int32).sum(),
-        iter_sum=jnp.where(newly, iters8[0], 0).sum(),
-        n_active=jnp.int32(0),
-    )
-    counted = st.counted | newly
-    # --- reload finished streams with fresh frames ------------------------
-    ch = simulate_channel(pdc, channel_type, key, batch, x_value,
-                          modulation=modulation)
-    rs = refill & done & counted
-    rs = rs & (st.started[0] + jnp.cumsum(rs.astype(jnp.int32)) <= quota)
-    rs_i = rs.astype(jnp.int32)
-    st2 = PStreamState(
-        llr_in=jnp.where(rs, ch.llr, st.llr_in),
-        codeword=jnp.where(rs, ch.codeword, st.codeword),
-        lv2c=jnp.where(rs, jnp.zeros((), lv2c.dtype), lv2c),
-        done8=done8 * (1 - rs_i),
-        iters8=iters8 * (1 - rs_i),
-        age8=age8 * (1 - rs_i),
-        counted=counted & ~rs,
-        started=st.started + rs_i.sum()[None],
-    )
-    d = d._replace(
-        n_active=(st2.done8[0] == 0).astype(jnp.int32).sum()
-    )
-    return st2, d
+    return st, acc
 
 
 def make_streaming_pallas_step(
@@ -128,7 +145,10 @@ def make_streaming_pallas_step(
     iterations = dec.iterations
     if iterations < 1:
         raise ValueError("streaming decode requires iterations >= 1")
-    k = chunk_iters or max(4, iterations // 8)
+    k = chunk_iters or max(4, min(8, iterations // 8))
+    # one step_fn call covers ~a full decode's worth of passes so the
+    # per-dispatch latency amortises
+    n_outer = max(1, -(-iterations // k))
     permute = dec.permute
     if permute == "auto":
         permute = "mxu" if pdc.mxu_blocks_fwd is not None else "benes"
@@ -137,7 +157,7 @@ def make_streaming_pallas_step(
     def body(quota):
         return functools.partial(
             _superstep, pdc, channel_type, iterations, dec.cn_mode,
-            batch_per_device, modulation, quota, k, batch_tile,
+            batch_per_device, modulation, quota, k, n_outer, batch_tile,
             dec.message_dtype, permute, interpret,
         )
 
