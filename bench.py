@@ -49,7 +49,9 @@ def main():
 
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
-    batch = int(os.environ.get("BENCH_BATCH", 4096 if on_tpu else 256))
+    # batch sized so per-step compute (~30 ms) dominates per-dispatch
+    # latency (~15-20 ms on tunneled backends; negligible locally)
+    batch = int(os.environ.get("BENCH_BATCH", 16384 if on_tpu else 256))
     dec = DecoderParams(early_term=False, iterations=50, type="BP")
     key = jax.random.PRNGKey(0)
     snr = np.float32(0.0)
