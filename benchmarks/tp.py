@@ -39,7 +39,7 @@ def _time_decode(decode_fn, llr, n_calls=4):
 
 
 def build_decode(code, iterations, use_pallas, batch, decoder="BP",
-                 message_dtype="float32"):
+                 message_dtype="float32", permute="auto"):
     import functools
 
     import jax
@@ -56,10 +56,13 @@ def build_decode(code, iterations, use_pallas, batch, decoder="BP",
         from libldpc_tpu.ops.pallas.layout import to_pallas_device
 
         pdc = to_pallas_device(code)
+        if permute == "auto":
+            permute = "mxu" if pdc.mxu_blocks_fwd is not None else "benes"
         llr_j = jnp.asarray(llr[np.asarray(pdc.sorted_dc.vn_perm)])
         fn = functools.partial(
             bp_decode_pallas, pdc, iterations=iterations, early_term=False,
             minsum_mode=decoder, message_dtype=message_dtype,
+            permute=permute,
         )
     else:
         from libldpc_tpu.ops.sorted import bp_decode_sorted, to_sorted_device
@@ -84,6 +87,8 @@ def main():
     ap.add_argument("--decoder", default="BP",
                     help="BP | BP_MS | BP_LIN (decode throughput varies with "
                          "the CN operator's transcendental cost)")
+    ap.add_argument("--permute", default="auto",
+                    choices=["auto", "benes", "mxu"])
     ap.add_argument("--message-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="Fused-kernel message dtype (bf16 transport).")
@@ -111,7 +116,8 @@ def main():
         rows = []
         for iters in [int(v) for v in args.iters_list.split(",")]:
             fn, llr = build_decode(code, iters, args.pallas, args.batch,
-                                   args.decoder, args.message_dtype)
+                                   args.decoder, args.message_dtype,
+                                   args.permute)
             dt = min(_time_decode(fn, llr) for _ in range(args.best))
             fps = args.batch / dt
             mbps = fps * code.nct / 1e6
@@ -128,7 +134,8 @@ def main():
         for n in [int(v) for v in args.bl_list.split(",")]:
             code = make_benchmark_code(n, dv=3, dc=6, seed=1)
             fn, llr = build_decode(code, args.bl_iters, args.pallas, args.batch,
-                                   args.decoder, args.message_dtype)
+                                   args.decoder, args.message_dtype,
+                                   args.permute)
             dt = min(_time_decode(fn, llr) for _ in range(args.best))
             fps = args.batch / dt
             mbps = fps * code.nct / 1e6
