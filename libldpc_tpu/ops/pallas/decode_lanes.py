@@ -1,0 +1,299 @@
+"""Lane-major fused BP decoder: arbitrary blocklengths in one Pallas kernel.
+
+The ``[edges, frames]`` fused kernel (:mod:`.decode_fused`) hits two walls
+at padded edge spaces beyond 16K (Mosaic compile time and VMEM residency —
+see :mod:`.lanes_layout`).  This decoder keeps **frames on sublanes and
+edges on lanes**: messages are ``[frame_tile, n_pad]`` (``frame_tile=8``,
+one native sublane tile), all 50 iterations stay fused in one kernel with
+the message state VMEM-resident (``8 * n_pad * 4`` bytes — 1 MB at
+``n_pad = 32768``), and batch throughput comes from the Pallas grid over
+frame tiles.
+
+Capability parity target: the reference GPU kernels decode any
+blocklength that fits device memory (``gpu/device/kernel.cpp:237-293``);
+this kernel restores that for the fused path (the ``[edges, frames]``
+kernel refuses ``n_pad > 16384``).
+
+Semantics match :func:`libldpc_tpu.ops.sorted.bp_decode_sorted` exactly
+(iteration counting with break-before-increment per
+``src/decoding/decoder.cpp:66-77``, freeze at first convergence, syndrome
+from the transported posterior).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import cn_ops
+from ..device import PAD_LLR
+from ..sorted import SortedDecodeOutput
+from .lanes_layout import LanesDeviceCode
+
+
+def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
+                 ft):
+    N = ldc.n_pad
+    nc_pad = ldc.nc_pad
+    op = cn_ops.get_op(minsum_mode)
+    mask_word = ldc.n_words  # real-edge mask lives in the last plane word
+
+    def benes(w_ref, v, reverse):
+        stages = list(zip(ldc.benes_dists, ldc.benes_words))
+        if reverse:
+            stages = stages[::-1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        for d, (w, b) in stages:
+            sw = ((w_ref[w : w + 1, :] >> b) & 1) > 0
+            top = (iota & d) == 0
+            partner = jnp.where(
+                top,
+                pltpu.roll(v, N - d, axis=1),
+                pltpu.roll(v, d, axis=1),
+            )
+            v = jnp.where(sw, partner, v)
+        return v
+
+    def force_pad(w_ref, v):
+        """Pin fake/free CN-space slots to PAD_LLR (see lanes_layout)."""
+        real = ((w_ref[mask_word : mask_word + 1, :]) & 1) > 0
+        return jnp.where(real, v, PAD_LLR)
+
+    def cn_exclusion(v):
+        """CN update on CN-space lanes ``[ft, N]`` -> ``[ft, N]``."""
+        parts = []
+        for base, cp, d in ldc.cn_blocks:
+            M = [v[:, base + j * cp : base + (j + 1) * cp] for j in range(d)]
+            if d == 1:
+                parts.append(jnp.full_like(M[0], PAD_LLR))
+                continue
+            fwd = [M[0]]
+            bwd = [M[d - 1]]
+            for j in range(1, d):
+                fwd.append(op(fwd[-1], M[j]))
+                bwd.append(op(bwd[-1], M[d - 1 - j]))
+            out = [bwd[d - 2]]
+            for j in range(1, d - 1):
+                out.append(op(fwd[j - 1], bwd[d - 2 - j]))
+            out.append(fwd[d - 2])
+            parts.extend(out)
+        cn_end = sum(cp * d for _, cp, d in ldc.cn_blocks)
+        if N > cn_end:
+            # PAD_LLR (positive), not zero: free-slot values reach fake VN
+            # posteriors and come back to fake checks' syndrome lanes,
+            # where a zero would read as a hard 1 and block early term
+            parts.append(
+                jnp.full((v.shape[0], N - cn_end), PAD_LLR, v.dtype)
+            )
+        return cn_ops.cn_postprocess(
+            jnp.concatenate(parts, axis=1), minsum_mode
+        )
+
+    def vn_stage(llr, lc2v_v):
+        """Posterior per node ``[ft, nc_pad]`` and per VN-space slot
+        ``[ft, N]`` (see decode_fused.vn_stage for why the posterior is
+        transported rather than the extrinsic)."""
+        llr_parts = []
+        post_parts = []
+        for (base_e, cp, d), nb in zip(ldc.vn_blocks, ldc.vn_node_base):
+            lin = llr[:, nb : nb + cp]
+            if d == 0:
+                llr_parts.append(lin)
+                continue
+            tot = lc2v_v[:, base_e : base_e + cp]
+            for j in range(1, d):
+                tot = tot + lc2v_v[:, base_e + j * cp : base_e + (j + 1) * cp]
+            llr_b = lin + tot
+            llr_parts.append(llr_b)
+            for _ in range(d):
+                post_parts.append(llr_b)
+        vn_end = sum(cp * d for _, cp, d in ldc.vn_blocks)
+        if N > vn_end:
+            # positive fill — these slots land on fake checks (see
+            # cn_exclusion) and must read as hard-0 bits in the syndrome
+            post_parts.append(
+                jnp.full((llr.shape[0], N - vn_end), PAD_LLR, llr.dtype)
+            )
+        return (
+            jnp.concatenate(llr_parts, axis=1),
+            jnp.concatenate(post_parts, axis=1),
+        )
+
+    def init_lv2c(w_ref, llr):
+        parts = []
+        for (base_e, cp, d), nb in zip(ldc.vn_blocks, ldc.vn_node_base):
+            if d == 0:
+                continue
+            lin = llr[:, nb : nb + cp]
+            for _ in range(d):
+                parts.append(lin)
+        vn_end = sum(cp * d for _, cp, d in ldc.vn_blocks)
+        if N > vn_end:
+            parts.append(jnp.zeros((llr.shape[0], N - vn_end), llr.dtype))
+        return benes(w_ref, jnp.concatenate(parts, axis=1), reverse=True)
+
+    def syndrome(q):
+        """Per-frame satisfied flag from CN-space posteriors ``[ft, N]``.
+
+        Fake checks hold PAD_LLR on every input lane (force_pad), so their
+        parity is 0 and no real-node mask is needed.
+        """
+        viol = jnp.zeros((q.shape[0], 1), jnp.int32)
+        for base, cp, d in ldc.cn_blocks:
+            bits = None
+            for j in range(d):
+                b = (q[:, base + j * cp : base + (j + 1) * cp] <= 0).astype(
+                    jnp.int32
+                )
+                bits = b if bits is None else bits + b
+            odd = jnp.bitwise_and(bits, 1)
+            viol = viol + jnp.sum(odd, axis=1, keepdims=True)
+        return jnp.where(viol == 0, 1, 0)  # int32 [ft, 1]
+
+    def kernel(w_ref, llr_ref, out_llr_ref, out_iters_ref, out_iscw_ref,
+               lv2c_ref, done_ref, iters_ref, iscw_ref):
+        llr = llr_ref[:]
+        lv2c_ref[:] = force_pad(w_ref, init_lv2c(w_ref, llr))
+        done_ref[:] = jnp.zeros((ft, 128), jnp.int32)
+        iters_ref[:] = jnp.zeros((ft, 128), jnp.int32)
+        iscw_ref[:] = jnp.zeros((ft, 128), jnp.int32)
+        out_llr_ref[:] = jnp.zeros((ft, nc_pad), jnp.float32)
+
+        def body(it, carry):
+            def iteration():
+                lv2c = lv2c_ref[:]
+                lc2v_c = cn_exclusion(lv2c)
+                lc2v_v = benes(w_ref, lc2v_c, reverse=False)
+                llr_out, post_v = vn_stage(llr, lc2v_v)
+                q = benes(w_ref, post_v, reverse=True)
+                lv2c_new = force_pad(w_ref, q - lc2v_c)
+
+                if early_term:
+                    is_cw = syndrome(q)  # [ft, 1]
+                    done_i = done_ref[:, 0:1]
+                    newly = (1 - done_i) * is_cw
+                    iters_ref[:, 0:1] = (
+                        iters_ref[:, 0:1] + (1 - done_i) * (1 - newly)
+                    )
+                    done_ref[:, 0:1] = done_i + newly
+                    iscw_ref[:, 0:1] = (
+                        done_i * iscw_ref[:, 0:1] + (1 - done_i) * is_cw
+                    )
+                    keep = done_i > 0  # [ft, 1] broadcasts over lanes
+                    lv2c_ref[:] = jnp.where(keep, lv2c, lv2c_new)
+                    out_llr_ref[:] = jnp.where(
+                        keep, out_llr_ref[:], llr_out
+                    )
+                else:
+                    lv2c_ref[:] = lv2c_new
+                    out_llr_ref[:] = llr_out
+
+                    @pl.when(it == iterations - 1)
+                    def _():
+                        iscw_ref[:, 0:1] = syndrome(q)
+
+            if early_term:
+                active = jnp.sum(done_ref[:, 0:1]) < ft
+
+                @pl.when(active)
+                def _():
+                    iteration()
+            else:
+                iteration()
+            return carry
+
+        jax.lax.fori_loop(0, iterations, body, 0)
+        if not early_term:
+            iters_ref[:, 0:1] = jnp.full((ft, 1), iterations, jnp.int32)
+        out_iters_ref[:] = iters_ref[:]
+        out_iscw_ref[:] = iscw_ref[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "early_term", "minsum_mode", "frame_tile",
+                     "interpret"),
+)
+def bp_decode_lanes(
+    ldc: LanesDeviceCode,
+    llr_in: jnp.ndarray,  # f32 [nc, B], sorted VN labelling
+    iterations: int = 50,
+    early_term: bool = True,
+    minsum_mode: bool = False,
+    frame_tile: int = 8,
+    interpret: bool = False,
+) -> SortedDecodeOutput:
+    """Fused lane-major BP decode; drop-in for :func:`bp_decode_pallas`
+    at blocklengths the ``[edges, frames]`` kernel cannot compile."""
+    nc, B = llr_in.shape
+    ft = min(frame_tile, B)
+    if B % ft:
+        raise ValueError(f"batch {B} not divisible by frame tile {ft}")
+    if iterations == 0:
+        zeros = jnp.zeros_like(llr_in)
+        return SortedDecodeOutput(
+            llr_out=zeros,
+            hard=jnp.zeros(llr_in.shape, bool),
+            iterations=jnp.zeros((B,), jnp.int32),
+            is_codeword=jnp.zeros((B,), bool),
+        )
+
+    # sorted labels -> padded lanes, frames to rows
+    llr_pad = jnp.take(
+        llr_in, ldc.vn_of_lane, axis=0, mode="fill", fill_value=0.0
+    )
+    # fake lanes must read 0.0, not the label-0 LLR vn_of_lane points at
+    real_lane = jnp.zeros((ldc.nc_pad, 1), llr_in.dtype)
+    real_lane = real_lane.at[ldc.lane_of_vn].set(1.0)
+    llr_pad = (llr_pad * real_lane).T  # [B, nc_pad]
+
+    kernel = _make_kernel(ldc, iterations, early_term, minsum_mode, ft)
+    W = ldc.planes.shape[0]
+    llr_out, iters, iscw = pl.pallas_call(
+        kernel,
+        grid=(B // ft,),
+        in_specs=[
+            pl.BlockSpec((W, ldc.n_pad), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ft, ldc.nc_pad), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ft, ldc.nc_pad), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ft, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ft, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((B, ldc.nc_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ft, ldc.n_pad), jnp.float32),
+            pltpu.VMEM((ft, 128), jnp.int32),
+            pltpu.VMEM((ft, 128), jnp.int32),
+            pltpu.VMEM((ft, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ldc.planes, llr_pad)
+
+    llr_out = jnp.take(llr_out.T, ldc.lane_of_vn, axis=0)  # [nc, B]
+    return SortedDecodeOutput(
+        llr_out=llr_out,
+        hard=llr_out <= 0,
+        iterations=iters[:, 0],
+        is_codeword=iscw[:, 0] > 0,
+    )

@@ -1,0 +1,258 @@
+"""Lane-major code layout for the large-blocklength fused Pallas decoder.
+
+The ``[edges, frames]`` kernel layout (:mod:`.layout`) keeps frames on the
+128-lane axis and edges on sublanes.  That is ideal up to padded edge
+spaces of ~16K, but beyond it two hard walls appear: Mosaic's compile time
+scales with the number of ``(8, 128)`` vector tiles each op touches
+(``n_pad * bt / 1024`` — pathological at ``n_pad = 32768``), and the
+VMEM-resident message state (``n_pad * bt * 4`` bytes, twice over for the
+roll double-buffer) exceeds on-chip memory.  The reference GPU kernels
+have no such wall — their grid-stride loops decode any blocklength that
+fits device memory (``gpu/device/kernel.cpp:237-293``).
+
+This module flips the layout: **frames on sublanes, edges on lanes** —
+messages are ``[frame_tile, n_pad]`` with ``frame_tile`` = 8 (one native
+sublane tile).  Per-op tile count and VMEM residency both drop by
+``128 / frame_tile = 16x``, so the fully-fused single-kernel design (all
+iterations in VMEM, Benes-network edge transport, per-frame early
+termination) extends to arbitrary blocklengths; batch throughput comes
+from the Pallas grid over frame tiles instead of from the lane axis.
+
+Two layout consequences:
+
+* Benes exchanges run **along the lane axis** (``pltpu.roll(axis=1)``);
+  switch planes are **bit-packed** into int32 words (stage ``s`` = bit
+  ``s % 31`` of word ``s // 31``) so the whole network costs one
+  ``[W, n_pad]`` VMEM ref instead of ``[n_pad, S]``.
+* CN/VN degree-class blocks are sliced on the lane axis, where Mosaic
+  wants 128-aligned static slices — so every degree class is padded with
+  **fake nodes** up to a multiple of 128.  Fake edges are forced to
+  :data:`~libldpc_tpu.ops.device.PAD_LLR` every iteration (one select
+  against the packed real-edge mask plane), which makes fake checks
+  trivially satisfied and keeps junk out of the syndrome; the
+  CN-space <-> VN-space permutation maps fake slots only to fake slots,
+  so they never contaminate real messages.
+
+Node labellings are the sorted-by-degree labels of
+:func:`libldpc_tpu.ops.sorted.to_sorted_device` (the embedded
+``sorted_dc`` shares them); ``lane_of_vn`` / ``vn_of_lane`` convert
+between sorted labels and padded lane positions at the wrapper boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...models.code import LDPCCode
+from ..sorted import SortedDeviceCode, to_sorted_device
+from .benes import build_benes
+
+#: switch-plane bits packed per int32 word (bit 31 is left unused so the
+#: unpack shift never touches the sign bit)
+_BITS_PER_WORD = 31
+
+
+def _ceil128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class LanesDeviceCode:
+    """Device tables for the lane-major fused kernel."""
+
+    sorted_dc: SortedDeviceCode
+    # static
+    n_pad: int  # power-of-two padded edge-space size (lane extent)
+    nc_pad: int  # 128-aligned padded VN-node lane extent
+    benes_dists: tuple[int, ...]  # ACTIVE stages only
+    benes_words: tuple[tuple[int, int], ...]  # (word, bit) per active stage
+    n_words: int  # switch-plane words (mask word excluded)
+    cn_blocks: tuple[tuple[int, int, int], ...]  # (base, count_pad, degree)
+    vn_blocks: tuple[tuple[int, int, int], ...]  # (base_edge, count_pad, deg)
+    vn_node_base: tuple[int, ...]  # padded node-lane offset per VN class
+    # arrays
+    planes: jnp.ndarray = None  # int32 [n_words + 1, n_pad]; last word bit 0
+    #                             is the real-edge (CN-space) mask
+    lane_of_vn: jnp.ndarray = None  # int32 [nc] sorted VN label -> lane
+    vn_of_lane: jnp.ndarray = None  # int32 [nc_pad] lane -> sorted label
+    #                                 (arbitrary valid label on fake lanes)
+
+    def tree_flatten(self):
+        return (
+            self.sorted_dc, self.planes, self.lane_of_vn, self.vn_of_lane,
+        ), (
+            self.n_pad, self.nc_pad, self.benes_dists, self.benes_words,
+            self.n_words, self.cn_blocks, self.vn_blocks, self.vn_node_base,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        sorted_dc, planes, lane_of_vn, vn_of_lane = children
+        (n_pad, nc_pad, benes_dists, benes_words, n_words, cn_blocks,
+         vn_blocks, vn_node_base) = aux
+        return cls(
+            sorted_dc=sorted_dc, n_pad=n_pad, nc_pad=nc_pad,
+            benes_dists=benes_dists, benes_words=benes_words,
+            n_words=n_words, cn_blocks=cn_blocks, vn_blocks=vn_blocks,
+            vn_node_base=vn_node_base, planes=planes,
+            lane_of_vn=lane_of_vn, vn_of_lane=vn_of_lane,
+        )
+
+    # channel-facing delegation (same surface as PallasDeviceCode)
+    @property
+    def nc(self):
+        return self.sorted_dc.nc
+
+    @property
+    def mc(self):
+        return self.sorted_dc.mc
+
+    @property
+    def nnz(self):
+        return self.sorted_dc.nnz
+
+    @property
+    def nct(self):
+        return self.sorted_dc.nct
+
+    @property
+    def kc(self):
+        return self.sorted_dc.kc
+
+    @property
+    def G(self):
+        return self.sorted_dc.G
+
+    @property
+    def bit_pos(self):
+        return self.sorted_dc.bit_pos
+
+    @property
+    def puncture(self):
+        return self.sorted_dc.puncture
+
+    @property
+    def shorten(self):
+        return self.sorted_dc.shorten
+
+
+def to_lanes_device(code: LDPCCode) -> LanesDeviceCode:
+    sdc = to_sorted_device(code)
+    rows = code.rows.astype(np.int64)
+    cols = code.cols.astype(np.int64)
+    nnz = code.nnz
+
+    # sorted relabelling recomputed in NumPy (deterministic, matches sdc —
+    # see layout.py:to_pallas_device for why device pull-back is avoided)
+    cn_deg = np.bincount(rows, minlength=code.mc)
+    vn_deg = np.bincount(cols, minlength=code.nc)
+    cn_inv = np.empty(code.mc, dtype=np.int64)
+    cn_inv[np.argsort(cn_deg, kind="stable")] = np.arange(code.mc)
+    vn_inv = np.empty(code.nc, dtype=np.int64)
+    vn_inv[np.argsort(vn_deg, kind="stable")] = np.arange(code.nc)
+
+    # position-in-row / position-in-col (file order within each node)
+    order_by_row = np.argsort(cn_inv[rows], kind="stable")
+    pos_in_row = np.empty(nnz, dtype=np.int64)
+    srt_rows = cn_inv[rows][order_by_row]
+    row_starts = np.concatenate([[0], np.cumsum(np.sort(cn_deg))[:-1]])
+    pos_in_row[order_by_row] = np.arange(nnz) - row_starts[srt_rows]
+
+    order_by_col = np.argsort(vn_inv[cols], kind="stable")
+    pos_in_col = np.empty(nnz, dtype=np.int64)
+    srt_cols = vn_inv[cols][order_by_col]
+    col_starts = np.concatenate([[0], np.cumsum(np.sort(vn_deg))[:-1]])
+    pos_in_col[order_by_col] = np.arange(nnz) - col_starts[srt_cols]
+
+    # --- CN space: position-major class blocks, counts padded to 128 ---
+    cn_blocks = []
+    base_e = 0
+    base_n = 0
+    cn_slot = np.empty(nnz, dtype=np.int64)
+    cn_real = []  # (block_base, count_real, count_pad, degree)
+    for count, degree in sdc.cn_classes:
+        cp = _ceil128(count)
+        cn_blocks.append((base_e, cp, degree))
+        sel = (cn_inv[rows] >= base_n) & (cn_inv[rows] < base_n + count)
+        i_in_class = cn_inv[rows][sel] - base_n
+        cn_slot[sel] = base_e + pos_in_row[sel] * cp + i_in_class
+        cn_real.append((base_e, count, cp, degree))
+        base_e += cp * degree
+        base_n += count
+    cn_end = base_e
+
+    # --- VN space ---
+    vn_blocks = []
+    vn_node_base = []
+    base_e = 0
+    base_n = 0
+    base_lane = 0
+    vn_slot = np.empty(nnz, dtype=np.int64)
+    lane_of_vn = np.empty(code.nc, dtype=np.int32)
+    for count, degree in sdc.vn_classes:
+        cp = _ceil128(count)
+        vn_blocks.append((base_e, cp, degree))
+        vn_node_base.append(base_lane)
+        sel = (vn_inv[cols] >= base_n) & (vn_inv[cols] < base_n + count)
+        i_in_class = vn_inv[cols][sel] - base_n
+        vn_slot[sel] = base_e + pos_in_col[sel] * cp + i_in_class
+        lane_of_vn[base_n : base_n + count] = base_lane + np.arange(count)
+        base_e += cp * degree
+        base_n += count
+        base_lane += cp
+    vn_end = base_e
+    nc_pad = base_lane
+
+    vn_of_lane = np.zeros(nc_pad, dtype=np.int32)
+    vn_of_lane[lane_of_vn] = np.arange(code.nc, dtype=np.int32)
+
+    # --- permutation over the common padded pow2 edge space ---
+    n0 = max(cn_end, vn_end, 2)
+    N = 1 << int(np.ceil(np.log2(n0)))
+    perm = np.full(N, -1, dtype=np.int64)
+    perm[vn_slot] = cn_slot  # VN slot s receives the edge at CN slot perm[s]
+    # pair the remaining (fake/free) slots in order: fake VN slots receive
+    # fake CN slots only, so junk never crosses into real messages
+    cn_used = np.zeros(N, dtype=bool)
+    cn_used[cn_slot] = True
+    free_cn = np.flatnonzero(~cn_used)
+    free_vn = np.flatnonzero(perm < 0)
+    assert free_cn.size == free_vn.size == N - nnz
+    perm[free_vn] = free_cn
+    net = build_benes(perm)
+    assert net.n == N
+
+    # --- bit-pack ACTIVE switch planes + the real-edge mask ---
+    active = [s for s in range(len(net.dists)) if net.swap[s].any()]
+    n_words = -(-len(active) // _BITS_PER_WORD) if active else 1
+    planes = np.zeros((n_words + 1, N), dtype=np.int64)
+    benes_dists = []
+    benes_words = []
+    for k, s in enumerate(active):
+        w, b = k // _BITS_PER_WORD, k % _BITS_PER_WORD
+        planes[w] |= net.swap[s].astype(np.int64) << b
+        benes_dists.append(int(net.dists[s]))
+        benes_words.append((w, b))
+    planes[n_words][cn_slot] = 1  # real-edge mask, CN space
+    planes = planes.astype(np.int32)
+
+    return LanesDeviceCode(
+        sorted_dc=sdc,
+        n_pad=N,
+        nc_pad=nc_pad,
+        benes_dists=tuple(benes_dists),
+        benes_words=tuple(benes_words),
+        n_words=n_words,
+        cn_blocks=tuple(cn_blocks),
+        vn_blocks=tuple(vn_blocks),
+        vn_node_base=tuple(vn_node_base),
+        planes=jnp.asarray(planes),
+        lane_of_vn=jnp.asarray(lane_of_vn),
+        vn_of_lane=jnp.asarray(vn_of_lane),
+    )
