@@ -113,21 +113,39 @@ def _sim_and_count(
         iters = out.iterations
     else:
         if use_pallas:
-            from ..ops.pallas import decode_fused
+            from ..ops.pallas.lanes_layout import LanesDeviceCode
 
-            perm = dec.permute
-            if perm == "auto":
-                perm = "mxu" if dcode.mxu_blocks_fwd is not None else "benes"
-            out = decode_fused.bp_decode_pallas(
-                dcode,
-                ch.llr,
-                iterations=dec.iterations,
-                early_term=dec.early_term,
-                minsum_mode=dec.cn_mode,
-                layered=dec.layered,
-                message_dtype=dec.message_dtype,
-                permute=perm,
-            )
+            if isinstance(dcode, LanesDeviceCode):
+                # lane-major fused kernel: the arbitrary-blocklength path
+                # (frames on sublanes; see ops/pallas/decode_lanes.py);
+                # flooding only, f32 messages
+                from ..ops.pallas import decode_lanes
+
+                out = decode_lanes.bp_decode_lanes(
+                    dcode,
+                    ch.llr,
+                    iterations=dec.iterations,
+                    early_term=dec.early_term,
+                    minsum_mode=dec.cn_mode,
+                )
+            else:
+                from ..ops.pallas import decode_fused
+
+                perm = dec.permute
+                if perm == "auto":
+                    perm = (
+                        "mxu" if dcode.mxu_blocks_fwd is not None else "benes"
+                    )
+                out = decode_fused.bp_decode_pallas(
+                    dcode,
+                    ch.llr,
+                    iterations=dec.iterations,
+                    early_term=dec.early_term,
+                    minsum_mode=dec.cn_mode,
+                    layered=dec.layered,
+                    message_dtype=dec.message_dtype,
+                    permute=perm,
+                )
         elif isinstance(dcode, SortedDeviceCode):
             out = bp_decode_sorted(
                 dcode,

@@ -52,6 +52,13 @@ from ..parallel.mesh import make_sim_step
 from ..utils.params import ChannelParams, DecoderParams, SimulationParams
 from .results import SimResults
 
+#: Largest padded edge space the [edges, frames] fused kernel compiles in
+#: reasonable time (Mosaic compile scales with the vector tile count);
+#: beyond it, unstructured codes route to the lane-major kernel
+#: (ops/pallas/decode_lanes.py).  Module-level so tests can lower it to
+#: exercise the routing on small codes.
+FUSED_EDGE_SPACE_LIMIT = 16384
+
 _CONSOLE_HEADER = (
     "==============================================================="
     "=============================\n"
@@ -140,25 +147,37 @@ class Simulator:
                 code, with_layers=decoder_params.layered
             )
             if (
-                self.dcode.n_pad > 16384
+                self.dcode.n_pad > FUSED_EDGE_SPACE_LIMIT
                 and self.dcode.mxu_blocks_fwd is None
             ):
                 # Mosaic compile time scales with the vector tile count and
-                # becomes pathological for Benes kernels on edge spaces
-                # this large (see ops/pallas/decode_fused.py docstring).
+                # becomes pathological for [edges, frames] Benes kernels on
+                # edge spaces this large (see ops/pallas/decode_fused.py).
                 # Block-local (structured/QC) codes run the MXU-permute
                 # kernel instead (n=8192 QC: 2.45x the XLA path, ~6 min
                 # first compile, seconds warm); unstructured large codes
-                # use the XLA path.
-                import warnings
+                # switch to the lane-major fused kernel
+                # (ops/pallas/decode_lanes.py: frames on sublanes, 16x
+                # fewer vector tiles, n=8192 compiles in ~16 s) — the
+                # capability analogue of the reference GPU kernels' any-n
+                # grid-stride loops (gpu/device/kernel.cpp:237-293).
+                # Layered schedules stay on the XLA sorted decoder (the
+                # lane-major kernel is flooding-only).
+                if decoder_params.layered:
+                    import warnings
 
-                warnings.warn(
-                    f"padded edge space {self.dcode.n_pad} too large for the "
-                    "fused Benes kernel and the code is not block-local; "
-                    "falling back to the XLA sorted decoder"
-                )
-                use_pallas = False
-                self.dcode = self.dcode.sorted_dc
+                    warnings.warn(
+                        f"padded edge space {self.dcode.n_pad} too large "
+                        "for the fused [edges, frames] kernel and the code "
+                        "is not block-local; layered schedule falls back "
+                        "to the XLA sorted decoder"
+                    )
+                    use_pallas = False
+                    self.dcode = self.dcode.sorted_dc
+                else:
+                    from ..ops.pallas.lanes_layout import to_lanes_device
+
+                    self.dcode = to_lanes_device(code)
         else:
             use_pallas = False
             from ..ops.sorted import to_sorted_device
@@ -220,7 +239,31 @@ class Simulator:
             and not decoder_params.layered
             and simulation_params.error_log_file is None
         )
-        if self._streaming and use_pallas:
+        from ..ops.pallas.lanes_layout import LanesDeviceCode
+
+        if (
+            self._streaming
+            and use_pallas
+            and isinstance(self.dcode, LanesDeviceCode)
+        ):
+            # streaming compaction is not built over the lane-major layout;
+            # the XLA streaming path over its embedded sorted layout is the
+            # measured-fastest early-terminating option at large n anyway
+            # (n=8192: 16K f/s streaming-XLA vs 5.9K f/s in-kernel-ET lanes)
+            from ..ops.streaming import make_streaming_step
+
+            self._stream_init, self._stream_step = make_streaming_step(
+                self.dcode.sorted_dc,
+                channel_params.type,
+                decoder_params,
+                simulation_params.batch_size // n_dev,
+                mesh=mesh,
+                modulation=mod_for_step,
+                chunk_iters=simulation_params.streaming_chunk,
+                max_frames=simulation_params.max_frames,
+            )
+            self._step = None
+        elif self._streaming and use_pallas:
             # streaming compaction with the decode chunks on the fused
             # Pallas kernel (ops/streaming_pallas.py)
             from ..ops.streaming_pallas import make_streaming_pallas_step
@@ -371,12 +414,19 @@ class Simulator:
                 while len(inflight) < depth and can_dispatch():
                     dispatch()
                 out = inflight.pop(0)
-                batch_bec = int(out.bit_errors)  # blocks until device done
+                # one batched device_get: sequential int() reads each pay a
+                # full dispatch+transfer round trip on remote-tunnel
+                # backends (~40 ms each; 5 sequential reads measured ~800 ms)
+                bec_, fec_, fr_, it_ = jax.device_get(
+                    (out.bit_errors, out.frame_errors, out.frames,
+                     out.iter_sum)
+                )  # blocks until device done
+                batch_bec = int(bec_)
                 c.elapsed_s = time.perf_counter() - t_point  # excl. printing
                 c.bit_errors += batch_bec
-                c.frame_errors += int(out.frame_errors)
-                c.frames += int(out.frames)
-                c.iter_sum += int(out.iter_sum)
+                c.frame_errors += int(fec_)
+                c.frames += int(fr_)
+                c.iter_sum += int(it_)
 
                 results.update_point(
                     i,
@@ -435,13 +485,18 @@ class Simulator:
         def absorb():
             nonlocal n_active_last, last_print_fec
             acc = pending.pop(0)
-            bec = int(acc.bit_errors)  # blocks until the step finishes
+            # one batched device_get (see the batch path for why)
+            bec_, fec_, fr_, it_, na_ = jax.device_get(
+                (acc.bit_errors, acc.frame_errors, acc.frames, acc.iter_sum,
+                 acc.n_active)
+            )  # blocks until the step finishes
+            bec = int(bec_)
             c.elapsed_s = time.perf_counter() - t_point
             c.bit_errors += bec
-            c.frame_errors += int(acc.frame_errors)
-            c.frames += int(acc.frames)
-            c.iter_sum += int(acc.iter_sum)
-            n_active_last = int(acc.n_active)
+            c.frame_errors += int(fec_)
+            c.frames += int(fr_)
+            c.iter_sum += int(it_)
+            n_active_last = int(na_)
             if c.frames:
                 results.update_point(
                     i,
@@ -681,10 +736,12 @@ class Simulator:
                     jax.random.fold_in(jax.random.fold_in(key, g0), batch_idx),
                     xg,
                 )
-                bec = np.asarray(out.bit_errors)
-                fec = np.asarray(out.frame_errors)
-                frames = np.asarray(out.frames)
-                iters = np.asarray(out.iter_sum)
+                # one batched device_get (sequential reads pay ~40 ms each
+                # on remote-tunnel backends)
+                bec, fec, frames, iters = jax.device_get(
+                    (out.bit_errors, out.frame_errors, out.frames,
+                     out.iter_sum)
+                )
                 batch_idx += 1
                 elapsed = time.perf_counter() - t_start
                 for slot, i in enumerate(padded[: len(group)]):

@@ -92,6 +92,97 @@ class TestLanesLayout:
         assert set(np.unique(vn_mask)) <= {0.0, 1.0}
 
 
+class TestDriverRouting:
+    def test_large_unstructured_code_routes_to_lanes(self, monkeypatch):
+        """With ``use_pallas`` and a padded edge space over the fused-kernel
+        limit, the driver must decode on the lane-major kernel (not fall
+        back to XLA) and produce the same counters as the XLA path."""
+        import functools
+        from unittest import mock
+
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.ops.pallas import decode_lanes as dl
+        from libldpc_tpu.ops.pallas.lanes_layout import LanesDeviceCode
+        from libldpc_tpu.utils.params import (
+            ChannelParams, DecoderParams, SimulationParams,
+        )
+
+        monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
+        # the tiny test code is block-local (would take the MXU kernel);
+        # strip the MXU plan so routing sees a large *unstructured* code
+        import dataclasses
+
+        from libldpc_tpu.ops.pallas import layout as pallas_layout
+
+        orig_tpd = pallas_layout.to_pallas_device
+        monkeypatch.setattr(
+            pallas_layout,
+            "to_pallas_device",
+            lambda c, **kw: dataclasses.replace(
+                orig_tpd(c, **kw), mxu_blocks_fwd=None
+            ),
+        )
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+        dec = DecoderParams(iterations=8, early_term=True)
+        ch = ChannelParams(type="AWGN", seed=3, x_range=(2.0, 2.1, 0.5))
+        sp = SimulationParams(
+            batch_size=64, max_frames=128, fec=10**9, streaming=False,
+        )
+
+        interp = functools.partial(dl.bp_decode_lanes, interpret=True)
+        with mock.patch.object(dl, "bp_decode_lanes", interp):
+            sim = drv.Simulator(
+                code, dec, ch, sp, use_pallas=True, verbose=False
+            )
+            assert isinstance(sim.dcode, LanesDeviceCode)
+            res = sim.start()
+
+        ref = drv.Simulator(
+            code, dec, ch, sp, use_pallas=False, verbose=False
+        )
+        res_ref = ref.start()
+        assert res.frames == res_ref.frames
+        assert res.fec == res_ref.fec
+        assert res.ber == res_ref.ber
+        assert res.avg_iter == res_ref.avg_iter
+
+    def test_layered_large_code_falls_back_to_xla(self, monkeypatch):
+        import warnings
+
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.ops.sorted import SortedDeviceCode
+        from libldpc_tpu.utils.params import (
+            ChannelParams, DecoderParams, SimulationParams,
+        )
+
+        monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
+        import dataclasses
+
+        from libldpc_tpu.ops.pallas import layout as pallas_layout
+
+        orig_tpd = pallas_layout.to_pallas_device
+        monkeypatch.setattr(
+            pallas_layout,
+            "to_pallas_device",
+            lambda c, **kw: dataclasses.replace(
+                orig_tpd(c, **kw), mxu_blocks_fwd=None
+            ),
+        )
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            sim = drv.Simulator(
+                code,
+                DecoderParams(iterations=4, layered=True),
+                ChannelParams(type="AWGN", x_range=(2.0, 2.1, 0.5)),
+                SimulationParams(batch_size=32, max_frames=32, fec=10**9),
+                use_pallas=True,
+                verbose=False,
+            )
+        assert isinstance(sim.dcode, SortedDeviceCode)
+        assert any("layered" in str(x.message) for x in w)
+
+
 class TestLanesDecoder:
     @pytest.mark.parametrize("early_term", [True, False])
     def test_matches_sorted_decoder(self, lanes_setup, early_term):
