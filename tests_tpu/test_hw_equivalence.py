@@ -73,6 +73,47 @@ def test_pallas_matches_sorted_on_chip(early_term, minsum):
 
 
 @requires_tpu
+@pytest.mark.parametrize("early_term", [False, True])
+def test_lanes_matches_sorted_on_chip(early_term):
+    """Compiled lane-major kernel (arbitrary-blocklength path) vs the XLA
+    sorted decoder on hardware — the large-n analogue of the test above
+    (capability target: gpu/device/kernel.cpp:237-293)."""
+    from libldpc_tpu.models import make_benchmark_code
+    from libldpc_tpu.ops.pallas.decode_lanes import bp_decode_lanes
+    from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+    from libldpc_tpu.ops.sorted import bp_decode_sorted
+
+    code = make_benchmark_code(2048, dv=3, dc=6, seed=5, with_G=False)
+    ldc = to_lanes_device(code)
+    B = 64
+    llr = _awgn_llrs(code, B, snr_db=-0.5, seed=13)
+    vn_perm = np.asarray(jax.device_get(ldc.sorted_dc.vn_perm))
+    llr_s = jnp.asarray(llr[vn_perm])
+
+    out_l = bp_decode_lanes(
+        ldc, llr_s, iterations=20, early_term=early_term
+    )
+    out_s = jax.jit(
+        lambda l: bp_decode_sorted(
+            ldc.sorted_dc, l, iterations=20, early_term=early_term
+        )
+    )(llr_s)
+
+    hard_l = np.asarray(jax.device_get(out_l.hard))
+    hard_s = np.asarray(jax.device_get(out_s.hard))
+    mismatch = (hard_l != hard_s).mean()
+    assert mismatch < 1e-4, f"hard-decision mismatch rate {mismatch}"
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_l.is_codeword)),
+        np.asarray(jax.device_get(out_s.is_codeword)),
+    )
+    if early_term:
+        it_l = np.asarray(jax.device_get(out_l.iterations))
+        it_s = np.asarray(jax.device_get(out_s.iterations))
+        assert (it_l == it_s).mean() > 0.999, "iteration counts diverge"
+
+
+@requires_tpu
 def test_pallas_sharded_step_on_chip():
     """One real sharded simulation step with use_pallas=True on the chip
     (single-device mesh — the multi-device sharding of the same step is
