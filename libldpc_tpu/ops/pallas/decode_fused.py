@@ -65,7 +65,7 @@ from .layout import PallasDeviceCode
 
 def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
                  minsum_mode, bt, dtype=jnp.float32, nl=0, mxu=False,
-                 chunk=False, cap=0):
+                 clos=False, chunk=False, cap=0):
     N = pdc.n_pad
     cn_blocks = pdc.cn_blocks
     vn_blocks = pdc.vn_blocks
@@ -84,14 +84,15 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
     # confined to the stored representation (~0.4% relative per message)
     compute = jnp.float32
 
-    def benes(swap_ref, v, reverse):
+    def benes(swap_ref, v, reverse, dists=act_dists):
         # Statically unrolled over the active stages.  (A fori_loop form with
         # traced roll shifts was tried and is NOT worth it: Mosaic compile
         # cost scales with the vector tile count, not the program length —
         # a trivial 60-roll loop kernel at N=32768 still takes ~3 minutes to
         # compile — and dynamic lane slicing of the switch planes is
         # unsupported anyway.  Large-N codes use the XLA sorted path.)
-        order = range(Sa - 1, -1, -1) if reverse else range(Sa)
+        ns = len(dists)
+        order = range(ns - 1, -1, -1) if reverse else range(ns)
         if dtype == jnp.bfloat16:
             # Mosaic's roll is 32-bit-only; exchange bf16 rows through the
             # packed int32 view instead (sublane pairing: word w holds
@@ -103,7 +104,7 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
             # traffic relative to float32.
             iota32 = jax.lax.broadcasted_iota(jnp.int32, (N // 2, 1), 0)
             for s in order:
-                d = act_dists[s]
+                d = dists[s]
                 if d == 1:
                     wu = pltpu.bitcast(v, jnp.uint32)  # [N//2, bt]
                     pw = (wu << 16) | (wu >> 16)
@@ -123,7 +124,7 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
             return v
         iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
         for s in order:
-            d = act_dists[s]
+            d = dists[s]
             sw = swap_ref[:, s : s + 1] > 0  # [N, 1]
             top = (iota & d) == 0
             partner = jnp.where(
@@ -158,6 +159,30 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
             parts.append(acc.astype(dtype))
         return jnp.concatenate(parts, axis=0)
 
+    def clos_blockmul(pref, v, transpose):
+        """Block-diagonal one-hot matmul of the Clos stage stacks: per
+        ``K``-sublane block, ``out_b = P_b @ v_b`` (or ``P_b^T @ v_b`` for
+        the inverse).  Exactness argument as in :func:`mxu_permute`."""
+        precision = (
+            None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        )
+        K = pref.shape[1]
+        parts = []
+        for b in range(N // K):
+            m = pref[b].astype(dtype)
+            parts.append(
+                jax.lax.dot_general(
+                    m,
+                    v[b * K : (b + 1) * K, :],
+                    dimension_numbers=(
+                        ((0,) if transpose else (1,), (0,)), ((), ())
+                    ),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                ).astype(dtype)
+            )
+        return jnp.concatenate(parts, axis=0)
+
     def transport(pref, v, reverse):
         """CN-space <-> VN-space edge permutation (see module docstring)."""
         if mxu:
@@ -165,6 +190,15 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
             if reverse:
                 return mxu_permute(rev_ref, pdc.mxu_plan_rev, v)
             return mxu_permute(fwd_ref, pdc.mxu_plan_fwd, v)
+        if clos:
+            p1_ref, p3_ref, mid_ref = pref
+            if reverse:
+                v = clos_blockmul(p3_ref, v, transpose=True)
+                v = benes(mid_ref, v, reverse=True, dists=pdc.clos_mid_dists)
+                return clos_blockmul(p1_ref, v, transpose=True)
+            v = clos_blockmul(p1_ref, v, transpose=False)
+            v = benes(mid_ref, v, reverse=False, dists=pdc.clos_mid_dists)
+            return clos_blockmul(p3_ref, v, transpose=False)
         (swap_ref,) = pref
         return benes(swap_ref, v, reverse)
 
@@ -268,7 +302,7 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         # their conversions)
         return jnp.where(viol == 0, 1, 0).astype(jnp.int32)  # [1, Bt]
 
-    n_perm_refs = 2 if mxu else 1
+    n_perm_refs = 2 if mxu else (3 if clos else 1)
 
     def kernel_chunk(*args):
         """Resumable chunk: ``iterations`` BP passes from carried state.
@@ -502,6 +536,11 @@ def bp_decode_pallas(
             "permute='mxu' requires a block-local permutation plan "
             "(this code's plan exceeded the pair budget — use 'benes')"
         )
+    if permute == "clos" and pdc.clos_p1 is None:
+        raise ValueError(
+            "permute='clos' requires the Clos factorisation — build the "
+            "layout with to_pallas_device(code, with_clos=True)"
+        )
     if iterations == 0:
         zeros = jnp.zeros_like(llr_in)
         return SortedDecodeOutput(
@@ -515,6 +554,7 @@ def bp_decode_pallas(
     Sa = swap.shape[1]
     dtype = jnp.dtype(message_dtype)
     mxu = permute == "mxu"
+    clos = permute == "clos"
 
     use_layered = (
         layered
@@ -524,7 +564,7 @@ def bp_decode_pallas(
     nl = int(pdc.layer_planes.shape[1]) if use_layered else 0
     kernel = _make_kernel(
         pdc, nc, iterations, early_term, minsum_mode, bt, dtype=dtype, nl=nl,
-        mxu=mxu,
+        mxu=mxu, clos=clos,
     )
     in_specs = []
     inputs = []
@@ -535,6 +575,18 @@ def bp_decode_pallas(
                              memory_space=pltpu.VMEM)
             )
             inputs.append(blocks)
+    elif clos:
+        for blocks in (pdc.clos_p1, pdc.clos_p3):
+            in_specs.append(
+                pl.BlockSpec(blocks.shape, lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            inputs.append(blocks)
+        in_specs.append(
+            pl.BlockSpec(pdc.clos_mid_planes.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(pdc.clos_mid_planes)
     else:
         in_specs.append(
             pl.BlockSpec((pdc.n_pad, Sa), lambda b: (0, 0),
@@ -620,10 +672,15 @@ def bp_chunk_pallas(
         raise ValueError(f"batch {B} not divisible by tile {bt}")
     if permute == "mxu" and pdc.mxu_blocks_fwd is None:
         raise ValueError("permute='mxu' requires a block-local plan")
+    if permute == "clos" and pdc.clos_p1 is None:
+        raise ValueError(
+            "permute='clos' requires to_pallas_device(code, with_clos=True)"
+        )
     dtype = jnp.dtype(message_dtype)
     mxu = permute == "mxu"
+    clos = permute == "clos"
     kernel = _make_kernel(
-        pdc, nc, k, True, minsum_mode, bt, dtype=dtype, mxu=mxu,
+        pdc, nc, k, True, minsum_mode, bt, dtype=dtype, mxu=mxu, clos=clos,
         chunk=True, cap=cap,
     )
     swap = pdc.swap_planes
@@ -637,6 +694,18 @@ def bp_chunk_pallas(
                              memory_space=pltpu.VMEM)
             )
             inputs.append(blocks)
+    elif clos:
+        for blocks in (pdc.clos_p1, pdc.clos_p3):
+            in_specs.append(
+                pl.BlockSpec(blocks.shape, lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            inputs.append(blocks)
+        in_specs.append(
+            pl.BlockSpec(pdc.clos_mid_planes.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(pdc.clos_mid_planes)
     else:
         in_specs.append(
             pl.BlockSpec((pdc.n_pad, Sa), lambda b: (0, 0),

@@ -3,11 +3,20 @@
 The ``[edges, frames]`` fused kernel (:mod:`.decode_fused`) hits two walls
 at padded edge spaces beyond 16K (Mosaic compile time and VMEM residency —
 see :mod:`.lanes_layout`).  This decoder keeps **frames on sublanes and
-edges on lanes**: messages are ``[frame_tile, n_pad]`` (``frame_tile=8``,
-one native sublane tile), all 50 iterations stay fused in one kernel with
-the message state VMEM-resident (``8 * n_pad * 4`` bytes — 1 MB at
-``n_pad = 32768``), and batch throughput comes from the Pallas grid over
-frame tiles.
+edges on lanes**: messages are ``[frame_tile, n_pad]`` with the message
+state VMEM-resident, all iterations stay fused in one kernel, and batch
+throughput comes from the Pallas grid over frame tiles.
+
+Two transports (chosen at layout build time, :func:`.lanes_layout.to_lanes_device`):
+
+* ``"benes"`` — full Beneš network, ``2*log2(n_pad)-1`` conditional lane
+  exchanges (VPU rolls), float32 messages.
+* ``"clos"`` — three-stage Clos factorisation (:mod:`.clos`): one-hot
+  128x128 block-diagonal matmuls on the MXU around a block-granular
+  middle network whose exchange distances are all multiples of 128 lanes
+  (whole-tile moves, no intra-lane shuffling).  Supports bf16 message
+  storage (one-hot matmuls are exact for bf16 operands), which halves
+  both VMEM residency and VPU traffic; CN/VN arithmetic stays float32.
 
 Capability parity target: the reference GPU kernels decode any
 blocklength that fits device memory (``gpu/device/kernel.cpp:237-293``);
@@ -37,13 +46,30 @@ from .lanes_layout import LanesDeviceCode
 
 
 def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
-                 ft):
+                 ft, dtype):
     N = ldc.n_pad
     nc_pad = ldc.nc_pad
     op = cn_ops.get_op(minsum_mode)
     mask_word = ldc.n_words  # real-edge mask lives in the last plane word
+    compute = jnp.float32
+    clos = ldc.transport == "clos"
 
-    def benes(w_ref, v, reverse):
+    def roll_lanes(v, k):
+        """Static lane roll ``out[i] = v[i - k mod N]``.  Distances that
+        are multiples of 128 are whole-tile moves expressed as a
+        tile-aligned concatenation (dtype-agnostic — Mosaic's roll
+        primitive is 32-bit-only); others fall back to ``pltpu.roll``."""
+        k = k % N
+        if k == 0:
+            return v
+        if k % 128 == 0:
+            return jnp.concatenate([v[:, N - k :], v[:, : N - k]], axis=1)
+        return pltpu.roll(v, k, axis=1)
+
+    def mid_stages(w_ref, v, reverse):
+        """Conditional-exchange stages from the packed switch planes
+        (full Beneš network, or the Clos middle network whose distances
+        are all tile-granular)."""
         stages = list(zip(ldc.benes_dists, ldc.benes_words))
         if reverse:
             stages = stages[::-1]
@@ -52,23 +78,58 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
             sw = ((w_ref[w : w + 1, :] >> b) & 1) > 0
             top = (iota & d) == 0
             partner = jnp.where(
-                top,
-                pltpu.roll(v, N - d, axis=1),
-                pltpu.roll(v, d, axis=1),
+                top, roll_lanes(v, N - d), roll_lanes(v, d)
             )
             v = jnp.where(sw, partner, v)
         return v
 
+    def blockmul(pref, v, contract_dim):
+        """Block-diagonal one-hot matmul: per 128-lane block ``b``,
+        ``out_b = v_b @ P_b^T`` (``contract_dim=1``) or ``v_b @ P_b``
+        (``contract_dim=0``).  One-hot selection is exact for bf16
+        operands; float32 messages use HIGHEST precision so the values
+        pass through the MXU's bf16-decomposed passes unchanged (same
+        guarantee as :func:`.decode_fused._make_kernel.mxu_permute`)."""
+        precision = None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        parts = []
+        for b in range(N // 128):
+            m = pref[b].astype(dtype)
+            parts.append(
+                jax.lax.dot_general(
+                    v[:, b * 128 : (b + 1) * 128],
+                    m,
+                    dimension_numbers=(((1,), (contract_dim,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                ).astype(dtype)
+            )
+        return jnp.concatenate(parts, axis=1)
+
+    def transport(p1_ref, p3_ref, w_ref, v, reverse):
+        """CN-space <-> VN-space edge permutation."""
+        if not clos:
+            return mid_stages(w_ref, v, reverse)
+        if reverse:
+            v = blockmul(p3_ref, v, contract_dim=0)
+            v = mid_stages(w_ref, v, reverse=True)
+            return blockmul(p1_ref, v, contract_dim=0)
+        v = blockmul(p1_ref, v, contract_dim=1)
+        v = mid_stages(w_ref, v, reverse=False)
+        return blockmul(p3_ref, v, contract_dim=1)
+
     def force_pad(w_ref, v):
         """Pin fake/free CN-space slots to PAD_LLR (see lanes_layout)."""
         real = ((w_ref[mask_word : mask_word + 1, :]) & 1) > 0
-        return jnp.where(real, v, PAD_LLR)
+        return jnp.where(real, v, jnp.asarray(PAD_LLR, v.dtype))
 
     def cn_exclusion(v):
         """CN update on CN-space lanes ``[ft, N]`` -> ``[ft, N]``."""
         parts = []
         for base, cp, d in ldc.cn_blocks:
-            M = [v[:, base + j * cp : base + (j + 1) * cp] for j in range(d)]
+            M = [
+                v[:, base + j * cp : base + (j + 1) * cp].astype(compute)
+                for j in range(d)
+            ]
             if d == 1:
                 parts.append(jnp.full_like(M[0], PAD_LLR))
                 continue
@@ -88,11 +149,11 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
             # posteriors and come back to fake checks' syndrome lanes,
             # where a zero would read as a hard 1 and block early term
             parts.append(
-                jnp.full((v.shape[0], N - cn_end), PAD_LLR, v.dtype)
+                jnp.full((v.shape[0], N - cn_end), PAD_LLR, compute)
             )
         return cn_ops.cn_postprocess(
             jnp.concatenate(parts, axis=1), minsum_mode
-        )
+        ).astype(dtype)
 
     def vn_stage(llr, lc2v_v):
         """Posterior per node ``[ft, nc_pad]`` and per VN-space slot
@@ -101,14 +162,16 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         llr_parts = []
         post_parts = []
         for (base_e, cp, d), nb in zip(ldc.vn_blocks, ldc.vn_node_base):
-            lin = llr[:, nb : nb + cp]
+            lin = llr[:, nb : nb + cp].astype(compute)
             if d == 0:
-                llr_parts.append(lin)
+                llr_parts.append(lin.astype(dtype))
                 continue
-            tot = lc2v_v[:, base_e : base_e + cp]
+            tot = lc2v_v[:, base_e : base_e + cp].astype(compute)
             for j in range(1, d):
-                tot = tot + lc2v_v[:, base_e + j * cp : base_e + (j + 1) * cp]
-            llr_b = lin + tot
+                tot = tot + lc2v_v[
+                    :, base_e + j * cp : base_e + (j + 1) * cp
+                ].astype(compute)
+            llr_b = (lin + tot).astype(dtype)
             llr_parts.append(llr_b)
             for _ in range(d):
                 post_parts.append(llr_b)
@@ -117,25 +180,28 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
             # positive fill — these slots land on fake checks (see
             # cn_exclusion) and must read as hard-0 bits in the syndrome
             post_parts.append(
-                jnp.full((llr.shape[0], N - vn_end), PAD_LLR, llr.dtype)
+                jnp.full((llr.shape[0], N - vn_end), PAD_LLR, dtype)
             )
         return (
             jnp.concatenate(llr_parts, axis=1),
             jnp.concatenate(post_parts, axis=1),
         )
 
-    def init_lv2c(w_ref, llr):
+    def init_lv2c(p1_ref, p3_ref, w_ref, llr):
         parts = []
         for (base_e, cp, d), nb in zip(ldc.vn_blocks, ldc.vn_node_base):
             if d == 0:
                 continue
-            lin = llr[:, nb : nb + cp]
+            lin = llr[:, nb : nb + cp].astype(dtype)
             for _ in range(d):
                 parts.append(lin)
         vn_end = sum(cp * d for _, cp, d in ldc.vn_blocks)
         if N > vn_end:
-            parts.append(jnp.zeros((llr.shape[0], N - vn_end), llr.dtype))
-        return benes(w_ref, jnp.concatenate(parts, axis=1), reverse=True)
+            parts.append(jnp.zeros((llr.shape[0], N - vn_end), dtype))
+        return transport(
+            p1_ref, p3_ref, w_ref, jnp.concatenate(parts, axis=1),
+            reverse=True,
+        )
 
     def syndrome(q):
         """Per-frame satisfied flag from CN-space posteriors ``[ft, N]``.
@@ -147,18 +213,27 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         for base, cp, d in ldc.cn_blocks:
             bits = None
             for j in range(d):
-                b = (q[:, base + j * cp : base + (j + 1) * cp] <= 0).astype(
-                    jnp.int32
-                )
+                # compare in f32 (Mosaic rejects cmpf on some bf16 forms)
+                b = (
+                    q[:, base + j * cp : base + (j + 1) * cp]
+                    .astype(jnp.float32)
+                    <= 0
+                ).astype(jnp.int32)
                 bits = b if bits is None else bits + b
             odd = jnp.bitwise_and(bits, 1)
             viol = viol + jnp.sum(odd, axis=1, keepdims=True)
         return jnp.where(viol == 0, 1, 0)  # int32 [ft, 1]
 
-    def kernel(w_ref, llr_ref, out_llr_ref, out_iters_ref, out_iscw_ref,
-               lv2c_ref, done_ref, iters_ref, iscw_ref):
+    def kernel(*refs):
+        if clos:
+            (p1_ref, p3_ref, w_ref, llr_ref, out_llr_ref, out_iters_ref,
+             out_iscw_ref, lv2c_ref, done_ref, iters_ref, iscw_ref) = refs
+        else:
+            (w_ref, llr_ref, out_llr_ref, out_iters_ref, out_iscw_ref,
+             lv2c_ref, done_ref, iters_ref, iscw_ref) = refs
+            p1_ref = p3_ref = None
         llr = llr_ref[:]
-        lv2c_ref[:] = force_pad(w_ref, init_lv2c(w_ref, llr))
+        lv2c_ref[:] = force_pad(w_ref, init_lv2c(p1_ref, p3_ref, w_ref, llr))
         done_ref[:] = jnp.zeros((ft, 128), jnp.int32)
         iters_ref[:] = jnp.zeros((ft, 128), jnp.int32)
         iscw_ref[:] = jnp.zeros((ft, 128), jnp.int32)
@@ -168,10 +243,15 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
             def iteration():
                 lv2c = lv2c_ref[:]
                 lc2v_c = cn_exclusion(lv2c)
-                lc2v_v = benes(w_ref, lc2v_c, reverse=False)
+                lc2v_v = transport(p1_ref, p3_ref, w_ref, lc2v_c,
+                                   reverse=False)
                 llr_out, post_v = vn_stage(llr, lc2v_v)
-                q = benes(w_ref, post_v, reverse=True)
-                lv2c_new = force_pad(w_ref, q - lc2v_c)
+                q = transport(p1_ref, p3_ref, w_ref, post_v, reverse=True)
+                lv2c_new = force_pad(
+                    w_ref,
+                    (q.astype(compute) - lc2v_c.astype(compute)).astype(dtype),
+                )
+                llr_out = llr_out.astype(jnp.float32)
 
                 if early_term:
                     is_cw = syndrome(q)  # [ft, 1]
@@ -219,7 +299,7 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "early_term", "minsum_mode", "frame_tile",
-                     "interpret"),
+                     "message_dtype", "interpret"),
 )
 def bp_decode_lanes(
     ldc: LanesDeviceCode,
@@ -227,12 +307,28 @@ def bp_decode_lanes(
     iterations: int = 50,
     early_term: bool = True,
     minsum_mode: bool = False,
-    frame_tile: int = 8,
+    frame_tile: int = 0,
+    message_dtype: str = "float32",
     interpret: bool = False,
 ) -> SortedDecodeOutput:
     """Fused lane-major BP decode; drop-in for :func:`bp_decode_pallas`
-    at blocklengths the ``[edges, frames]`` kernel cannot compile."""
+    at blocklengths the ``[edges, frames]`` kernel cannot compile.
+
+    ``frame_tile=0`` picks a default per message dtype: 8 (one f32
+    sublane tile) for float32, 32 for bfloat16 (at least one 16-bit
+    sublane tile, and enough MXU rows to amortise the Clos transport's
+    block matmuls).
+    """
+    dtype = jnp.dtype(message_dtype)
+    if dtype == jnp.bfloat16 and ldc.transport != "clos":
+        raise ValueError(
+            "bfloat16 lane-major messages require the clos transport "
+            "(intra-lane bf16 rolls are unsupported by Mosaic); build the "
+            'layout with to_lanes_device(code, transport="clos")'
+        )
     nc, B = llr_in.shape
+    if frame_tile == 0:
+        frame_tile = 32 if dtype == jnp.bfloat16 else 8
     ft = min(frame_tile, B)
     if B % ft:
         raise ValueError(f"batch {B} not divisible by frame tile {ft}")
@@ -254,17 +350,32 @@ def bp_decode_lanes(
     real_lane = real_lane.at[ldc.lane_of_vn].set(1.0)
     llr_pad = (llr_pad * real_lane).T  # [B, nc_pad]
 
-    kernel = _make_kernel(ldc, iterations, early_term, minsum_mode, ft)
+    kernel = _make_kernel(ldc, iterations, early_term, minsum_mode, ft,
+                          dtype)
     W = ldc.planes.shape[0]
+    clos = ldc.transport == "clos"
+    nb = ldc.n_pad // 128
+    in_specs = []
+    operands = []
+    if clos:
+        in_specs += [
+            pl.BlockSpec((nb, 128, 128), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 128, 128), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [ldc.clos_p1, ldc.clos_p3]
+    in_specs += [
+        pl.BlockSpec((W, ldc.n_pad), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ft, ldc.nc_pad), lambda b: (b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands += [ldc.planes, llr_pad]
     llr_out, iters, iscw = pl.pallas_call(
         kernel,
         grid=(B // ft,),
-        in_specs=[
-            pl.BlockSpec((W, ldc.n_pad), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ft, ldc.nc_pad), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((ft, ldc.nc_pad), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -279,7 +390,7 @@ def bp_decode_lanes(
             jax.ShapeDtypeStruct((B, 128), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((ft, ldc.n_pad), jnp.float32),
+            pltpu.VMEM((ft, ldc.n_pad), dtype),
             pltpu.VMEM((ft, 128), jnp.int32),
             pltpu.VMEM((ft, 128), jnp.int32),
             pltpu.VMEM((ft, 128), jnp.int32),
@@ -288,7 +399,7 @@ def bp_decode_lanes(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(ldc.planes, llr_pad)
+    )(*operands)
 
     llr_out = jnp.take(llr_out.T, ldc.lane_of_vn, axis=0)  # [nc, B]
     return SortedDecodeOutput(

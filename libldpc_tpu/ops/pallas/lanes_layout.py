@@ -64,7 +64,17 @@ def _ceil128(x: int) -> int:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class LanesDeviceCode:
-    """Device tables for the lane-major fused kernel."""
+    """Device tables for the lane-major fused kernel.
+
+    ``transport`` selects how the kernel realises the CN-space <-> VN-space
+    edge permutation: ``"benes"`` ships the full Beneš network (switch
+    planes over all exchange distances, VPU rolls), ``"clos"`` ships the
+    three-stage Clos factorisation (:mod:`.clos`) — block-diagonal one-hot
+    MXU matmuls around a block-granular middle network whose exchange
+    distances are all multiples of 128 lanes (whole-tile moves).  The
+    ``planes`` word-packing carries whichever stage set the transport
+    uses; ``clos_p1``/``clos_p3`` are populated only for ``"clos"``.
+    """
 
     sorted_dc: SortedDeviceCode
     # static
@@ -76,32 +86,39 @@ class LanesDeviceCode:
     cn_blocks: tuple[tuple[int, int, int], ...]  # (base, count_pad, degree)
     vn_blocks: tuple[tuple[int, int, int], ...]  # (base_edge, count_pad, deg)
     vn_node_base: tuple[int, ...]  # padded node-lane offset per VN class
+    transport: str = "benes"
     # arrays
     planes: jnp.ndarray = None  # int32 [n_words + 1, n_pad]; last word bit 0
     #                             is the real-edge (CN-space) mask
     lane_of_vn: jnp.ndarray = None  # int32 [nc] sorted VN label -> lane
     vn_of_lane: jnp.ndarray = None  # int32 [nc_pad] lane -> sorted label
     #                                 (arbitrary valid label on fake lanes)
+    clos_p1: Optional[jnp.ndarray] = None  # bf16 one-hot [nb, 128, 128]
+    clos_p3: Optional[jnp.ndarray] = None  # bf16 one-hot [nb, 128, 128]
 
     def tree_flatten(self):
         return (
             self.sorted_dc, self.planes, self.lane_of_vn, self.vn_of_lane,
+            self.clos_p1, self.clos_p3,
         ), (
             self.n_pad, self.nc_pad, self.benes_dists, self.benes_words,
             self.n_words, self.cn_blocks, self.vn_blocks, self.vn_node_base,
+            self.transport,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        sorted_dc, planes, lane_of_vn, vn_of_lane = children
+        (sorted_dc, planes, lane_of_vn, vn_of_lane, clos_p1,
+         clos_p3) = children
         (n_pad, nc_pad, benes_dists, benes_words, n_words, cn_blocks,
-         vn_blocks, vn_node_base) = aux
+         vn_blocks, vn_node_base, transport) = aux
         return cls(
             sorted_dc=sorted_dc, n_pad=n_pad, nc_pad=nc_pad,
             benes_dists=benes_dists, benes_words=benes_words,
             n_words=n_words, cn_blocks=cn_blocks, vn_blocks=vn_blocks,
-            vn_node_base=vn_node_base, planes=planes,
+            vn_node_base=vn_node_base, transport=transport, planes=planes,
             lane_of_vn=lane_of_vn, vn_of_lane=vn_of_lane,
+            clos_p1=clos_p1, clos_p3=clos_p3,
         )
 
     # channel-facing delegation (same surface as PallasDeviceCode)
@@ -142,7 +159,9 @@ class LanesDeviceCode:
         return self.sorted_dc.shorten
 
 
-def to_lanes_device(code: LDPCCode) -> LanesDeviceCode:
+def to_lanes_device(code: LDPCCode, transport: str = "benes") -> LanesDeviceCode:
+    if transport not in ("benes", "clos"):
+        raise ValueError(f"unknown transport {transport!r}")
     sdc = to_sorted_device(code)
     rows = code.rows.astype(np.int64)
     cols = code.cols.astype(np.int64)
@@ -225,19 +244,32 @@ def to_lanes_device(code: LDPCCode) -> LanesDeviceCode:
     free_vn = np.flatnonzero(perm < 0)
     assert free_cn.size == free_vn.size == N - nnz
     perm[free_vn] = free_cn
-    net = build_benes(perm)
-    assert net.n == N
+
+    clos_p1 = clos_p3 = None
+    if transport == "clos":
+        from .clos import build_clos
+
+        cnet = build_clos(perm)
+        stage_dists = [int(d) for d in cnet.mid_dists]
+        stage_swap = cnet.mid_swap
+        clos_p1 = jnp.asarray(cnet.p1.astype(jnp.bfloat16))
+        clos_p3 = jnp.asarray(cnet.p3.astype(jnp.bfloat16))
+    else:
+        net = build_benes(perm)
+        assert net.n == N
+        stage_dists = [int(d) for d in net.dists]
+        stage_swap = net.swap
 
     # --- bit-pack ACTIVE switch planes + the real-edge mask ---
-    active = [s for s in range(len(net.dists)) if net.swap[s].any()]
+    active = [s for s in range(len(stage_dists)) if stage_swap[s].any()]
     n_words = -(-len(active) // _BITS_PER_WORD) if active else 1
     planes = np.zeros((n_words + 1, N), dtype=np.int64)
     benes_dists = []
     benes_words = []
     for k, s in enumerate(active):
         w, b = k // _BITS_PER_WORD, k % _BITS_PER_WORD
-        planes[w] |= net.swap[s].astype(np.int64) << b
-        benes_dists.append(int(net.dists[s]))
+        planes[w] |= stage_swap[s].astype(np.int64) << b
+        benes_dists.append(stage_dists[s])
         benes_words.append((w, b))
     planes[n_words][cn_slot] = 1  # real-edge mask, CN space
     planes = planes.astype(np.int32)
@@ -252,7 +284,10 @@ def to_lanes_device(code: LDPCCode) -> LanesDeviceCode:
         cn_blocks=tuple(cn_blocks),
         vn_blocks=tuple(vn_blocks),
         vn_node_base=tuple(vn_node_base),
+        transport=transport,
         planes=jnp.asarray(planes),
         lane_of_vn=jnp.asarray(lane_of_vn),
         vn_of_lane=jnp.asarray(vn_of_lane),
+        clos_p1=clos_p1,
+        clos_p3=clos_p3,
     )

@@ -58,6 +58,9 @@ class PallasDeviceCode:
     #: MXU instead of ~19 Benes roll stages on the VPU.
     mxu_plan_fwd: tuple = ()
     mxu_plan_rev: tuple = ()
+    #: Clos middle-network exchange distances (element units, multiples of
+    #: the Clos switch size); empty when the factorisation was not built
+    clos_mid_dists: tuple = ()
     # arrays
     swap_planes: jnp.ndarray = None  # int32 [n_pad, S] switch planes
     #: int32 [n_pad, nl] per-layer CN-edge membership planes for the
@@ -68,11 +71,19 @@ class PallasDeviceCode:
     #: unattractive
     mxu_blocks_fwd: Optional[jnp.ndarray] = None
     mxu_blocks_rev: Optional[jnp.ndarray] = None
+    #: Clos three-stage factorisation of the same permutation (:mod:`.clos`)
+    #: — the MXU transport for codes whose permutation is NOT block-local:
+    #: bf16 one-hot stacks [nb, K, K] and int32 middle switch planes
+    #: [n_pad, S_mid].  None unless built with ``with_clos=True``.
+    clos_p1: Optional[jnp.ndarray] = None
+    clos_p3: Optional[jnp.ndarray] = None
+    clos_mid_planes: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         return (
             self.sorted_dc, self.swap_planes, self.layer_planes,
             self.mxu_blocks_fwd, self.mxu_blocks_rev,
+            self.clos_p1, self.clos_p3, self.clos_mid_planes,
         ), (
             self.n_pad,
             self.benes_dists,
@@ -82,14 +93,15 @@ class PallasDeviceCode:
             self.vn_node_base,
             self.mxu_plan_fwd,
             self.mxu_plan_rev,
+            self.clos_mid_dists,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (sorted_dc, swap_planes, layer_planes, mxu_blocks_fwd,
-         mxu_blocks_rev) = children
+         mxu_blocks_rev, clos_p1, clos_p3, clos_mid_planes) = children
         (n_pad, benes_dists, benes_active, cn_blocks, vn_blocks,
-         vn_node_base, mxu_plan_fwd, mxu_plan_rev) = aux
+         vn_node_base, mxu_plan_fwd, mxu_plan_rev, clos_mid_dists) = aux
         return cls(
             sorted_dc=sorted_dc,
             n_pad=n_pad,
@@ -100,10 +112,14 @@ class PallasDeviceCode:
             vn_node_base=vn_node_base,
             mxu_plan_fwd=mxu_plan_fwd,
             mxu_plan_rev=mxu_plan_rev,
+            clos_mid_dists=clos_mid_dists,
             swap_planes=swap_planes,
             layer_planes=layer_planes,
             mxu_blocks_fwd=mxu_blocks_fwd,
             mxu_blocks_rev=mxu_blocks_rev,
+            clos_p1=clos_p1,
+            clos_p3=clos_p3,
+            clos_mid_planes=clos_mid_planes,
         )
 
     # channel-facing delegation -------------------------------------------
@@ -176,7 +192,17 @@ def _block_permute_plan(perm: np.ndarray, block: int = 128):
 _MXU_MAX_PAIRS_PER_DST = 6.0
 
 
-def to_pallas_device(code: LDPCCode, with_layers: bool = False) -> PallasDeviceCode:
+def to_pallas_device(code: LDPCCode, with_layers: bool = False,
+                     with_clos=False,
+                     clos_block: int = 128) -> PallasDeviceCode:
+    """Build the fused-kernel layout.
+
+    ``with_clos=True`` additionally ships the Clos three-stage MXU
+    factorisation of the edge permutation (:mod:`.clos`) for
+    ``permute="clos"``; ``with_clos="auto"`` builds it only when the
+    block-local one-hot plan was not viable (unstructured codes — the
+    case where the Beneš transport would otherwise dominate).
+    """
     sdc = to_sorted_device(code, with_layers=with_layers)
     rows = code.rows.astype(np.int64)
     cols = code.cols.astype(np.int64)
@@ -260,6 +286,21 @@ def to_pallas_device(code: LDPCCode, with_layers: bool = False) -> PallasDeviceC
             mxu_blocks_fwd = jnp.asarray(blocks_f.astype(jnp.bfloat16))
             mxu_blocks_rev = jnp.asarray(blocks_r.astype(jnp.bfloat16))
 
+    clos_p1 = clos_p3 = clos_mid_planes = None
+    clos_mid_dists: tuple = ()
+    if with_clos == "auto":
+        with_clos = mxu_blocks_fwd is None
+    if with_clos and net.n % clos_block == 0:
+        from .clos import build_clos
+
+        cnet = build_clos(full_perm, block=clos_block)
+        clos_p1 = jnp.asarray(cnet.p1.astype(jnp.bfloat16))
+        clos_p3 = jnp.asarray(cnet.p3.astype(jnp.bfloat16))
+        clos_mid_planes = jnp.asarray(
+            np.ascontiguousarray(cnet.mid_swap.T.astype(np.int32))
+        )
+        clos_mid_dists = tuple(int(d) for d in cnet.mid_dists)
+
     layer_planes = None
     if with_layers and code.layers:
         # per-layer membership of each CN-space position-major edge slot
@@ -294,6 +335,10 @@ def to_pallas_device(code: LDPCCode, with_layers: bool = False) -> PallasDeviceC
         layer_planes=layer_planes,
         mxu_plan_fwd=mxu_plan_fwd,
         mxu_plan_rev=mxu_plan_rev,
+        clos_mid_dists=clos_mid_dists,
         mxu_blocks_fwd=mxu_blocks_fwd,
         mxu_blocks_rev=mxu_blocks_rev,
+        clos_p1=clos_p1,
+        clos_p3=clos_p3,
+        clos_mid_planes=clos_mid_planes,
     )

@@ -118,7 +118,8 @@ def _sim_and_count(
             if isinstance(dcode, LanesDeviceCode):
                 # lane-major fused kernel: the arbitrary-blocklength path
                 # (frames on sublanes; see ops/pallas/decode_lanes.py);
-                # flooding only, f32 messages
+                # flooding only.  bf16 messages require the clos transport
+                # (the layout builder enforces the pairing).
                 from ..ops.pallas import decode_lanes
 
                 out = decode_lanes.bp_decode_lanes(
@@ -127,15 +128,25 @@ def _sim_and_count(
                     iterations=dec.iterations,
                     early_term=dec.early_term,
                     minsum_mode=dec.cn_mode,
+                    message_dtype=(
+                        dec.message_dtype
+                        if dcode.transport == "clos" else "float32"
+                    ),
                 )
             else:
                 from ..ops.pallas import decode_fused
 
                 perm = dec.permute
                 if perm == "auto":
-                    perm = (
-                        "mxu" if dcode.mxu_blocks_fwd is not None else "benes"
-                    )
+                    # block-local plan -> one-hot MXU matmuls; otherwise the
+                    # Clos factorisation if the layout shipped one (any
+                    # permutation as MXU matmuls + tile moves); Benes last
+                    if dcode.mxu_blocks_fwd is not None:
+                        perm = "mxu"
+                    elif dcode.clos_p1 is not None:
+                        perm = "clos"
+                    else:
+                        perm = "benes"
                 out = decode_fused.bp_decode_pallas(
                     dcode,
                     ch.llr,

@@ -144,7 +144,7 @@ class Simulator:
             from ..ops.pallas.layout import to_pallas_device
 
             self.dcode = to_pallas_device(
-                code, with_layers=decoder_params.layered
+                code, with_layers=decoder_params.layered, with_clos="auto"
             )
             if (
                 self.dcode.n_pad > FUSED_EDGE_SPACE_LIMIT
@@ -177,7 +177,19 @@ class Simulator:
                 else:
                     from ..ops.pallas.lanes_layout import to_lanes_device
 
-                    self.dcode = to_lanes_device(code)
+                    # clos transport unlocks bf16 messages and replaces the
+                    # dominant intra-lane Benes rolls with MXU matmuls +
+                    # tile moves; f32 stays on Benes (the f32 HIGHEST-
+                    # precision matmul form does not compile on current
+                    # Mosaic for lane-major shapes)
+                    self.dcode = to_lanes_device(
+                        code,
+                        transport=(
+                            "clos"
+                            if decoder_params.message_dtype == "bfloat16"
+                            else "benes"
+                        ),
+                    )
         else:
             use_pallas = False
             from ..ops.sorted import to_sorted_device
