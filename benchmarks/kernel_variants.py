@@ -13,6 +13,13 @@ iterations, no early termination, batch 4096) for every combination of
 Timing forces host reads (a bare ``block_until_ready`` does not reliably
 await kernel completion over tunneled backends).  Writes
 ``benchmarks/kernel_variants_r2.txt``.
+
+Env knobs: ``KV_CODE=random`` benchmarks a random (3,6)-regular n=1024
+code instead of the bundled one (no block-local MXU plan — the ``clos``
+transport's target case; output file gains a ``_random`` suffix);
+``KV_DECODER`` selects the CN form (``BP`` default, ``BP_TANH``,
+``BP_MS``, ...; non-BP decoders gain a ``_<type>`` suffix);
+``KV_BATCH`` the batch size.
 """
 
 import os
@@ -41,12 +48,16 @@ def main():
     from libldpc_tpu.ops.pallas.decode_fused import bp_decode_pallas
     from libldpc_tpu.ops.pallas.layout import to_pallas_device
 
+    kv_code = os.environ.get("KV_CODE", "bundled")
+    decoder = os.environ.get("KV_DECODER", "BP")
     h = "/root/reference/tests/code/h.txt"
-    if os.path.exists(h):
+    if kv_code == "random":
+        code = make_benchmark_code(1024, dv=3, dc=6, seed=1)
+    elif os.path.exists(h):
         code = LDPCCode.from_files(h, "/root/reference/tests/code/g.txt")
     else:
         code = make_benchmark_code(1152, dv=3, dc=6, seed=0, with_G=True)
-    pdc = to_pallas_device(code)
+    pdc = to_pallas_device(code, with_clos=True)
     B = int(os.environ.get("KV_BATCH", 4096))
     rng = np.random.default_rng(3)
     llr = np.zeros((code.nc, B), dtype=np.float32)
@@ -59,7 +70,7 @@ def main():
     rows = []
     ref_hard = None
     for md in ("float32", "bfloat16"):
-        for perm in ("benes", "mxu"):
+        for perm in ("benes", "mxu", "clos"):
             if perm == "mxu" and pdc.mxu_blocks_fwd is None:
                 continue
 
@@ -67,6 +78,7 @@ def main():
                 return bp_decode_pallas(
                     pdc, llr_s, iterations=50, early_term=False,
                     batch_tile=256, message_dtype=md, permute=perm,
+                    minsum_mode=decoder,
                 )
 
             t0 = time.perf_counter()
@@ -93,11 +105,15 @@ def main():
                 flush=True,
             )
 
+    suffix = ("_random" if kv_code == "random" else "") + (
+        "" if decoder == "BP" else f"_{decoder}"
+    )
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "kernel_variants_r2.txt")
+                            f"kernel_variants{suffix}_r2.txt")
     with open(out_path, "w") as fh:
         fh.write(
-            "# Fused-kernel variants, bundled n=1024 code, BP, 50 iters, "
+            f"# Fused-kernel variants, {kv_code} n=1024 code, {decoder}, "
+            "50 iters, "
             f"no early term, batch {B}, one v5e chip.\n"
             "# hard-mismatch is vs the float32+benes decisions.\n"
             f"{'dtype':>9} {'permute':>7} {'compile_s':>9} {'ms/call':>8} "

@@ -43,7 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--channel", default="AWGN",
                    help='Specifies channel: "AWGN", "BSC", "BEC" (Default: AWGN)')
     p.add_argument("--decoding", default="BP",
-                   help='Specifies decoding algorithm: "BP", "BP_MS" (Default: BP)')
+                   help='Specifies decoding algorithm: "BP", "BP_MS" '
+                        '(reference set); also "BP_TANH", "BP_LIN", '
+                        '"BP_NMS", "BP_OMS" (Default: BP)')
     p.add_argument("--max-frames", type=float, default=10e9,
                    help="Limit number of decoded frames.")
     p.add_argument("--frame-error-count", type=int, default=50,

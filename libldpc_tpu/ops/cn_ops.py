@@ -22,6 +22,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .device import PAD_LLR
 
@@ -72,13 +73,75 @@ def boxplus_linear(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return _sign(x) * _sign(y) * m + _lin_approx(x + y) - _lin_approx(x - y)
 
 
+#: Largest float32 strictly below 1 — tanh-domain products are clipped here
+#: before the inverse transform, capping CN extrinsics at
+#: ``2*atanh(TANH_CLIP)`` ~= 17.3.  (The GPU reference computes the same
+#: product form in doubles with no clip and can overflow the log ratio,
+#: ``gpu/device/kernel.cpp:250-263``; the clip trades a bounded extrinsic
+#: for that hazard.  VN posteriors still accumulate freely.)
+TANH_CLIP = float(np.nextafter(np.float32(1.0), np.float32(0.0)))
+
+
+def tanh_pre(x: jnp.ndarray) -> jnp.ndarray:
+    """LLR -> tanh domain.  ``tanh(PAD_LLR/2) == 1.0`` exactly, so padding
+    lanes are an exact multiplicative identity in the prefix products."""
+    return jnp.tanh(x * 0.5)
+
+
+def tanh_post(t: jnp.ndarray) -> jnp.ndarray:
+    """tanh domain -> LLR: ``2*atanh(t)`` as ``log1p(t) - log1p(-t)``
+    (stable near ``|t| = 1`` after the clip)."""
+    p = jnp.clip(t, -TANH_CLIP, TANH_CLIP)
+    return jnp.log1p(p) - jnp.log1p(-p)
+
+
+def is_tanh_mode(minsum_mode) -> bool:
+    """True for the tanh-product sum-product form (``"BP_TANH"``) — the CN
+    update the reference GPU stack uses (``decode_lyr_cnupdate``,
+    ``gpu/device/kernel.cpp:237-264``: ``t_j = tanh(Lv2c/2)``, product over
+    the check, log-ratio back-transform).  Mathematically identical to the
+    pairwise box-plus (``jacobian``) exclusion — same sum-product
+    algorithm, different rounding — but needs only ``2*dc``
+    transcendentals per check instead of ``~4`` per pairwise op (``~12*dc``
+    per check), which matters on the VPU where box-plus dominates
+    large-blocklength decoding."""
+    if isinstance(minsum_mode, tuple):
+        minsum_mode = minsum_mode[0]
+    return minsum_mode == "BP_TANH"
+
+
+def exclusion_combine_tanh(M: jnp.ndarray) -> jnp.ndarray:
+    """All-but-one combine along axis 1 in the tanh domain (see
+    :func:`is_tanh_mode`).  Same shape contract as
+    :func:`exclusion_combine`; degree-1 rows return ``PAD_LLR`` (combine of
+    zero messages — identity), matching the pairwise form."""
+    dc = M.shape[1]
+    if dc == 1:
+        return jnp.full_like(M, PAD_LLR)
+    T = tanh_pre(M)
+    fwd = [T[:, 0]]
+    bwd = [T[:, dc - 1]]
+    for j in range(1, dc):
+        fwd.append(fwd[-1] * T[:, j])
+        bwd.append(bwd[-1] * T[:, dc - 1 - j])
+    out = [bwd[dc - 2]]
+    for j in range(1, dc - 1):
+        out.append(fwd[j - 1] * bwd[dc - 2 - j])
+    out.append(fwd[dc - 2])
+    return tanh_post(jnp.stack(out, axis=1))
+
+
 #: Decoder-type string -> pairwise CN operator.  ``BP`` is the exact
 #: sum-product (any unknown string also maps to it, matching
 #: ``set_param``, ``src/decoding/decoder.h:73-80``); ``BP_MS`` is min-sum;
 #: ``BP_LIN`` is the piecewise-linear approximation (the GPU stack's
 #: compile-time ``CN_APPROX_LIN``, exposed here as a runtime type);
 #: ``BP_NMS``/``BP_OMS`` are normalized/offset min-sum (min-sum exclusion
-#: followed by output scaling / offset — see :func:`cn_postprocess`).
+#: followed by output scaling / offset — see :func:`cn_postprocess`);
+#: ``BP_TANH`` is product-form sum-product and has no pairwise operator —
+#: decoders must branch on :func:`is_tanh_mode` before calling
+#: :func:`get_op` (it raises, so a forgotten branch fails loudly instead
+#: of silently decoding with different numerics).
 OPS = {
     "BP": boxplus,
     "BP_MS": minsum,
@@ -93,6 +156,11 @@ def get_op(minsum_mode) -> PairwiseOp:
     decoder-type string, or a ``(type, scale, offset)`` tuple."""
     if isinstance(minsum_mode, tuple):
         minsum_mode = minsum_mode[0]
+    if minsum_mode == "BP_TANH":
+        raise ValueError(
+            "BP_TANH has no pairwise operator; branch on is_tanh_mode() "
+            "and use the tanh-domain exclusion"
+        )
     if isinstance(minsum_mode, str):
         return OPS.get(minsum_mode, boxplus)
     return minsum if minsum_mode else boxplus

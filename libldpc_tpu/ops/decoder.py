@@ -57,8 +57,10 @@ def cn_update(
     dcode: DeviceCode, lv2c: jnp.ndarray, minsum_mode: bool
 ) -> jnp.ndarray:
     """Check-node update: ``[E, B] -> [E, B]`` extrinsic messages."""
-    op = cn_ops.get_op(minsum_mode)
     M = lv2c.reshape(dcode.mc, dcode.max_dc, -1)
+    if cn_ops.is_tanh_mode(minsum_mode):
+        return cn_ops.exclusion_combine_tanh(M).reshape(dcode.E, -1)
+    op = cn_ops.get_op(minsum_mode)
     out = cn_ops.exclusion_combine(M, op).reshape(dcode.E, -1)
     return cn_ops.cn_postprocess(out, minsum_mode)
 

@@ -71,7 +71,8 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
     vn_blocks = pdc.vn_blocks
     vn_node_base = pdc.vn_node_base
     nnz = pdc.nnz
-    op = cn_ops.get_op(minsum_mode)
+    tanh = cn_ops.is_tanh_mode(minsum_mode)
+    op = None if tanh else cn_ops.get_op(minsum_mode)
 
     # active-stage-compressed network (quiet stages dropped at build time)
     act_dists = tuple(
@@ -213,15 +214,27 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
             if d == 1:
                 parts.append(jnp.full_like(M[0], 1e30))
                 continue
+            if tanh:
+                M = [cn_ops.tanh_pre(m) for m in M]
             fwd = [M[0]]
             bwd = [M[d - 1]]
             for j in range(1, d):
-                fwd.append(op(fwd[-1], M[j]))
-                bwd.append(op(bwd[-1], M[d - 1 - j]))
+                if tanh:
+                    fwd.append(fwd[-1] * M[j])
+                    bwd.append(bwd[-1] * M[d - 1 - j])
+                else:
+                    fwd.append(op(fwd[-1], M[j]))
+                    bwd.append(op(bwd[-1], M[d - 1 - j]))
             out = [bwd[d - 2]]
             for j in range(1, d - 1):
-                out.append(op(fwd[j - 1], bwd[d - 2 - j]))
+                out.append(
+                    fwd[j - 1] * bwd[d - 2 - j]
+                    if tanh
+                    else op(fwd[j - 1], bwd[d - 2 - j])
+                )
             out.append(fwd[d - 2])
+            if tanh:
+                out = [cn_ops.tanh_post(o) for o in out]
             parts.extend(out)
         if N > nnz:
             parts.append(jnp.zeros((N - nnz, lv2c.shape[1]), compute))

@@ -49,7 +49,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                  ft, dtype):
     N = ldc.n_pad
     nc_pad = ldc.nc_pad
-    op = cn_ops.get_op(minsum_mode)
+    tanh = cn_ops.is_tanh_mode(minsum_mode)
+    op = None if tanh else cn_ops.get_op(minsum_mode)
     mask_word = ldc.n_words  # real-edge mask lives in the last plane word
     compute = jnp.float32
     clos = ldc.transport == "clos"
@@ -133,15 +134,27 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
             if d == 1:
                 parts.append(jnp.full_like(M[0], PAD_LLR))
                 continue
+            if tanh:
+                M = [cn_ops.tanh_pre(m) for m in M]
             fwd = [M[0]]
             bwd = [M[d - 1]]
             for j in range(1, d):
-                fwd.append(op(fwd[-1], M[j]))
-                bwd.append(op(bwd[-1], M[d - 1 - j]))
+                if tanh:
+                    fwd.append(fwd[-1] * M[j])
+                    bwd.append(bwd[-1] * M[d - 1 - j])
+                else:
+                    fwd.append(op(fwd[-1], M[j]))
+                    bwd.append(op(bwd[-1], M[d - 1 - j]))
             out = [bwd[d - 2]]
             for j in range(1, d - 1):
-                out.append(op(fwd[j - 1], bwd[d - 2 - j]))
+                out.append(
+                    fwd[j - 1] * bwd[d - 2 - j]
+                    if tanh
+                    else op(fwd[j - 1], bwd[d - 2 - j])
+                )
             out.append(fwd[d - 2])
+            if tanh:
+                out = [cn_ops.tanh_post(o) for o in out]
             parts.extend(out)
         cn_end = sum(cp * d for _, cp, d in ldc.cn_blocks)
         if N > cn_end:

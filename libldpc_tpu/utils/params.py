@@ -35,7 +35,13 @@ class DecoderParams:
       iterations: max BP iterations (reference default 50,
         ``src/sim_cpu.cpp:14``).
       type: ``"BP"`` (exact sum-product via pairwise box-plus) or ``"BP_MS"``
-        (min-sum).  Any other string behaves like ``"BP"``, matching
+        (min-sum).  Extensions beyond the CPU reference: ``"BP_TANH"``
+        (sum-product in tanh-product form — the GPU stack's CN update,
+        ``gpu/device/kernel.cpp:237-264``; same algorithm as ``BP`` with
+        different rounding, ~5x fewer transcendentals per check),
+        ``"BP_LIN"`` (piecewise-linear correction, the GPU
+        ``CN_APPROX_LIN``), ``"BP_NMS"``/``"BP_OMS"`` (normalized/offset
+        min-sum).  Any other string behaves like ``"BP"``, matching
         ``ldpc_decoder_base::set_param`` (``src/decoding/decoder.h:73-80``).
     """
 

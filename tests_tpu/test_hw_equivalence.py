@@ -114,6 +114,115 @@ def test_lanes_matches_sorted_on_chip(early_term):
 
 
 @requires_tpu
+@pytest.mark.parametrize("message_dtype", ["float32", "bfloat16"])
+def test_clos_matches_benes_on_chip(message_dtype):
+    """Compiled Clos transport (block matmuls + tile moves) vs the Beneš
+    network on a random (non-block-local) code: same permutation, so hard
+    decisions and iteration counts must be bit-identical per dtype."""
+    from libldpc_tpu.models import make_benchmark_code
+    from libldpc_tpu.ops.pallas.decode_fused import bp_decode_pallas
+    from libldpc_tpu.ops.pallas.layout import to_pallas_device
+
+    code = make_benchmark_code(1024, dv=3, dc=6, seed=1, with_G=False)
+    pdc = to_pallas_device(code, with_clos=True)
+    assert pdc.mxu_blocks_fwd is None, "random code unexpectedly block-local"
+    B = 256
+    llr = _awgn_llrs(code, B, snr_db=-0.5, seed=17)
+    vn_perm = np.asarray(jax.device_get(pdc.sorted_dc.vn_perm))
+    llr_s = jnp.asarray(llr[vn_perm])
+
+    out_b = bp_decode_pallas(
+        pdc, llr_s, iterations=20, early_term=True, batch_tile=256,
+        message_dtype=message_dtype, permute="benes",
+    )
+    out_c = bp_decode_pallas(
+        pdc, llr_s, iterations=20, early_term=True, batch_tile=256,
+        message_dtype=message_dtype, permute="clos",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_c.hard)),
+        np.asarray(jax.device_get(out_b.hard)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_c.iterations)),
+        np.asarray(jax.device_get(out_b.iterations)),
+    )
+
+
+@requires_tpu
+def test_lanes_clos_bf16_matches_fused_on_chip():
+    """Compiled lane-major Clos/bf16 kernel vs the edge-major bf16 kernel
+    on a code both accept: identical quantisation points, so outputs must
+    agree bit-for-bit."""
+    from libldpc_tpu.models import make_benchmark_code
+    from libldpc_tpu.ops.pallas.decode_fused import bp_decode_pallas
+    from libldpc_tpu.ops.pallas.decode_lanes import bp_decode_lanes
+    from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+    from libldpc_tpu.ops.pallas.layout import to_pallas_device
+
+    code = make_benchmark_code(2048, dv=3, dc=6, seed=5, with_G=False)
+    ldc = to_lanes_device(code, transport="clos")
+    pdc = to_pallas_device(code)
+    B = 64
+    llr = _awgn_llrs(code, B, snr_db=-0.5, seed=13)
+    vn_perm = np.asarray(jax.device_get(ldc.sorted_dc.vn_perm))
+    llr_s = jnp.asarray(llr[vn_perm])
+
+    out_l = bp_decode_lanes(
+        ldc, llr_s, iterations=20, early_term=True,
+        message_dtype="bfloat16",
+    )
+    out_f = bp_decode_pallas(
+        pdc, llr_s, iterations=20, early_term=True, batch_tile=64,
+        message_dtype="bfloat16",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_l.hard)),
+        np.asarray(jax.device_get(out_f.hard)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_l.iterations)),
+        np.asarray(jax.device_get(out_f.iterations)),
+    )
+
+
+@requires_tpu
+def test_tanh_pallas_matches_sorted_on_chip():
+    """Compiled BP_TANH (tanh-product CN form, the GPU reference's update)
+    vs the XLA sorted decoder running the same form."""
+    from libldpc_tpu.models import make_benchmark_code
+    from libldpc_tpu.ops.pallas.decode_fused import bp_decode_pallas
+    from libldpc_tpu.ops.pallas.layout import to_pallas_device
+    from libldpc_tpu.ops.sorted import bp_decode_sorted
+
+    code = make_benchmark_code(1152, dv=3, dc=6, seed=0, with_G=False)
+    pdc = to_pallas_device(code)
+    B = 256
+    llr = _awgn_llrs(code, B, snr_db=-1.0, seed=11)
+    vn_perm = np.asarray(jax.device_get(pdc.sorted_dc.vn_perm))
+    llr_s = jnp.asarray(llr[vn_perm])
+
+    out_p = bp_decode_pallas(
+        pdc, llr_s, iterations=20, early_term=True,
+        minsum_mode="BP_TANH", batch_tile=256,
+    )
+    out_s = jax.jit(
+        lambda l: bp_decode_sorted(
+            pdc.sorted_dc, l, iterations=20, early_term=True,
+            minsum_mode="BP_TANH",
+        )
+    )(llr_s)
+    mismatch = (
+        np.asarray(jax.device_get(out_p.hard))
+        != np.asarray(jax.device_get(out_s.hard))
+    ).mean()
+    assert mismatch < 1e-4, f"hard-decision mismatch rate {mismatch}"
+    it_p = np.asarray(jax.device_get(out_p.iterations))
+    it_s = np.asarray(jax.device_get(out_s.iterations))
+    assert (it_p == it_s).mean() > 0.999, "iteration counts diverge"
+
+
+@requires_tpu
 def test_pallas_sharded_step_on_chip():
     """One real sharded simulation step with use_pallas=True on the chip
     (single-device mesh — the multi-device sharding of the same step is
