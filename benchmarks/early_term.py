@@ -108,13 +108,16 @@ def main():
     for x in points:
         xv = np.float32(x)
         # ---- no-early-term fixed 50 iterations --------------------------
+        # ONE stream-ordered host read at the end: per-step int() reads
+        # each pay a full tunnel round trip (~40 ms) and would dominate
+        # the measurement (device execution is in-order, so the last
+        # step's counters completing implies all prior steps completed)
         jax.block_until_ready(noet_step(key, xv).bit_errors)  # compile+warm
         n_steps = max(2, args.frames_per_point // batch)
         keys = [jax.random.fold_in(key, 1000 + i) for i in range(n_steps)]
         t0 = time.perf_counter()
         outs = [noet_step(k, xv) for k in keys]
-        frames = sum(int(o.frames) for o in outs)
-        jax.block_until_ready(outs[-1].bit_errors)
+        frames = (n_steps - 1) * batch + int(outs[-1].frames)
         noet_us = (time.perf_counter() - t0) / frames * 1e6
 
         # ---- streaming early termination --------------------------------
@@ -126,21 +129,31 @@ def main():
         frames = iters = fec = 0
         pending = []
         si = 0
+
+        def absorb(n):
+            # ONE round trip for n supersteps' counters: per-superstep
+            # reads would serialise a full tunnel RTT (~superstep time at
+            # slow points) into every step
+            nonlocal frames, iters, fec
+            accs = [pending.pop(0) for _ in range(n)]
+            vals = jax.device_get(
+                [(a.frames, a.iter_sum, a.frame_errors) for a in accs]
+            )
+            for fr, it_, fe in vals:
+                frames += int(fr)
+                iters += int(it_)
+                fec += int(fe)
+
         while frames < args.frames_per_point:
             state, acc = et_step(
                 state, jax.random.fold_in(key, 100 + si), xv, np.bool_(True)
             )
             si += 1
             pending.append(acc)
-            if len(pending) >= 2:
-                a = pending.pop(0)
-                frames += int(a.frames)
-                iters += int(a.iter_sum)
-                fec += int(a.frame_errors)
-        for a in pending:
-            frames += int(a.frames)
-            iters += int(a.iter_sum)
-            fec += int(a.frame_errors)
+            if len(pending) >= 6:
+                absorb(len(pending) - 2)
+        if pending:
+            absorb(len(pending))
         et_us = (time.perf_counter() - t0) / frames * 1e6
         avg_iter = iters / frames
         fer = fec / frames

@@ -65,7 +65,7 @@ from .layout import PallasDeviceCode
 
 def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
                  minsum_mode, bt, dtype=jnp.float32, nl=0, mxu=False,
-                 clos=False, chunk=False, cap=0):
+                 clos=False, chunk=False, cap=0, stream=False):
     N = pdc.n_pad
     cn_blocks = pdc.cn_blocks
     vn_blocks = pdc.vn_blocks
@@ -317,30 +317,94 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
 
     n_perm_refs = 2 if mxu else (3 if clos else 1)
 
-    def kernel_chunk(*args):
-        """Resumable chunk: ``iterations`` BP passes from carried state.
 
-        The streaming compaction loop (:mod:`libldpc_tpu.ops.streaming_pallas`)
-        calls this between reloads: ``lv2c``/``done``/``iters``/``age`` ride
-        in and out (input/output-aliased), reloaded streams arrive with
-        ``lv2c = 0`` (one zero-message pass reproduces the standard
-        ``Lv2c = LLRIn[col]`` init exactly — no gather) and ``age = 0``
-        gates their convergence check off during that warm-up pass.
-        Semantics per frame match :mod:`libldpc_tpu.ops.streaming`
-        (break-before-increment iteration counts, freeze at first
-        convergence, cap at ``cap`` real iterations).
+    def kernel_stream(*args):
+        """Self-refilling streaming chunk: ``iterations`` BP passes where
+        idle lanes reload *in-kernel* from a lane-aligned fresh-frame pool
+        and completed frames are counted in-kernel.
+
+        This is the TPU-native equivalent of the reference's per-thread
+        frame loop (``src/sim/ldpcsim.cpp:150-256``) pushed all the way
+        into the kernel: the chunk-boundary XLA glue of the earlier scheme
+        (full-batch channel materialisation, ``[n_pad, B]`` reload selects,
+        host-visible counting) collapses to occasional pool regeneration,
+        and a finished stream restarts on the *next pass* instead of
+        idling ~``k/2`` passes until its chunk ends.
+
+        Per-pass structure:
+
+        1. **Reload phase** — lanes with ``done & avail`` take their pool
+          entry (``lv2c = 0`` + ``age = 0``: the gather-free warm-up-pass
+          reload of :mod:`libldpc_tpu.ops.streaming`).  An exact global
+          ``max_frames`` quota is enforced with a per-lane inclusive scan
+          (log2(bt) roll/add stages) against a running remaining-starts
+          counter in SMEM scratch, which persists across the sequential
+          grid — starts never exceed the quota, in any tile order.
+        2. **Decode pass** — identical semantics to the batch streaming
+          loop (warm-up gated checks, break-before-increment counts,
+          cap at ``cap``), plus in-kernel counting at the finishing pass:
+          transmitted-bit errors (``is_tx`` plane), frame errors, frames
+          and iteration sums accumulate in per-lane int32 counter planes
+          (row layout: bit_errors / frame_errors / frames / iter_sum /
+          started).
         """
         pref = args[:n_perm_refs]
-        (llr_ref, lv2c_in, done_in, iters_in, age_in,
-         lv2c_ref, out_llr_ref, done_ref, iters_ref, age_ref) = args[n_perm_refs:]
+        (istx_ref, fresh_llr_ref, fresh_cw_ref, refill_ref, remaining_ref,
+         llr_in, cw_in, lv2c_in, done_in, iters_in, age_in, avail_in,
+         ctr_in,
+         llr_ref, cw_ref, lv2c_ref, done_ref, iters_ref, age_ref,
+         avail_ref, ctr_ref, rem_s) = args[n_perm_refs:]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            rem_s[0] = remaining_ref[0, 0]
+
+        llr_ref[:] = llr_in[:]
+        cw_ref[:] = cw_in[:]
         lv2c_ref[:] = lv2c_in[:]
         done_ref[:] = done_in[:]
         iters_ref[:] = iters_in[:]
         age_ref[:] = age_in[:]
-        out_llr_ref[:] = jnp.zeros((nc, bt), dtype)
+        avail_ref[:] = avail_in[:]
+        ctr_ref[:] = ctr_in[:]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
+        refill_on = refill_ref[0, 0] > 0
 
         def body(it, carry):
-            def one_pass():
+            # ---- phase 1: reload idle lanes from the fresh pool --------
+            done_i = done_ref[0:1, :]
+            avail_i = avail_ref[0:1, :]
+            eligible = done_i * avail_i  # i32 0/1 [1, bt]
+
+            @pl.when(refill_on & (jnp.sum(eligible) > 0))
+            def _():
+                # inclusive per-lane scan caps starts at the remaining
+                # global quota exactly (lanes are granted in index order)
+                cum = eligible
+                d = 1
+                while d < bt:
+                    cum = cum + jnp.where(
+                        lane >= d, pltpu.roll(cum, d, axis=1), 0
+                    )
+                    d *= 2
+                allowed = eligible * jnp.where(cum <= rem_s[0], 1, 0)
+                rs = allowed > 0
+                llr_ref[:] = jnp.where(rs, fresh_llr_ref[:], llr_ref[:])
+                cw_ref[:] = jnp.where(rs, fresh_cw_ref[:], cw_ref[:])
+                lv2c_ref[:] = jnp.where(
+                    rs, jnp.zeros((), dtype), lv2c_ref[:]
+                )
+                done_ref[0:1, :] = done_i * (1 - allowed)
+                age_ref[0:1, :] = age_ref[0:1, :] * (1 - allowed)
+                iters_ref[0:1, :] = iters_ref[0:1, :] * (1 - allowed)
+                avail_ref[0:1, :] = avail_i - allowed
+                ctr_ref[4:5, :] = ctr_ref[4:5, :] + allowed
+                rem_s[0] = rem_s[0] - jnp.sum(allowed)
+
+            # ---- phase 2: one BP pass over the in-flight lanes ---------
+            @pl.when(jnp.sum(done_ref[0:1, :]) < bt)
+            def _():
                 lv2c = lv2c_ref[:]
                 lc2v_c = cn_exclusion(lv2c)
                 lc2v_v = transport(pref, lc2v_c, reverse=False)
@@ -348,33 +412,41 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
                 q = transport(pref, post_v, reverse=True)
                 lv2c_new = extrinsic(q, lc2v_c)
 
-                done_i = done_ref[0:1, :]
+                done_i2 = done_ref[0:1, :]
                 age_i = age_ref[0:1, :]
                 is_cw = syndrome(q)
-                checking = (1 - done_i) * jnp.where(age_i >= 1, 1, 0)
+                checking = (1 - done_i2) * jnp.where(age_i >= 1, 1, 0)
                 newly = checking * is_cw
-                iters_ref[0:1, :] = iters_ref[0:1, :] + checking * (1 - is_cw)
-                age2 = age_i + (1 - done_i)
+                iters2 = iters_ref[0:1, :] + checking * (1 - is_cw)
+                iters_ref[0:1, :] = iters2
+                age2 = age_i + (1 - done_i2)
                 age_ref[0:1, :] = age2
-                finished = (1 - done_i) * jnp.where(
+                finished = (1 - done_i2) * jnp.where(
                     (newly > 0) | (age2 >= cap + 1), 1, 0
                 )
-                done_ref[0:1, :] = done_i + finished
-                keep = done_i > 0
+                done_ref[0:1, :] = done_i2 + finished
+                # in-kernel error counting at the finishing pass: the
+                # decisions of first convergence (or the iteration cap)
+                err = jnp.where(
+                    (llr_out.astype(jnp.float32) <= 0) != (cw_ref[:] > 0),
+                    istx_ref[:],
+                    0,
+                )
+                biterr = jnp.sum(err, axis=0, keepdims=True)  # [1, bt]
+                ctr_ref[0:1, :] = ctr_ref[0:1, :] + finished * biterr
+                ctr_ref[1:2, :] = ctr_ref[1:2, :] + finished * jnp.where(
+                    biterr > 0, 1, 0
+                )
+                ctr_ref[2:3, :] = ctr_ref[2:3, :] + finished
+                ctr_ref[3:4, :] = ctr_ref[3:4, :] + finished * iters2
+                keep = done_i2 > 0
                 lv2c_ref[:] = jnp.where(keep, lv2c, lv2c_new)
-                out_llr_ref[:] = jnp.where(keep, out_llr_ref[:], llr_out)
-
-            active = jnp.sum(done_ref[0:1, :]) < bt
-
-            @pl.when(active)
-            def _():
-                one_pass()
             return carry
 
         jax.lax.fori_loop(0, iterations, body, 0)
 
-    if chunk:
-        return kernel_chunk
+    if stream:
+        return kernel_stream
 
     def kernel_layered(*args):
         """Layered (serial) schedule: per iteration, each layer refreshes
@@ -654,60 +726,25 @@ def bp_decode_pallas(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "cap", "minsum_mode", "batch_tile", "interpret",
-                     "message_dtype", "permute"),
-)
-def bp_chunk_pallas(
-    pdc: PallasDeviceCode,
-    llr_in: jnp.ndarray,  # f32 [nc, B], sorted VN labelling
-    lv2c: jnp.ndarray,  # dtype [n_pad, B] carried message state
-    done8: jnp.ndarray,  # i32 [8, B] (row 0: finished flag)
-    iters8: jnp.ndarray,  # i32 [8, B]
-    age8: jnp.ndarray,  # i32 [8, B]
-    *,
-    k: int,
-    cap: int,
-    minsum_mode=False,
-    batch_tile: int = 256,
-    interpret: bool = False,
-    message_dtype: str = "float32",
-    permute: str = "benes",
-):
-    """Run ``k`` BP passes from carried per-stream state (see
-    ``kernel_chunk``).  Returns ``(lv2c, llr_out, done8, iters8, age8)``;
-    the state operands are donated/aliased in place.  Semantics per frame
-    match :mod:`libldpc_tpu.ops.streaming`."""
-    nc, B = llr_in.shape
-    bt = min(batch_tile, B)
-    if B % bt:
-        raise ValueError(f"batch {B} not divisible by tile {bt}")
-    if permute == "mxu" and pdc.mxu_blocks_fwd is None:
-        raise ValueError("permute='mxu' requires a block-local plan")
-    if permute == "clos" and pdc.clos_p1 is None:
-        raise ValueError(
-            "permute='clos' requires to_pallas_device(code, with_clos=True)"
-        )
-    dtype = jnp.dtype(message_dtype)
-    mxu = permute == "mxu"
-    clos = permute == "clos"
-    kernel = _make_kernel(
-        pdc, nc, k, True, minsum_mode, bt, dtype=dtype, mxu=mxu, clos=clos,
-        chunk=True, cap=cap,
-    )
-    swap = pdc.swap_planes
-    Sa = swap.shape[1]
+def _perm_inputs(pdc, permute):
+    """(in_specs, inputs) for the permutation tables of ``permute``."""
     in_specs = []
     inputs = []
-    if mxu:
+    if permute == "mxu":
+        if pdc.mxu_blocks_fwd is None:
+            raise ValueError("permute='mxu' requires a block-local plan")
         for blocks in (pdc.mxu_blocks_fwd, pdc.mxu_blocks_rev):
             in_specs.append(
                 pl.BlockSpec(blocks.shape, lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
             )
             inputs.append(blocks)
-    elif clos:
+    elif permute == "clos":
+        if pdc.clos_p1 is None:
+            raise ValueError(
+                "permute='clos' requires to_pallas_device(code, "
+                "with_clos=True)"
+            )
         for blocks in (pdc.clos_p1, pdc.clos_p3):
             in_specs.append(
                 pl.BlockSpec(blocks.shape, lambda b: (0, 0, 0),
@@ -720,53 +757,137 @@ def bp_chunk_pallas(
         )
         inputs.append(pdc.clos_mid_planes)
     else:
+        swap = pdc.swap_planes
         in_specs.append(
-            pl.BlockSpec((pdc.n_pad, Sa), lambda b: (0, 0),
+            pl.BlockSpec((pdc.n_pad, swap.shape[1]), lambda b: (0, 0),
                          memory_space=pltpu.VMEM)
         )
         inputs.append(swap)
+    return in_specs, inputs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "cap", "minsum_mode", "batch_tile", "interpret",
+                     "message_dtype", "permute"),
+)
+def bp_stream_chunk_pallas(
+    pdc: PallasDeviceCode,
+    llr_in: jnp.ndarray,  # f32 [nc, B] carried channel LLRs
+    cw: jnp.ndarray,  # i32 [nc, B] carried true codewords
+    lv2c: jnp.ndarray,  # dtype [n_pad, B] carried message state
+    done8: jnp.ndarray,  # i32 [8, B] (row 0: finished flag)
+    iters8: jnp.ndarray,  # i32 [8, B]
+    age8: jnp.ndarray,  # i32 [8, B]
+    avail8: jnp.ndarray,  # i32 [8, B] (row 0: pool entry unused)
+    ctr8: jnp.ndarray,  # i32 [8, B] counter planes
+    fresh_llr: jnp.ndarray,  # f32 [nc, B] fresh-frame pool
+    fresh_cw: jnp.ndarray,  # i32 [nc, B]
+    refill: jnp.ndarray,  # i32 scalar: allow reloads
+    remaining: jnp.ndarray,  # i32 scalar: global starts remaining (quota)
+    *,
+    k: int,
+    cap: int,
+    minsum_mode=False,
+    batch_tile: int = 256,
+    interpret: bool = False,
+    message_dtype: str = "float32",
+    permute: str = "benes",
+):
+    """Run ``k`` self-refilling BP passes (see ``kernel_stream``).
+
+    Returns the carried state ``(llr_in, cw, lv2c, done8, iters8, age8,
+    avail8, ctr8)``; all eight operands are donated/aliased in place.
+    Counter-plane rows: 0 bit_errors, 1 frame_errors, 2 frames,
+    3 iter_sum, 4 started.
+    """
+    nc, B = llr_in.shape
+    bt = min(batch_tile, B)
+    if B % bt:
+        raise ValueError(f"batch {B} not divisible by tile {bt}")
+    if bt & (bt - 1):
+        raise ValueError(f"batch tile {bt} must be a power of two")
+    dtype = jnp.dtype(message_dtype)
+    kernel = _make_kernel(
+        pdc, nc, k, True, minsum_mode, bt, dtype=dtype,
+        mxu=permute == "mxu", clos=permute == "clos", stream=True, cap=cap,
+    )
+    in_specs, inputs = _perm_inputs(pdc, permute)
     n_perm = len(inputs)
-    for arr, shape in (
-        (llr_in, (nc, bt)),
-        (lv2c, (pdc.n_pad, bt)),
-        (done8, (8, bt)),
-        (iters8, (8, bt)),
-        (age8, (8, bt)),
+
+    is_tx = (
+        jnp.zeros((nc, 1), jnp.int32).at[pdc.bit_pos, :].set(1)
+    )
+    for arr, spec in (
+        (is_tx, pl.BlockSpec((nc, 1), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)),
+        (fresh_llr, pl.BlockSpec((nc, bt), lambda b: (0, b),
+                                 memory_space=pltpu.VMEM)),
+        (fresh_cw, pl.BlockSpec((nc, bt), lambda b: (0, b),
+                                memory_space=pltpu.VMEM)),
+        (jnp.asarray(refill, jnp.int32).reshape(1, 1),
+         pl.BlockSpec((1, 1), lambda b: (0, 0),
+                      memory_space=pltpu.SMEM)),
+        (jnp.asarray(remaining, jnp.int32).reshape(1, 1),
+         pl.BlockSpec((1, 1), lambda b: (0, 0),
+                      memory_space=pltpu.SMEM)),
+        (llr_in, pl.BlockSpec((nc, bt), lambda b: (0, b),
+                              memory_space=pltpu.VMEM)),
+        (cw, pl.BlockSpec((nc, bt), lambda b: (0, b),
+                          memory_space=pltpu.VMEM)),
+        (lv2c, pl.BlockSpec((pdc.n_pad, bt), lambda b: (0, b),
+                            memory_space=pltpu.VMEM)),
+        (done8, pl.BlockSpec((8, bt), lambda b: (0, b),
+                             memory_space=pltpu.VMEM)),
+        (iters8, pl.BlockSpec((8, bt), lambda b: (0, b),
+                              memory_space=pltpu.VMEM)),
+        (age8, pl.BlockSpec((8, bt), lambda b: (0, b),
+                            memory_space=pltpu.VMEM)),
+        (avail8, pl.BlockSpec((8, bt), lambda b: (0, b),
+                              memory_space=pltpu.VMEM)),
+        (ctr8, pl.BlockSpec((8, bt), lambda b: (0, b),
+                            memory_space=pltpu.VMEM)),
     ):
-        in_specs.append(
-            pl.BlockSpec(shape, lambda b: (0, b), memory_space=pltpu.VMEM)
-        )
         inputs.append(arr)
+        in_specs.append(spec)
     out_specs = [
+        pl.BlockSpec((nc, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nc, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
         pl.BlockSpec((pdc.n_pad, bt), lambda b: (0, b),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((nc, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((8, bt), lambda b: (0, b), memory_space=pltpu.VMEM)
+        for _ in range(5)
     ]
     out_shape = (
+        jax.ShapeDtypeStruct((nc, B), jnp.float32),
+        jax.ShapeDtypeStruct((nc, B), jnp.int32),
         jax.ShapeDtypeStruct((pdc.n_pad, B), dtype),
-        jax.ShapeDtypeStruct((nc, B), dtype),
+        jax.ShapeDtypeStruct((8, B), jnp.int32),
+        jax.ShapeDtypeStruct((8, B), jnp.int32),
         jax.ShapeDtypeStruct((8, B), jnp.int32),
         jax.ShapeDtypeStruct((8, B), jnp.int32),
         jax.ShapeDtypeStruct((8, B), jnp.int32),
     )
-    lv2c2, llr_out, done2, iters2, age2 = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(B // bt,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         input_output_aliases={
-            n_perm + 1: 0,  # lv2c
-            n_perm + 2: 2,  # done8
-            n_perm + 3: 3,  # iters8
-            n_perm + 4: 4,  # age8
+            n_perm + 5: 0,  # llr_in
+            n_perm + 6: 1,  # cw
+            n_perm + 7: 2,  # lv2c
+            n_perm + 8: 3,  # done8
+            n_perm + 9: 4,  # iters8
+            n_perm + 10: 5,  # age8
+            n_perm + 11: 6,  # avail8
+            n_perm + 12: 7,  # ctr8
         },
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs)
-    return lv2c2, llr_out.astype(jnp.float32), done2, iters2, age2

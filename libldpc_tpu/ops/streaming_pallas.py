@@ -1,19 +1,38 @@
-"""Streaming compaction on the fused Pallas kernel.
+"""Streaming compaction on the fused Pallas kernel, with in-kernel reload.
 
 Same scheme as :mod:`libldpc_tpu.ops.streaming` — every batch lane is an
 independent frame stream that reloads on convergence, so early-termination
-work tracks ``avg_iter`` — but the BP passes run inside the fused Pallas
-chunk kernel (:func:`libldpc_tpu.ops.pallas.decode_fused.bp_chunk_pallas`):
-messages stay VMEM-resident for ``k`` passes at a time, per-frame
-convergence/iteration bookkeeping happens in-kernel, and the reload
-machinery (channel generation, counting, stream resets) runs in XLA
-between chunks.  Per-pass cost is the fused kernel's (~3.1x cheaper than
-the XLA sorted path on structured codes with bf16+MXU transport); the
-price is reload granularity — a finished stream idles until its chunk
-ends, ~``k/2`` passes on average.
+work tracks ``avg_iter`` — but the entire per-stream loop lives inside the
+fused kernel (:func:`libldpc_tpu.ops.pallas.decode_fused.bp_stream_chunk_pallas`):
+messages stay VMEM-resident, per-frame convergence/iteration bookkeeping,
+error counting *and stream reloads* all happen in-kernel.  A finished
+stream restarts on the next pass (no idle-until-chunk-end), and the only
+XLA work between chunks is occasional regeneration of the lane-aligned
+fresh-frame pool.
+
+This is the second-generation design: the first ran reloads/counting in
+XLA between chunks (full-batch channel generation every chunk at ~25%
+utilisation, ``[n_pad, B]`` reload selects, ~k/2 idle passes per frame),
+which measured 3-4x the fixed-iteration per-pass cost and capped the
+early-termination win at ``avg_iter ≲ 13``.
+
+**Fresh-frame pool.**  Lane ``i`` can only reload from pool entry ``i``
+(lane-aligned — no gathers anywhere).  Between chunks, when at least
+``gen_watermark`` entries have been consumed, one ``simulate_channel``
+batch refills exactly the consumed entries (unused entries keep their
+never-started frames — no draws are discarded by overwrite, only the
+regen draws landing on still-fresh lanes are, bounding generation waste
+by ``1 - watermark``).  A lane that finishes twice between regens idles
+(``done``, counted once) until the next regen — the watermark trades that
+idle wait against generation waste.
+
+``max_frames`` is enforced *exactly*: each device holds a start quota and
+the kernel grants starts against a running remaining-counter in SMEM (see
+``kernel_stream``), so the drained total lands on ``min(max_frames, ...)``
+with no host round-trip.
 
 Per-frame semantics (decisions at first convergence, break-before-
-increment iteration counts, cap at ``iterations``) are identical to both
+increment iteration counts, cap at ``iterations``) are identical to
 :mod:`libldpc_tpu.ops.streaming` and the batch decoders.
 """
 
@@ -28,20 +47,23 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .channel import simulate_channel
-from .pallas.decode_fused import bp_chunk_pallas
+from .pallas.decode_fused import bp_stream_chunk_pallas
 from .pallas.layout import PallasDeviceCode
-from .streaming import _INT32_SAFE, FRAME_AXIS, StreamDeltas
+from .streaming import _INT32_SAFE, FRAME_AXIS, POINT_AXIS, StreamDeltas
 
 
 class PStreamState(NamedTuple):
-    llr_in: jnp.ndarray  # f32 [nc, B]
-    codeword: jnp.ndarray  # u8 [nc, B]
+    llr_in: jnp.ndarray  # f32 [nc, B] carried channel LLRs
+    codeword: jnp.ndarray  # i32 [nc, B] carried true codewords
     lv2c: jnp.ndarray  # msg dtype [n_pad, B]
-    done8: jnp.ndarray  # i32 [8, B] (row 0: finished flag)
+    done8: jnp.ndarray  # i32 [8, B] (row 0: finished/empty flag)
     iters8: jnp.ndarray  # i32 [8, B]
     age8: jnp.ndarray  # i32 [8, B]
-    counted: jnp.ndarray  # bool [B]
-    started: jnp.ndarray  # i32 [n_dev]
+    avail8: jnp.ndarray  # i32 [8, B] (row 0: pool entry unused)
+    ctr8: jnp.ndarray  # i32 [8, B] in-kernel counter planes
+    fresh_llr: jnp.ndarray  # f32 [nc, B] fresh-frame pool
+    fresh_cw: jnp.ndarray  # i32 [nc, B]
+    started: jnp.ndarray  # i32 [n_dev] frames started per device
 
 
 def _init_state(pdc: PallasDeviceCode, batch: int, dtype,
@@ -49,76 +71,82 @@ def _init_state(pdc: PallasDeviceCode, batch: int, dtype,
     done8 = jnp.zeros((8, batch), jnp.int32).at[0].set(1)  # empty = frozen
     return PStreamState(
         llr_in=jnp.zeros((pdc.nc, batch), jnp.float32),
-        codeword=jnp.zeros((pdc.nc, batch), jnp.uint8),
+        codeword=jnp.zeros((pdc.nc, batch), jnp.int32),
         lv2c=jnp.zeros((pdc.n_pad, batch), dtype),
         done8=done8,
         iters8=jnp.zeros((8, batch), jnp.int32),
         age8=jnp.zeros((8, batch), jnp.int32),
-        counted=jnp.ones((batch,), bool),  # nothing to count yet
+        avail8=jnp.zeros((8, batch), jnp.int32),  # pool starts empty
+        ctr8=jnp.zeros((8, batch), jnp.int32),
+        fresh_llr=jnp.zeros((pdc.nc, batch), jnp.float32),
+        fresh_cw=jnp.zeros((pdc.nc, batch), jnp.int32),
         started=jnp.zeros((n_dev,), jnp.int32),
     )
 
 
 def _superstep(
     pdc, channel_type, iterations, cn_mode, batch, modulation, quota,
-    k, n_outer, batch_tile, message_dtype, permute, interpret,
+    k, n_outer, batch_tile, message_dtype, permute, interpret, watermark,
     key, x_value, refill, st: PStreamState,
 ):
-    """``n_outer`` chunks of ``k`` fused decode passes, with counting and
-    reload between chunks — all inside one jitted call, so per-dispatch
-    host/tunnel latency amortises over a full decode's worth of passes."""
-    is_tx = jnp.zeros((pdc.nc,), bool).at[pdc.bit_pos].set(True)[:, None]
+    """``n_outer`` self-refilling chunks of ``k`` fused passes, with pool
+    regeneration between chunks — all inside one jitted call, so per-
+    dispatch host/tunnel latency amortises over a full decode's worth of
+    passes."""
+    refill_i = jnp.asarray(refill, jnp.int32)
 
-    def one_chunk(j, carry):
-        st, acc = carry
-        # --- k fused decode passes with in-kernel bookkeeping -------------
-        lv2c, llr_out, done8, iters8, age8 = bp_chunk_pallas(
-            pdc, st.llr_in, st.lv2c, st.done8, st.iters8, st.age8,
-            k=k, cap=iterations, minsum_mode=cn_mode, batch_tile=batch_tile,
-            message_dtype=message_dtype, permute=permute,
-            interpret=interpret,
-        )
-        done = done8[0] > 0
-        # --- count frames that finished during this chunk ------------------
-        newly = done & ~st.counted
-        hard = llr_out <= 0
-        biterr = (
-            (hard != (st.codeword > 0)) & is_tx
-        ).astype(jnp.int32).sum(0)
-        acc = StreamDeltas(
-            bit_errors=acc.bit_errors + jnp.where(newly, biterr, 0).sum(),
-            frame_errors=acc.frame_errors
-            + (newly & (biterr > 0)).astype(jnp.int32).sum(),
-            frames=acc.frames + newly.astype(jnp.int32).sum(),
-            iter_sum=acc.iter_sum + jnp.where(newly, iters8[0], 0).sum(),
-            n_active=acc.n_active,
-        )
-        counted = st.counted | newly
-        # --- reload finished streams with fresh frames ----------------------
-        ch = simulate_channel(
-            pdc, channel_type, jax.random.fold_in(key, j), batch, x_value,
-            modulation=modulation,
-        )
-        rs = refill & done & counted
-        rs = rs & (st.started[0] + jnp.cumsum(rs.astype(jnp.int32)) <= quota)
-        rs_i = rs.astype(jnp.int32)
-        st2 = PStreamState(
-            llr_in=jnp.where(rs, ch.llr, st.llr_in),
-            codeword=jnp.where(rs, ch.codeword, st.codeword),
-            lv2c=jnp.where(rs, jnp.zeros((), lv2c.dtype), lv2c),
-            done8=done8 * (1 - rs_i),
-            iters8=iters8 * (1 - rs_i),
-            age8=age8 * (1 - rs_i),
-            counted=counted & ~rs,
-            started=st.started + rs_i.sum()[None],
-        )
-        return st2, acc
+    def one_chunk(j, st):
+        # --- regenerate consumed pool entries when depleted enough -------
+        used = jnp.int32(batch) - jnp.sum(st.avail8[0])
+        do_gen = (refill_i > 0) & (used >= jnp.int32(watermark))
 
-    zero = jnp.int32(0)
-    acc0 = StreamDeltas(zero, zero, zero, zero, zero)
-    st, acc = jax.lax.fori_loop(0, n_outer, one_chunk, (st, acc0))
-    acc = acc._replace(
-        n_active=(st.done8[0] == 0).astype(jnp.int32).sum()
+        def gen(_):
+            ch = simulate_channel(
+                pdc, channel_type, jax.random.fold_in(key, j), batch,
+                x_value, modulation=modulation,
+            )
+            unused = st.avail8[0:1, :] > 0  # [1, B] lane-broadcast
+            return (
+                jnp.where(unused, st.fresh_llr, ch.llr),
+                jnp.where(unused, st.fresh_cw,
+                          ch.codeword.astype(jnp.int32)),
+                jnp.zeros((8, batch), jnp.int32).at[0].set(1),
+            )
+
+        def keep(_):
+            return st.fresh_llr, st.fresh_cw, st.avail8
+
+        fresh_llr, fresh_cw, avail8 = jax.lax.cond(do_gen, gen, keep, 0)
+        # --- exact remaining-starts budget for this chunk -----------------
+        started_now = st.started[0] + jnp.sum(st.ctr8[4])
+        remaining = jnp.clip(quota - started_now, 0, _INT32_SAFE)
+        llr_in, cw, lv2c, done8, iters8, age8, avail8, ctr8 = (
+            bp_stream_chunk_pallas(
+                pdc, st.llr_in, st.codeword, st.lv2c, st.done8, st.iters8,
+                st.age8, avail8, st.ctr8, fresh_llr, fresh_cw, refill_i,
+                remaining, k=k, cap=iterations, minsum_mode=cn_mode,
+                batch_tile=batch_tile, message_dtype=message_dtype,
+                permute=permute, interpret=interpret,
+            )
+        )
+        return PStreamState(
+            llr_in=llr_in, codeword=cw, lv2c=lv2c, done8=done8,
+            iters8=iters8, age8=age8, avail8=avail8, ctr8=ctr8,
+            fresh_llr=fresh_llr, fresh_cw=fresh_cw, started=st.started,
+        )
+
+    st = st._replace(ctr8=jnp.zeros_like(st.ctr8))
+    st = jax.lax.fori_loop(0, n_outer, one_chunk, st)
+    acc = StreamDeltas(
+        bit_errors=jnp.sum(st.ctr8[0]),
+        frame_errors=jnp.sum(st.ctr8[1]),
+        frames=jnp.sum(st.ctr8[2]),
+        iter_sum=jnp.sum(st.ctr8[3]),
+        n_active=jnp.sum((st.done8[0] == 0).astype(jnp.int32)),
+    )
+    st = st._replace(
+        started=st.started + jnp.sum(st.ctr8[4])[None],
+        ctr8=jnp.zeros_like(st.ctr8),
     )
     return st, acc
 
@@ -134,12 +162,16 @@ def make_streaming_pallas_step(
     max_frames: int = int(10e9),
     batch_tile: int = 256,
     interpret: bool = False,
+    gen_watermark: Optional[int] = None,
 ):
     """Build ``(init_fn, step_fn)`` like
-    :func:`libldpc_tpu.ops.streaming.make_streaming_step`, with decode
-    chunks on the fused Pallas kernel.  ``chunk_iters`` (default
-    ``max(4, iterations // 8)``) trades reload granularity (idle ~k/2
-    passes per frame) against per-chunk XLA/reload overhead."""
+    :func:`libldpc_tpu.ops.streaming.make_streaming_step`, with the whole
+    per-stream loop (decode, counting, reload) inside the fused Pallas
+    kernel.  ``chunk_iters`` only sets the pool-regeneration granularity
+    (reloads happen per pass in-kernel); ``gen_watermark`` (default
+    ``batch_per_device // 2``) is how many pool entries must be consumed
+    before a regeneration batch is drawn — higher wastes fewer draws,
+    lower shortens the idle wait of twice-finishing lanes."""
     if channel_type == "BEC":
         raise ValueError("streaming decode does not cover the BEC decoder")
     iterations = dec.iterations
@@ -153,12 +185,14 @@ def make_streaming_pallas_step(
     if permute == "auto":
         permute = "mxu" if pdc.mxu_blocks_fwd is not None else "benes"
     dtype = jnp.dtype(dec.message_dtype)
+    if gen_watermark is None:
+        gen_watermark = max(1, batch_per_device // 2)
 
     def body(quota):
         return functools.partial(
             _superstep, pdc, channel_type, iterations, dec.cn_mode,
             batch_per_device, modulation, quota, k, n_outer, batch_tile,
-            dec.message_dtype, permute, interpret,
+            dec.message_dtype, permute, interpret, gen_watermark,
         )
 
     if mesh is None:
@@ -201,7 +235,10 @@ def make_streaming_pallas_step(
         done8=P(None, FRAME_AXIS),
         iters8=P(None, FRAME_AXIS),
         age8=P(None, FRAME_AXIS),
-        counted=P(FRAME_AXIS),
+        avail8=P(None, FRAME_AXIS),
+        ctr8=P(None, FRAME_AXIS),
+        fresh_llr=P(None, FRAME_AXIS),
+        fresh_cw=P(None, FRAME_AXIS),
         started=P(FRAME_AXIS),
     )
     sharded = jax.shard_map(
@@ -229,5 +266,117 @@ def make_streaming_pallas_step(
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state, key, x_value, refill):
         return sharded(state, key, x_value, refill)
+
+    return init_fn, step_fn
+
+
+def make_streaming_pallas_multipoint_step(
+    pdc: PallasDeviceCode,
+    channel_type: str,
+    dec,
+    batch_per_device: int,
+    mesh: Mesh,
+    modulation=None,
+    chunk_iters: int = 0,
+    max_frames: int = int(10e9),
+    batch_tile: int = 256,
+    interpret: bool = False,
+    gen_watermark: Optional[int] = None,
+):
+    """In-kernel streaming over a 2-D ``(points, frames)`` mesh — the
+    point-parallel analogue of :func:`make_streaming_pallas_step` (see
+    :func:`libldpc_tpu.ops.streaming.make_streaming_multipoint_step` for
+    the scheme).  ``step_fn(state, key, x_vec, refill_vec) -> (state,
+    StreamDeltas with leading n_points axis)``."""
+    if channel_type == "BEC":
+        raise ValueError("streaming decode does not cover the BEC decoder")
+    iterations = dec.iterations
+    if iterations < 1:
+        raise ValueError("streaming decode requires iterations >= 1")
+    k = chunk_iters or max(4, min(8, iterations // 8))
+    n_outer = max(1, -(-iterations // k))
+    permute = dec.permute
+    if permute == "auto":
+        permute = "mxu" if pdc.mxu_blocks_fwd is not None else "benes"
+    dtype = jnp.dtype(dec.message_dtype)
+    if gen_watermark is None:
+        gen_watermark = max(1, batch_per_device // 2)
+    n_points = mesh.shape[POINT_AXIS]
+    n_frame_dev = mesh.shape[FRAME_AXIS]
+    base, rem = divmod(
+        min(max_frames, n_frame_dev * _INT32_SAFE), n_frame_dev
+    )
+
+    def shard_body(state, key, x_vec, refill_vec):
+        p_idx = jax.lax.axis_index(POINT_AXIS)
+        f_idx = jax.lax.axis_index(FRAME_AXIS)
+        quota = jnp.minimum(
+            jnp.int32(base) + (f_idx < rem).astype(jnp.int32),
+            jnp.int32(_INT32_SAFE),
+        )
+        body = functools.partial(
+            _superstep, pdc, channel_type, iterations, dec.cn_mode,
+            batch_per_device, modulation, quota, k, n_outer, batch_tile,
+            dec.message_dtype, permute, interpret, gen_watermark,
+        )
+        state, acc = body(
+            jax.random.fold_in(jax.random.fold_in(key, p_idx), f_idx),
+            x_vec[0], refill_vec[0], state,
+        )
+        acc = StreamDeltas(
+            *(jax.lax.psum(a, FRAME_AXIS)[None] for a in acc)
+        )
+        return state, acc
+
+    both = (POINT_AXIS, FRAME_AXIS)
+    state_specs = PStreamState(
+        llr_in=P(None, both),
+        codeword=P(None, both),
+        lv2c=P(None, both),
+        done8=P(None, both),
+        iters8=P(None, both),
+        age8=P(None, both),
+        avail8=P(None, both),
+        ctr8=P(None, both),
+        fresh_llr=P(None, both),
+        fresh_cw=P(None, both),
+        started=P(both),
+    )
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(state_specs, P(), P(POINT_AXIS), P(POINT_AXIS)),
+        out_specs=(
+            state_specs,
+            StreamDeltas(*(P(POINT_AXIS) for _ in range(5))),
+        ),
+        check_vma=False,
+    )
+
+    def init_fn(started_offset=None):
+        st = _init_state(
+            pdc, batch_per_device * n_points * n_frame_dev, dtype,
+            n_dev=n_points * n_frame_dev,
+        )
+        if started_offset is not None:
+            per = np.repeat(
+                -(-np.asarray(started_offset, np.int64) // n_frame_dev),
+                n_frame_dev,
+            )
+            st = st._replace(
+                started=jnp.asarray(
+                    np.minimum(per, _INT32_SAFE).astype(np.int32)
+                )
+            )
+        from jax.sharding import NamedSharding
+
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            st, state_specs,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state, key, x_vec, refill_vec):
+        return sharded(state, key, x_vec, refill_vec)
 
     return init_fn, step_fn

@@ -491,24 +491,39 @@ class Simulator:
         pending: list = []
         last_print_fec = -1
         n_active_last: Optional[int] = None
-        depth = max(1, self.sim.pipeline_depth)
+        # streaming supersteps are short (~one decode's worth of passes);
+        # on remote-tunnel backends the per-absorb round trip (~40 ms) is
+        # comparable to a whole superstep's device time, so the window
+        # grows to >= 4 in-flight steps and ready counters are absorbed
+        # coalesced.  The window slow-starts at 1 so easy points (rule met
+        # within the first superstep) do not dispatch a full window of
+        # overshoot; stopping-rule overshoot stays bounded by the window
+        # (documented, statistically harmless; drain counts everything).
+        depth = max(4, self.sim.pipeline_depth)
+        window = 1
         t_point = time.perf_counter() - c.elapsed_s
 
-        def absorb():
+        def absorb(n: int = 1):
             nonlocal n_active_last, last_print_fec
-            acc = pending.pop(0)
-            # one batched device_get (see the batch path for why)
-            bec_, fec_, fr_, it_, na_ = jax.device_get(
-                (acc.bit_errors, acc.frame_errors, acc.frames, acc.iter_sum,
-                 acc.n_active)
-            )  # blocks until the step finishes
-            bec = int(bec_)
+            # ONE batched device_get for n supersteps: each device_get
+            # pays a full dispatch+transfer round trip on remote-tunnel
+            # backends (~40 ms — comparable to a whole superstep's device
+            # time at slow sweep points), so reads are coalesced across
+            # every superstep that is ready
+            accs = [pending.pop(0) for _ in range(n)]
+            vals = jax.device_get(
+                [(a.bit_errors, a.frame_errors, a.frames, a.iter_sum,
+                  a.n_active) for a in accs]
+            )  # blocks until the last step finishes
+            bec = 0
             c.elapsed_s = time.perf_counter() - t_point
+            for bec_, fec_, fr_, it_, na_ in vals:
+                bec += int(bec_)
+                c.frame_errors += int(fec_)
+                c.frames += int(fr_)
+                c.iter_sum += int(it_)
+                n_active_last = int(na_)
             c.bit_errors += bec
-            c.frame_errors += int(fec_)
-            c.frames += int(fr_)
-            c.iter_sum += int(it_)
-            n_active_last = int(na_)
             if c.frames:
                 results.update_point(
                     i,
@@ -535,7 +550,9 @@ class Simulator:
             )
             if not can_refill and n_active_last == 0 and not pending:
                 break  # drained
-            if can_refill or n_active_last != 0:
+            # fill the pipeline window, then absorb every ready superstep
+            # in ONE coalesced device read
+            while (can_refill or n_active_last != 0) and len(pending) < window:
                 state, acc = self._stream_step(
                     state,
                     jax.random.fold_in(point_key, c.next_batch),
@@ -544,13 +561,16 @@ class Simulator:
                 )
                 c.next_batch += 1
                 pending.append(acc)
-            while pending and (
-                len(pending) >= depth
-                or (not can_refill and n_active_last == 0)
-            ):
-                t_io = absorb()
+            if pending:
+                if not can_refill and n_active_last == 0:
+                    n = len(pending)  # draining: flush everything
+                else:
+                    n = max(1, len(pending) - (window - 1) // 2)
+                t_io = absorb(n)
                 # don't charge printing/IO to the frame clock
                 t_point += time.perf_counter() - t_io
+            if can_refill:
+                window = min(depth, window * 2)
 
     def _row(self, results: SimResults, i: int) -> str:
         return format_result_row(
@@ -675,15 +695,52 @@ class Simulator:
                 f"batch_size {self.sim.batch_size} not divisible by "
                 f"{n_frame_dev} frame-axis devices"
             )
-        step = make_multipoint_sim_step(
-            self.dcode,
-            self.ch.type,
-            self.dec,
-            self.sim.batch_size // n_frame_dev,
-            mesh,
-            use_pallas=self._use_pallas,
-            modulation=self._mod_for_step,
-        )
+        stream_bundle = None
+        if self._streaming:
+            # point-parallel streaming: each point group runs its own
+            # stream pool with per-point refill gating + drain — the two
+            # throughput features the reference lacks, composed
+            from ..ops.pallas.layout import PallasDeviceCode
+            from ..ops.pallas.lanes_layout import LanesDeviceCode
+
+            kw = dict(
+                modulation=self._mod_for_step,
+                chunk_iters=self.sim.streaming_chunk,
+                max_frames=self.sim.max_frames,
+            )
+            if self._use_pallas and isinstance(self.dcode, PallasDeviceCode):
+                from ..ops.streaming_pallas import (
+                    make_streaming_pallas_multipoint_step,
+                )
+
+                stream_bundle = make_streaming_pallas_multipoint_step(
+                    self.dcode, self.ch.type, self.dec,
+                    self.sim.batch_size // n_frame_dev, mesh, **kw,
+                )
+            else:
+                from ..ops.streaming import make_streaming_multipoint_step
+
+                sdc = (
+                    self.dcode.sorted_dc
+                    if isinstance(self.dcode,
+                                  (PallasDeviceCode, LanesDeviceCode))
+                    else self.dcode
+                )
+                stream_bundle = make_streaming_multipoint_step(
+                    sdc, self.ch.type, self.dec,
+                    self.sim.batch_size // n_frame_dev, mesh, **kw,
+                )
+        step = None
+        if stream_bundle is None:
+            step = make_multipoint_sim_step(
+                self.dcode,
+                self.ch.type,
+                self.dec,
+                self.sim.batch_size // n_frame_dev,
+                mesh,
+                use_pallas=self._use_pallas,
+                modulation=self._mod_for_step,
+            )
         x_vals = self.ch.sweep_values()
         results = SimResults.empty(len(x_vals), x_vals)
         group_start = 0
@@ -723,6 +780,25 @@ class Simulator:
             t_start = time.perf_counter() - max(
                 (cc.elapsed_s for cc in c.values()), default=0.0
             )
+            if stream_bundle is not None:
+                stopped = self._wide_group_streaming(
+                    stream_bundle, group, padded, x_vals, c, results,
+                    key, g0, batch_idx, t_start, emit_rows, stop_flag,
+                )
+                if stopped:
+                    return results
+                if self.verbose:
+                    for i in group:
+                        if results.frames[i]:
+                            sys.stdout.write(
+                                "\r" + " " * 100 + "\r"
+                                + self._row(results, i) + "\n"
+                            )
+                    sys.stdout.flush()
+                self._save_checkpoint_wide(
+                    x_vals, results, g0 + n_pts_parallel, {}, 0
+                )
+                continue
             while True:
                 if stop_flag is not None and stop_flag():
                     return results
@@ -792,6 +868,105 @@ class Simulator:
             )
         emit_rows()
         return results
+
+    def _wide_group_streaming(
+        self, bundle, group, padded, x_vals, c, results, key, g0,
+        batch_idx, t_start, emit_rows, stop_flag,
+    ) -> bool:
+        """One point group of :meth:`start_wide` on the streaming
+        decoders: per-point refill gating + drain, per-point counters
+        ``psum``-reduced over the frames axis.  Returns True when the
+        stop flag tripped (the caller abandons the sweep)."""
+        import jax.numpy as jnp
+
+        init_fn, step_fn = bundle
+        n_slots = len(padded)
+        n_real = len(group)
+        xg = jnp.asarray(
+            np.asarray([x_vals[i] for i in padded], np.float32)
+        )
+        offsets = [
+            c[padded[s]].frames if s < n_real else 0 for s in range(n_slots)
+        ]
+        state = init_fn(started_offset=offsets)
+        pending: list = []
+        n_active = np.full(n_slots, -1, np.int64)  # -1 = unknown yet
+        depth = max(4, self.sim.pipeline_depth)
+        window = 1  # slow-start (see _run_point_streaming)
+
+        def finished(i):
+            return (
+                c[i].frame_errors >= self.sim.fec
+                or c[i].frames >= self.sim.max_frames
+            )
+
+        while True:
+            if stop_flag is not None and stop_flag():
+                return True
+            all_fin = all(finished(i) for i in group)
+            drained = all(n_active[s] == 0 for s in range(n_real))
+            if all_fin and drained and not pending:
+                return False
+            while len(pending) < window and not (all_fin and drained):
+                refill = jnp.asarray(
+                    np.array(
+                        [s < n_real and not finished(padded[s])
+                         for s in range(n_slots)],
+                        bool,
+                    )
+                )
+                state, acc = step_fn(
+                    state,
+                    jax.random.fold_in(jax.random.fold_in(key, g0),
+                                       batch_idx),
+                    xg,
+                    refill,
+                )
+                batch_idx += 1
+                pending.append(acc)
+            if not pending:
+                continue
+            n = len(pending) if (all_fin and drained) else max(
+                1, len(pending) - (window - 1) // 2
+            )
+            if not all_fin:
+                window = min(depth, window * 2)
+            accs = [pending.pop(0) for _ in range(n)]
+            vals = jax.device_get(
+                [(a.bit_errors, a.frame_errors, a.frames, a.iter_sum,
+                  a.n_active) for a in accs]
+            )
+            elapsed = time.perf_counter() - t_start
+            for bec, fec, fr, it, na in vals:
+                for s in range(n_real):
+                    i = padded[s]
+                    cc = c[i]
+                    cc.bit_errors += int(bec[s])
+                    cc.frame_errors += int(fec[s])
+                    cc.frames += int(fr[s])
+                    cc.iter_sum += int(it[s])
+                    cc.elapsed_s = elapsed / n_real
+                n_active = np.asarray(na, np.int64)
+            for i in group:
+                if c[i].frames:
+                    results.update_point(
+                        i,
+                        bit_errors=c[i].bit_errors,
+                        frame_errors=c[i].frame_errors,
+                        frames=c[i].frames,
+                        iter_sum=c[i].iter_sum,
+                        elapsed_s=c[i].elapsed_s,
+                        nc=self.code.nc,
+                    )
+            if self.verbose:
+                status = "  ".join(
+                    f"x={x_vals[i]:g}:{c[i].frame_errors}/{self.sim.fec}"
+                    for i in group
+                )
+                sys.stdout.write(f"\r {status}"[:100].ljust(100))
+                sys.stdout.flush()
+            emit_rows()
+            self._save_checkpoint_wide(x_vals, results, g0, c, batch_idx)
 
     # --------------------------------------------------------- checkpointing
 

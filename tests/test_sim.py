@@ -239,8 +239,32 @@ class TestMesh:
         assert (res.frames > 0).all()
         # noisier points see more errors
         assert res.fer[0] >= res.fer[-1]
-        # frame counts are multiples of the global batch
+        # streaming wide: exact max_frames quota, stopping rule per point
+        assert (res.frames <= 512).all()
+        for i in range(len(res.x_values)):
+            assert res.fec[i] >= 5 or res.frames[i] == 512
+
+    def test_wide_sweep_2d_mesh_batch_path(self, code):
+        """streaming=False keeps the batch multipoint path: whole-batch
+        frame counts."""
+        import jax
+
+        from libldpc_tpu.parallel.mesh import FRAME_AXIS, POINT_AXIS
+
+        mesh = jax.make_mesh((2, 4), (POINT_AXIS, FRAME_AXIS))
+        sim = Simulator(
+            code,
+            DecoderParams(iterations=10),
+            ChannelParams(seed=1, x_range=(-2.0, 1.1, 1.0)),  # 4 points
+            SimulationParams(batch_size=32, fec=5, max_frames=512,
+                             streaming=False),
+            verbose=False,
+        )
+        res = sim.start_wide(mesh)
+        assert (res.frames > 0).all()
         assert (res.frames % 32 == 0).all()
+        for i in range(len(res.x_values)):
+            assert res.fec[i] >= 5 or res.frames[i] >= 512
 
     def test_wide_sweep_totals_match_sequential_semantics(self, code, tmp_path):
         """start_wide obeys the same per-point stopping rule, results file
@@ -267,10 +291,10 @@ class TestMesh:
 
         res = build().start_wide(mesh)
         # sequential-mode stopping semantics per point: fec target met or
-        # max_frames reached; frame counts are whole batches
+        # max_frames reached exactly (streaming quota)
         for i in range(len(res.x_values)):
-            assert res.fec[i] >= 5 or res.frames[i] >= 512
-            assert res.frames[i] % 32 == 0
+            assert res.fec[i] >= 5 or res.frames[i] == 512
+            assert res.frames[i] <= 512
         # results file in the reference column format, one row per point
         rows = [l for l in res_file.read_text().splitlines() if l.strip()]
         assert rows[0].startswith("snr")  # header row
