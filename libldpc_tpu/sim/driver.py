@@ -52,12 +52,16 @@ from ..parallel.mesh import make_sim_step
 from ..utils.params import ChannelParams, DecoderParams, SimulationParams
 from .results import SimResults
 
-#: Largest padded edge space the [edges, frames] fused kernel compiles in
-#: reasonable time (Mosaic compile scales with the vector tile count);
-#: beyond it, unstructured codes route to the lane-major kernel
-#: (ops/pallas/decode_lanes.py).  Module-level so tests can lower it to
-#: exercise the routing on small codes.
-FUSED_EDGE_SPACE_LIMIT = 16384
+#: Largest padded edge space the [edges, frames] fused kernel handles with
+#: the Beneš transport on current hardware/toolchains: at n_pad = 8192 the
+#: 25-stage unrolled Beneš fails to compile on-chip for every message
+#: dtype (measured 2026-08-17: remote tpu_compile_helper crash / scoped
+#: VMEM allocation failure), while MXU-block-local codes compile and run
+#: far larger (n_pad 32768 QC measured 2.45x XLA).  Unstructured codes
+#: beyond this route to the lane-major kernel (ops/pallas/decode_lanes.py:
+#: frames on sublanes, 16x fewer vector tiles, any blocklength).
+#: Module-level so tests can lower it to exercise the routing.
+FUSED_EDGE_SPACE_LIMIT = 4096
 
 _CONSOLE_HEADER = (
     "==============================================================="
