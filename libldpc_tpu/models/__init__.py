@@ -1,7 +1,10 @@
 from .code import EdgeLayout, LDPCCode
 from .construct import (
+    count_4cycles,
     expand_qc,
+    girth,
     make_benchmark_code,
+    make_peg_code,
     make_regular_code,
     systematic_generator,
 )
@@ -10,10 +13,13 @@ from . import gf2, io
 __all__ = [
     "EdgeLayout",
     "LDPCCode",
+    "count_4cycles",
     "expand_qc",
+    "girth",
     "gf2",
     "io",
     "make_benchmark_code",
+    "make_peg_code",
     "make_regular_code",
     "systematic_generator",
 ]

@@ -276,3 +276,86 @@ class TestBundledCode:
         # reference's ldpctest only prints the rank without asserting
         # (tests/ldpctest.cpp:22-25).
         assert bundled_code.rank() == 1021
+
+
+class TestPEGConstruction:
+    """PEG edge growth (make_peg_code) and the girth/4-cycle analyzers."""
+
+    def test_girth_detects_known_4cycle(self):
+        from libldpc_tpu.models import LDPCCode, count_4cycles, girth
+
+        H = np.array([[1, 1, 0], [1, 1, 1]], dtype=np.uint8)
+        code = LDPCCode.from_dense(H)
+        assert girth(code) == 4
+        assert count_4cycles(code) == 1
+
+    def test_girth_cap_on_tree(self):
+        from libldpc_tpu.models import LDPCCode, count_4cycles, girth
+
+        H = np.array([[1, 1, 0], [0, 1, 1]], dtype=np.uint8)  # acyclic
+        code = LDPCCode.from_dense(H)
+        assert girth(code, cap=16) == 16
+        assert count_4cycles(code) == 0
+
+    def test_peg_regular_structure_and_girth(self):
+        from libldpc_tpu.models import (
+            count_4cycles, girth, make_peg_code, make_regular_code,
+        )
+
+        code = make_peg_code(96, dv=3, rate=0.5, seed=1)
+        assert code.nc == 96 and code.mc == 48
+        # exact variable degrees, near-balanced check degrees
+        vdeg = np.bincount(code.cols, minlength=96)
+        np.testing.assert_array_equal(vdeg, 3)
+        cdeg = np.bincount(code.rows, minlength=48)
+        # PEG balances check degrees greedily but the max-distance
+        # constraint allows a small spread
+        assert cdeg.max() - cdeg.min() <= 2
+        # PEG at this rate/size places all edges without any 4-cycle
+        assert count_4cycles(code) == 0
+        g = girth(code)
+        assert g >= 6
+        # the configuration-model ensemble at the same parameters has
+        # short cycles PEG avoids
+        rnd = make_regular_code(96, dv=3, dc=6, seed=1)
+        assert girth(rnd) <= g
+
+    def test_peg_irregular_degree_sequence(self):
+        from libldpc_tpu.models import make_peg_code
+
+        degs = np.array([2] * 48 + [3] * 32 + [4] * 16)
+        code = make_peg_code(96, dv=degs, mc=48, seed=2)
+        vdeg = np.bincount(code.cols, minlength=96)
+        np.testing.assert_array_equal(np.sort(vdeg), np.sort(degs))
+
+    def test_peg_code_decodes_end_to_end(self):
+        import jax
+
+        from libldpc_tpu.models import make_peg_code, systematic_generator
+        from libldpc_tpu.ops.channel import simulate_channel
+        from libldpc_tpu.ops.sorted import bp_decode_sorted, to_sorted_device
+        from libldpc_tpu.models import gf2
+
+        code = make_peg_code(128, dv=3, rate=0.5, seed=3)
+        G = systematic_generator(code)
+        assert G is not None
+        code.G = G
+        sdc = to_sorted_device(code)
+        ch = simulate_channel(sdc, "AWGN", jax.random.PRNGKey(0), 64,
+                              np.float32(4.0))
+        out = bp_decode_sorted(sdc, ch.llr, iterations=20, early_term=True)
+        # at 4 dB, rate 1/2: essentially everything decodes
+        errs = (np.asarray(out.hard) != (np.asarray(ch.codeword) > 0)).any(0)
+        assert errs.mean() < 0.2
+
+    def test_peg_validates_args(self):
+        import pytest
+
+        from libldpc_tpu.models import make_peg_code
+
+        with pytest.raises(ValueError):
+            make_peg_code(96, dv=3)  # neither mc nor rate
+        with pytest.raises(ValueError):
+            make_peg_code(96, dv=3, mc=48, rate=0.5)  # both
+        with pytest.raises(ValueError):
+            make_peg_code(96, dv=np.full(95, 3), mc=48)  # wrong length
