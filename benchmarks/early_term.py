@@ -84,10 +84,12 @@ def main():
             DecoderParams(early_term=False, iterations=50, **dec_kw),
             batch, use_pallas=True,
         )
+        wm = os.environ.get("ET_WATERMARK")
         init_fn, et_step = make_streaming_pallas_step(
             pdc, "AWGN",
             DecoderParams(early_term=True, iterations=50, **dec_kw),
             batch,
+            gen_watermark=int(float(wm) * batch) if wm else None,
         )
     else:
         # fixed-iteration fast path (the bar to beat)

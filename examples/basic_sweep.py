@@ -5,6 +5,10 @@ Equivalent reference invocation:
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 from libldpc_tpu import (
     ChannelParams,

@@ -10,6 +10,11 @@ ICI/DCN; the frame-error-count stopping rule reads globally-reduced scalars,
 so all hosts stop in lockstep with no control messages.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from libldpc_tpu import (
     ChannelParams,
     DecoderParams,

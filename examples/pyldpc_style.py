@@ -5,6 +5,11 @@ a background thread, poll live results, stop cooperatively; encode an info
 word; decode LLRs.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np
