@@ -46,7 +46,7 @@ from .lanes_layout import LanesDeviceCode
 
 
 def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
-                 ft, dtype):
+                 ft, dtype, stream=False, cap=0):
     N = ldc.n_pad
     nc_pad = ldc.nc_pad
     tanh = cn_ops.is_tanh_mode(minsum_mode)
@@ -237,6 +237,137 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
             viol = viol + jnp.sum(odd, axis=1, keepdims=True)
         return jnp.where(viol == 0, 1, 0)  # int32 [ft, 1]
 
+    def kernel_stream(*refs):
+        """Self-refilling streaming chunk, frames on sublanes — the
+        lane-major counterpart of ``decode_fused.kernel_stream`` (same
+        per-frame semantics, counting and exact-quota scheme; see that
+        kernel's docstring).  Rows of the ``[ft, 128]`` bookkeeping
+        planes are per-frame; counter columns are
+        0 bit_errors / 1 frame_errors / 2 frames / 3 iter_sum /
+        4 started."""
+        np_ = 3 if clos else 1
+        pref = refs[:np_]
+        (istx_ref, fresh_llr_ref, fresh_cw_ref, refill_ref, remaining_ref,
+         llr_in, cw_in, lv2c_in, done_in, iters_in, age_in, avail_in,
+         ctr_in,
+         llr_ref, cw_ref, lv2c_ref, done_ref, iters_ref, age_ref,
+         avail_ref, ctr_ref, rem_s) = refs[np_:]
+        if clos:
+            p1_ref, p3_ref, w_ref = pref
+        else:
+            (w_ref,) = pref
+            p1_ref = p3_ref = None
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            rem_s[0] = remaining_ref[0, 0]
+
+        llr_ref[:] = llr_in[:]
+        cw_ref[:] = cw_in[:]
+        lv2c_ref[:] = lv2c_in[:]
+        done_ref[:] = done_in[:]
+        iters_ref[:] = iters_in[:]
+        age_ref[:] = age_in[:]
+        avail_ref[:] = avail_in[:]
+        ctr_ref[:] = ctr_in[:]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (ft, 1), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (ft, 128), 1)
+        refill_on = refill_ref[0, 0] > 0
+
+        def body(it, carry):
+            # ---- phase 1: reload idle frame rows from the pool ----------
+            done_i = done_ref[:, 0:1]
+            avail_i = avail_ref[:, 0:1]
+            eligible = done_i * avail_i  # i32 0/1 [ft, 1]
+
+            @pl.when(refill_on & (jnp.sum(eligible) > 0))
+            def _():
+                # inclusive scan over the ft sublane rows caps starts at
+                # the remaining global quota exactly
+                cum = eligible
+                d = 1
+                while d < ft:
+                    cum = cum + jnp.where(
+                        row >= d, pltpu.roll(cum, d, axis=0), 0
+                    )
+                    d *= 2
+                allowed = eligible * jnp.where(cum <= rem_s[0], 1, 0)
+                rs = allowed > 0  # [ft, 1] broadcasts over lanes
+                llr_ref[:] = jnp.where(rs, fresh_llr_ref[:], llr_ref[:])
+                cw_ref[:] = jnp.where(rs, fresh_cw_ref[:], cw_ref[:])
+                lv2c_ref[:] = jnp.where(
+                    rs, jnp.zeros((), dtype), lv2c_ref[:]
+                )
+                done_ref[:, 0:1] = done_i * (1 - allowed)
+                age_ref[:, 0:1] = age_ref[:, 0:1] * (1 - allowed)
+                iters_ref[:, 0:1] = iters_ref[:, 0:1] * (1 - allowed)
+                avail_ref[:, 0:1] = avail_i - allowed
+                ctr_ref[:] = ctr_ref[:] + jnp.where(
+                    col == 4, allowed, 0
+                )
+                rem_s[0] = rem_s[0] - jnp.sum(allowed)
+
+            # ---- phase 2: one BP pass over in-flight rows ---------------
+            @pl.when(jnp.sum(done_ref[:, 0:1]) < ft)
+            def _():
+                llr = llr_ref[:]
+                lv2c = lv2c_ref[:]
+                # zero-init rows must produce zero CN output regardless of
+                # the PAD fill the transports re-introduce; force_pad after
+                # the reload select keeps fake slots pinned for live rows,
+                # and a freshly reloaded row's first (warm-up) pass output
+                # is discarded anyway
+                lc2v_c = cn_exclusion(force_pad(w_ref, lv2c))
+                lc2v_v = transport(p1_ref, p3_ref, w_ref, lc2v_c,
+                                   reverse=False)
+                llr_out, post_v = vn_stage(llr, lc2v_v)
+                q = transport(p1_ref, p3_ref, w_ref, post_v, reverse=True)
+                lv2c_new = force_pad(
+                    w_ref,
+                    (q.astype(compute)
+                     - lc2v_c.astype(compute)).astype(dtype),
+                )
+                llr_out = llr_out.astype(jnp.float32)
+
+                done_i2 = done_ref[:, 0:1]
+                age_i = age_ref[:, 0:1]
+                is_cw = syndrome(q)  # [ft, 1]
+                checking = (1 - done_i2) * jnp.where(age_i >= 1, 1, 0)
+                newly = checking * is_cw
+                iters2 = iters_ref[:, 0:1] + checking * (1 - is_cw)
+                iters_ref[:, 0:1] = iters2
+                age2 = age_i + (1 - done_i2)
+                age_ref[:, 0:1] = age2
+                finished = (1 - done_i2) * jnp.where(
+                    (newly > 0) | (age2 >= cap + 1), 1, 0
+                )
+                done_ref[:, 0:1] = done_i2 + finished
+                # transmitted-bit errors along the lane axis
+                err = jnp.where(
+                    (llr_out <= 0) != (cw_ref[:] > 0), istx_ref[:], 0
+                )
+                biterr = jnp.sum(err, axis=1, keepdims=True)  # [ft, 1]
+                upd = (
+                    jnp.where(col == 0, finished * biterr, 0)
+                    + jnp.where(
+                        col == 1,
+                        finished * jnp.where(biterr > 0, 1, 0),
+                        0,
+                    )
+                    + jnp.where(col == 2, finished, 0)
+                    + jnp.where(col == 3, finished * iters2, 0)
+                )
+                ctr_ref[:] = ctr_ref[:] + upd
+                keep = done_i2 > 0
+                lv2c_ref[:] = jnp.where(keep, lv2c, lv2c_new)
+            return carry
+
+        jax.lax.fori_loop(0, iterations, body, 0)
+
+    if stream:
+        return kernel_stream
+
     def kernel(*refs):
         if clos:
             (p1_ref, p3_ref, w_ref, llr_ref, out_llr_ref, out_iters_ref,
@@ -421,3 +552,153 @@ def bp_decode_lanes(
         iterations=iters[:, 0],
         is_codeword=iscw[:, 0] > 0,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "cap", "minsum_mode", "frame_tile", "interpret",
+                     "message_dtype"),
+)
+def bp_stream_chunk_lanes(
+    ldc: LanesDeviceCode,
+    llr_in: jnp.ndarray,  # f32 [B, nc_pad] carried channel LLRs (lanes)
+    cw: jnp.ndarray,  # i32 [B, nc_pad] carried true codewords (lanes)
+    lv2c: jnp.ndarray,  # dtype [B, n_pad] carried message state
+    done: jnp.ndarray,  # i32 [B, 128] (col 0: finished flag)
+    iters: jnp.ndarray,  # i32 [B, 128]
+    age: jnp.ndarray,  # i32 [B, 128]
+    avail: jnp.ndarray,  # i32 [B, 128] (col 0: pool entry unused)
+    ctr: jnp.ndarray,  # i32 [B, 128] counters in cols 0..4
+    fresh_llr: jnp.ndarray,  # f32 [B, nc_pad] fresh-frame pool
+    fresh_cw: jnp.ndarray,  # i32 [B, nc_pad]
+    refill: jnp.ndarray,  # i32 scalar
+    remaining: jnp.ndarray,  # i32 scalar: global starts remaining
+    *,
+    k: int,
+    cap: int,
+    minsum_mode=False,
+    frame_tile: int = 0,
+    interpret: bool = False,
+    message_dtype: str = "float32",
+):
+    """Run ``k`` self-refilling lane-major BP passes (``kernel_stream``
+    above); all eight state operands are donated/aliased in place.  The
+    lane-major counterpart of
+    :func:`libldpc_tpu.ops.pallas.decode_fused.bp_stream_chunk_pallas` for
+    blocklengths the edge-major kernel cannot compile."""
+    dtype = jnp.dtype(message_dtype)
+    if dtype == jnp.bfloat16 and ldc.transport != "clos":
+        raise ValueError(
+            "bfloat16 lane-major messages require the clos transport"
+        )
+    B = llr_in.shape[0]
+    if frame_tile == 0:
+        frame_tile = 32 if dtype == jnp.bfloat16 else 8
+    ft = min(frame_tile, B)
+    if B % ft:
+        raise ValueError(f"batch {B} not divisible by frame tile {ft}")
+    if ft & (ft - 1):
+        raise ValueError(f"frame tile {ft} must be a power of two")
+    kernel = _make_kernel(ldc, k, True, minsum_mode, ft, dtype,
+                          stream=True, cap=cap)
+    W = ldc.planes.shape[0]
+    clos = ldc.transport == "clos"
+    nb = ldc.n_pad // 128
+    in_specs = []
+    operands = []
+    if clos:
+        in_specs += [
+            pl.BlockSpec((nb, 128, 128), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 128, 128), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [ldc.clos_p1, ldc.clos_p3]
+    in_specs.append(
+        pl.BlockSpec((W, ldc.n_pad), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    operands.append(ldc.planes)
+    n_perm = len(operands)
+
+    # transmitted-bit mask in lane space (fake lanes excluded)
+    is_tx = (
+        jnp.zeros((1, ldc.nc_pad), jnp.int32)
+        .at[0, ldc.lane_of_vn[ldc.sorted_dc.bit_pos]]
+        .set(1)
+    )
+    for arr, spec in (
+        (is_tx, pl.BlockSpec((1, ldc.nc_pad), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)),
+        (fresh_llr, pl.BlockSpec((ft, ldc.nc_pad), lambda b: (b, 0),
+                                 memory_space=pltpu.VMEM)),
+        (fresh_cw, pl.BlockSpec((ft, ldc.nc_pad), lambda b: (b, 0),
+                                memory_space=pltpu.VMEM)),
+        (jnp.asarray(refill, jnp.int32).reshape(1, 1),
+         pl.BlockSpec((1, 1), lambda b: (0, 0),
+                      memory_space=pltpu.SMEM)),
+        (jnp.asarray(remaining, jnp.int32).reshape(1, 1),
+         pl.BlockSpec((1, 1), lambda b: (0, 0),
+                      memory_space=pltpu.SMEM)),
+        (llr_in, pl.BlockSpec((ft, ldc.nc_pad), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)),
+        (cw, pl.BlockSpec((ft, ldc.nc_pad), lambda b: (b, 0),
+                          memory_space=pltpu.VMEM)),
+        (lv2c, pl.BlockSpec((ft, ldc.n_pad), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)),
+        (done, pl.BlockSpec((ft, 128), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)),
+        (iters, pl.BlockSpec((ft, 128), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM)),
+        (age, pl.BlockSpec((ft, 128), lambda b: (b, 0),
+                           memory_space=pltpu.VMEM)),
+        (avail, pl.BlockSpec((ft, 128), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM)),
+        (ctr, pl.BlockSpec((ft, 128), lambda b: (b, 0),
+                           memory_space=pltpu.VMEM)),
+    ):
+        operands.append(arr)
+        in_specs.append(spec)
+    out_specs = [
+        pl.BlockSpec((ft, ldc.nc_pad), lambda b: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ft, ldc.nc_pad), lambda b: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ft, ldc.n_pad), lambda b: (b, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((ft, 128), lambda b: (b, 0), memory_space=pltpu.VMEM)
+        for _ in range(5)
+    ]
+    out_shape = (
+        jax.ShapeDtypeStruct((B, ldc.nc_pad), jnp.float32),
+        jax.ShapeDtypeStruct((B, ldc.nc_pad), jnp.int32),
+        jax.ShapeDtypeStruct((B, ldc.n_pad), dtype),
+        jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        jax.ShapeDtypeStruct((B, 128), jnp.int32),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // ft,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases={
+            n_perm + 5: 0,  # llr_in
+            n_perm + 6: 1,  # cw
+            n_perm + 7: 2,  # lv2c
+            n_perm + 8: 3,  # done
+            n_perm + 9: 4,  # iters
+            n_perm + 10: 5,  # age
+            n_perm + 11: 6,  # avail
+            n_perm + 12: 7,  # ctr
+        },
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)

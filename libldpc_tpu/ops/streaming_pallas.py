@@ -169,9 +169,12 @@ def make_streaming_pallas_step(
     per-stream loop (decode, counting, reload) inside the fused Pallas
     kernel.  ``chunk_iters`` only sets the pool-regeneration granularity
     (reloads happen per pass in-kernel); ``gen_watermark`` (default
-    ``batch_per_device // 2``) is how many pool entries must be consumed
-    before a regeneration batch is drawn — higher wastes fewer draws,
-    lower shortens the idle wait of twice-finishing lanes."""
+    ``3 * batch_per_device // 4``) is how many pool entries must be
+    consumed before a regeneration batch is drawn — higher wastes fewer
+    draws, lower shortens the idle wait of twice-finishing lanes
+    (measured on-chip at batch 8192: 0.75 beats 0.5 by ~20% at
+    ``avg_iter ~ 20`` and matches it elsewhere; 0.25 / 0.875 no
+    better)."""
     if channel_type == "BEC":
         raise ValueError("streaming decode does not cover the BEC decoder")
     iterations = dec.iterations
@@ -186,7 +189,7 @@ def make_streaming_pallas_step(
         permute = "mxu" if pdc.mxu_blocks_fwd is not None else "benes"
     dtype = jnp.dtype(dec.message_dtype)
     if gen_watermark is None:
-        gen_watermark = max(1, batch_per_device // 2)
+        gen_watermark = max(1, 3 * batch_per_device // 4)
 
     def body(quota):
         return functools.partial(
@@ -300,7 +303,7 @@ def make_streaming_pallas_multipoint_step(
         permute = "mxu" if pdc.mxu_blocks_fwd is not None else "benes"
     dtype = jnp.dtype(dec.message_dtype)
     if gen_watermark is None:
-        gen_watermark = max(1, batch_per_device // 2)
+        gen_watermark = max(1, 3 * batch_per_device // 4)
     n_points = mesh.shape[POINT_AXIS]
     n_frame_dev = mesh.shape[FRAME_AXIS]
     base, rem = divmod(
