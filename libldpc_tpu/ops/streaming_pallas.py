@@ -383,3 +383,226 @@ def make_streaming_pallas_multipoint_step(
         return sharded(state, key, x_vec, refill_vec)
 
     return init_fn, step_fn
+
+
+# --------------------------------------------------------------------------
+# Lane-major variant: in-kernel streaming at blocklengths the edge-major
+# kernel cannot compile (frames on sublanes — see ops/pallas/decode_lanes.py)
+
+
+class LStreamState(NamedTuple):
+    llr_in: jnp.ndarray  # f32 [B, nc_pad] carried channel LLRs (lane space)
+    codeword: jnp.ndarray  # i32 [B, nc_pad]
+    lv2c: jnp.ndarray  # msg dtype [B, n_pad]
+    done: jnp.ndarray  # i32 [B, 128] (col 0: finished/empty flag)
+    iters: jnp.ndarray  # i32 [B, 128]
+    age: jnp.ndarray  # i32 [B, 128]
+    avail: jnp.ndarray  # i32 [B, 128] (col 0: pool entry unused)
+    ctr: jnp.ndarray  # i32 [B, 128] counters in cols 0..4
+    fresh_llr: jnp.ndarray  # f32 [B, nc_pad]
+    fresh_cw: jnp.ndarray  # i32 [B, nc_pad]
+    started: jnp.ndarray  # i32 [n_dev]
+
+
+def _init_lanes_state(ldc, batch: int, dtype, n_dev: int = 1) -> LStreamState:
+    done = jnp.zeros((batch, 128), jnp.int32).at[:, 0].set(1)
+    return LStreamState(
+        llr_in=jnp.zeros((batch, ldc.nc_pad), jnp.float32),
+        codeword=jnp.zeros((batch, ldc.nc_pad), jnp.int32),
+        lv2c=jnp.zeros((batch, ldc.n_pad), dtype),
+        done=done,
+        iters=jnp.zeros((batch, 128), jnp.int32),
+        age=jnp.zeros((batch, 128), jnp.int32),
+        avail=jnp.zeros((batch, 128), jnp.int32),
+        ctr=jnp.zeros((batch, 128), jnp.int32),
+        fresh_llr=jnp.zeros((batch, ldc.nc_pad), jnp.float32),
+        fresh_cw=jnp.zeros((batch, ldc.nc_pad), jnp.int32),
+        started=jnp.zeros((n_dev,), jnp.int32),
+    )
+
+
+def _lanes_superstep(
+    ldc, channel_type, iterations, cn_mode, batch, modulation, quota,
+    k, n_outer, frame_tile, message_dtype, interpret, watermark,
+    key, x_value, refill, st: LStreamState,
+):
+    """Lane-major :func:`_superstep`: pool regeneration converts the
+    sorted-label channel batch into lane space (gather + transpose) and
+    the chunks run :func:`...decode_lanes.bp_stream_chunk_lanes`."""
+    from .pallas.decode_lanes import bp_stream_chunk_lanes
+
+    refill_i = jnp.asarray(refill, jnp.int32)
+    real_lane = (
+        jnp.zeros((ldc.nc_pad, 1), jnp.float32)
+        .at[ldc.lane_of_vn].set(1.0)
+    )
+
+    def lanes_of(arr, dtype):
+        v = jnp.take(arr.astype(jnp.float32), ldc.vn_of_lane, axis=0,
+                     mode="fill", fill_value=0.0)
+        return (v * real_lane).T.astype(dtype)  # [B, nc_pad]
+
+    def one_chunk(j, st):
+        used = jnp.int32(batch) - jnp.sum(st.avail[:, 0])
+        do_gen = (refill_i > 0) & (used >= jnp.int32(watermark))
+
+        def gen(_):
+            ch = simulate_channel(
+                ldc.sorted_dc, channel_type, jax.random.fold_in(key, j),
+                batch, x_value, modulation=modulation,
+            )
+            unused = st.avail[:, 0:1] > 0  # [B, 1] row-broadcast
+            return (
+                jnp.where(unused, st.fresh_llr,
+                          lanes_of(ch.llr, jnp.float32)),
+                jnp.where(unused, st.fresh_cw,
+                          lanes_of(ch.codeword, jnp.int32)),
+                jnp.zeros((batch, 128), jnp.int32).at[:, 0].set(1),
+            )
+
+        def keep(_):
+            return st.fresh_llr, st.fresh_cw, st.avail
+
+        fresh_llr, fresh_cw, avail = jax.lax.cond(do_gen, gen, keep, 0)
+        started_now = st.started[0] + jnp.sum(st.ctr[:, 4])
+        remaining = jnp.clip(quota - started_now, 0, _INT32_SAFE)
+        llr_in, cw, lv2c, done, iters, age, avail, ctr = (
+            bp_stream_chunk_lanes(
+                ldc, st.llr_in, st.codeword, st.lv2c, st.done, st.iters,
+                st.age, avail, st.ctr, fresh_llr, fresh_cw, refill_i,
+                remaining, k=k, cap=iterations, minsum_mode=cn_mode,
+                frame_tile=frame_tile, message_dtype=message_dtype,
+                interpret=interpret,
+            )
+        )
+        return LStreamState(
+            llr_in=llr_in, codeword=cw, lv2c=lv2c, done=done, iters=iters,
+            age=age, avail=avail, ctr=ctr, fresh_llr=fresh_llr,
+            fresh_cw=fresh_cw, started=st.started,
+        )
+
+    st = st._replace(ctr=jnp.zeros_like(st.ctr))
+    st = jax.lax.fori_loop(0, n_outer, one_chunk, st)
+    acc = StreamDeltas(
+        bit_errors=jnp.sum(st.ctr[:, 0]),
+        frame_errors=jnp.sum(st.ctr[:, 1]),
+        frames=jnp.sum(st.ctr[:, 2]),
+        iter_sum=jnp.sum(st.ctr[:, 3]),
+        n_active=jnp.sum((st.done[:, 0] == 0).astype(jnp.int32)),
+    )
+    st = st._replace(
+        started=st.started + jnp.sum(st.ctr[:, 4])[None],
+        ctr=jnp.zeros_like(st.ctr),
+    )
+    return st, acc
+
+
+def make_streaming_lanes_step(
+    ldc,
+    channel_type: str,
+    dec,
+    batch_per_device: int,
+    mesh: Optional[Mesh] = None,
+    modulation=None,
+    chunk_iters: int = 0,
+    max_frames: int = int(10e9),
+    frame_tile: int = 0,
+    interpret: bool = False,
+    gen_watermark: Optional[int] = None,
+):
+    """:func:`make_streaming_pallas_step` over the lane-major kernel — the
+    in-kernel streaming path for large blocklengths (any ``n`` the
+    :class:`~libldpc_tpu.ops.pallas.lanes_layout.LanesDeviceCode` layout
+    accepts).  Same state/step contract and semantics."""
+    if channel_type == "BEC":
+        raise ValueError("streaming decode does not cover the BEC decoder")
+    iterations = dec.iterations
+    if iterations < 1:
+        raise ValueError("streaming decode requires iterations >= 1")
+    k = chunk_iters or max(4, min(8, iterations // 8))
+    n_outer = max(1, -(-iterations // k))
+    dtype = jnp.dtype(dec.message_dtype)
+    if gen_watermark is None:
+        gen_watermark = max(1, 3 * batch_per_device // 4)
+
+    def body(quota):
+        return functools.partial(
+            _lanes_superstep, ldc, channel_type, iterations, dec.cn_mode,
+            batch_per_device, modulation, quota, k, n_outer, frame_tile,
+            dec.message_dtype, interpret, gen_watermark,
+        )
+
+    if mesh is None:
+        step_body = body(jnp.int32(min(max_frames, _INT32_SAFE)))
+
+        def init_fn(started_offset: int = 0):
+            st = _init_lanes_state(ldc, batch_per_device, dtype)
+            if started_offset:
+                st = st._replace(
+                    started=jnp.full((1,), min(started_offset, _INT32_SAFE),
+                                     jnp.int32)
+                )
+            return st
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state, key, x_value, refill):
+            return step_body(key, x_value, refill, state)
+
+        return init_fn, step_fn
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    base, rem = divmod(min(max_frames, n_dev * _INT32_SAFE), n_dev)
+
+    def shard_body(state, key, x_value, refill):
+        idx = jax.lax.axis_index(FRAME_AXIS)
+        quota = jnp.minimum(
+            jnp.int32(base) + (idx < rem).astype(jnp.int32),
+            jnp.int32(_INT32_SAFE),
+        )
+        state, acc = body(quota)(
+            jax.random.fold_in(key, idx), x_value, refill, state
+        )
+        acc = StreamDeltas(*(jax.lax.psum(a, FRAME_AXIS) for a in acc))
+        return state, acc
+
+    state_specs = LStreamState(
+        llr_in=P(FRAME_AXIS, None),
+        codeword=P(FRAME_AXIS, None),
+        lv2c=P(FRAME_AXIS, None),
+        done=P(FRAME_AXIS, None),
+        iters=P(FRAME_AXIS, None),
+        age=P(FRAME_AXIS, None),
+        avail=P(FRAME_AXIS, None),
+        ctr=P(FRAME_AXIS, None),
+        fresh_llr=P(FRAME_AXIS, None),
+        fresh_cw=P(FRAME_AXIS, None),
+        started=P(FRAME_AXIS),
+    )
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(state_specs, P(), P(), P()),
+        out_specs=(state_specs, StreamDeltas(P(), P(), P(), P(), P())),
+        check_vma=False,
+    )
+
+    def init_fn(started_offset: int = 0):
+        st = _init_lanes_state(ldc, batch_per_device * n_dev, dtype,
+                               n_dev=n_dev)
+        if started_offset:
+            per = -(-started_offset // n_dev)
+            st = st._replace(
+                started=jnp.full((n_dev,), min(per, _INT32_SAFE), jnp.int32)
+            )
+        from jax.sharding import NamedSharding
+
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            st, state_specs,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state, key, x_value, refill):
+        return sharded(state, key, x_value, refill)
+
+    return init_fn, step_fn

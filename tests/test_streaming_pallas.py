@@ -227,3 +227,98 @@ class TestRefill:
         ai = tot[3] / n
         ai_ref = np.asarray(out.iterations).mean()
         assert abs(ai - ai_ref) < 1.0, (ai, ai_ref)
+
+
+class TestLanesStreaming:
+    """Lane-major in-kernel streaming (large-blocklength path): same
+    semantics as the edge-major version, frames on sublanes."""
+
+    @pytest.fixture(scope="class")
+    def lsetup(self):
+        from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+        ldc = to_lanes_device(code)
+        return code, ldc
+
+    def test_drain_matches_batch_decoder(self, lsetup):
+        import jax.numpy as jnp
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_lanes_step,
+        )
+
+        code, ldc = lsetup
+        B = 16
+        ch = simulate_channel(
+            ldc.sorted_dc, "AWGN", jax.random.PRNGKey(3), B,
+            np.float32(-1.0),
+        )
+        iters = 9
+        out = bp_decode_sorted(
+            ldc.sorted_dc, ch.llr, iterations=iters, early_term=True
+        )
+        bit_pos = np.asarray(ldc.sorted_dc.bit_pos)
+        errs = (
+            np.asarray(out.hard)[bit_pos]
+            != np.asarray(ch.codeword)[bit_pos]
+        ).sum(axis=0)
+        want = np.array(
+            [errs.sum(), (errs > 0).sum(), B,
+             np.asarray(out.iterations).sum()], dtype=np.int64,
+        )
+        init_fn, step_fn = make_streaming_lanes_step(
+            ldc, "AWGN", DecoderParams(iterations=iters), B,
+            chunk_iters=4, interpret=True, frame_tile=8,
+        )
+        state = init_fn()
+        # preload the pool in lane space and mark every lane in-flight
+        real = np.zeros((ldc.nc_pad, 1), np.float32)
+        real[np.asarray(ldc.lane_of_vn)] = 1.0
+        llr_l = (np.asarray(
+            jnp.take(ch.llr, ldc.vn_of_lane, axis=0, mode="fill",
+                     fill_value=0.0)) * real).T
+        cw_l = (np.asarray(
+            jnp.take(ch.codeword.astype(jnp.float32), ldc.vn_of_lane,
+                     axis=0, mode="fill", fill_value=0.0)) * real).T
+        state = state._replace(
+            llr_in=jnp.asarray(llr_l, jnp.float32),
+            codeword=jnp.asarray(cw_l).astype(jnp.int32),
+            done=jnp.zeros((B, 128), jnp.int32),
+        )
+        totals = np.zeros(4, dtype=np.int64)
+        for step in range(60):
+            state, acc = step_fn(
+                state, jax.random.PRNGKey(step), np.float32(-1.0),
+                jnp.asarray(False),
+            )
+            totals += np.array([
+                int(acc.bit_errors), int(acc.frame_errors),
+                int(acc.frames), int(acc.iter_sum),
+            ])
+            if int(acc.n_active) == 0:
+                break
+        np.testing.assert_array_equal(totals, want)
+
+    def test_refill_and_exact_quota(self, lsetup):
+        import jax.numpy as jnp
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_lanes_step,
+        )
+
+        code, ldc = lsetup
+        B = 16
+        init_fn, step_fn = make_streaming_lanes_step(
+            ldc, "AWGN", DecoderParams(iterations=6), B, chunk_iters=6,
+            interpret=True, frame_tile=8, max_frames=21,
+        )
+        state = init_fn()
+        frames = 0
+        for s in range(40):
+            state, acc = step_fn(
+                state, jax.random.PRNGKey(s), np.float32(3.0),
+                jnp.asarray(frames < 21),
+            )
+            frames += int(acc.frames)
+            if frames >= 21 and int(acc.n_active) == 0:
+                break
+        assert frames == 21
