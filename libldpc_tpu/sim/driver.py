@@ -262,14 +262,14 @@ class Simulator:
             and use_pallas
             and isinstance(self.dcode, LanesDeviceCode)
         ):
-            # streaming compaction is not built over the lane-major layout;
-            # the XLA streaming path over its embedded sorted layout is the
-            # measured-fastest early-terminating option at large n anyway
-            # (n=8192: 16K f/s streaming-XLA vs 5.9K f/s in-kernel-ET lanes)
-            from ..ops.streaming import make_streaming_step
+            # lane-major in-kernel streaming: measured 2.4-3.1x the XLA
+            # streaming path at n=8192 (24 vs 56-74 us/frame sustained).
+            # Cold Mosaic compile of the Clos/bf16 stream kernel at
+            # n_pad=32768 takes minutes (persistent cache in .jax_cache)
+            from ..ops.streaming_pallas import make_streaming_lanes_step
 
-            self._stream_init, self._stream_step = make_streaming_step(
-                self.dcode.sorted_dc,
+            self._stream_init, self._stream_step = make_streaming_lanes_step(
+                self.dcode,
                 channel_params.type,
                 decoder_params,
                 simulation_params.batch_size // n_dev,

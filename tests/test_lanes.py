@@ -146,6 +146,56 @@ class TestDriverRouting:
         assert res.ber == res_ref.ber
         assert res.avg_iter == res_ref.avg_iter
 
+    def test_large_code_streaming_routes_to_lanes_kernel(self, monkeypatch):
+        """With streaming (the ET default) and a large unstructured code,
+        the driver runs the lane-major in-kernel streaming path and its
+        counters satisfy the stopping rule with an exact quota landing."""
+        import functools
+        from unittest import mock
+
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.ops.pallas import decode_lanes as dl
+        from libldpc_tpu.ops.pallas.lanes_layout import LanesDeviceCode
+        from libldpc_tpu.utils.params import (
+            ChannelParams, DecoderParams, SimulationParams,
+        )
+
+        monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
+        import dataclasses
+
+        from libldpc_tpu.ops.pallas import layout as pallas_layout
+
+        orig_tpd = pallas_layout.to_pallas_device
+        monkeypatch.setattr(
+            pallas_layout,
+            "to_pallas_device",
+            lambda c, **kw: dataclasses.replace(
+                orig_tpd(c, **kw), mxu_blocks_fwd=None
+            ),
+        )
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+        dec = DecoderParams(iterations=8, early_term=True)
+        ch = ChannelParams(type="AWGN", seed=3, x_range=(2.0, 2.1, 0.5))
+        sp = SimulationParams(batch_size=32, max_frames=100, fec=10**9)
+
+        orig = dl.bp_stream_chunk_lanes
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            kw["frame_tile"] = 8
+            return orig(*a, **kw)
+
+        with mock.patch.object(dl, "bp_stream_chunk_lanes", interp):
+            sim = drv.Simulator(
+                code, dec, ch, sp, use_pallas=True, verbose=False
+            )
+            assert isinstance(sim.dcode, LanesDeviceCode)
+            assert sim._streaming and sim._step is None
+            res = sim.start()
+        # exact quota landing (streaming max_frames semantics)
+        assert int(res.frames[0]) == 100
+        assert res.avg_iter[0] > 0
+
     def test_layered_large_code_falls_back_to_xla(self, monkeypatch):
         import warnings
 
