@@ -322,3 +322,32 @@ class TestLanesStreaming:
             if frames >= 21 and int(acc.n_active) == 0:
                 break
         assert frames == 21
+
+    def test_lanes_streaming_mesh(self, lsetup):
+        """Lane-major streaming sharded over the frames axis: per-shard
+        quotas, psum-reduced deltas."""
+        import jax.numpy as jnp
+        from libldpc_tpu.ops.streaming import FRAME_AXIS
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_lanes_step,
+        )
+
+        code, ldc = lsetup
+        mesh = jax.make_mesh((4,), (FRAME_AXIS,))
+        init_fn, step_fn = make_streaming_lanes_step(
+            ldc, "AWGN", DecoderParams(iterations=6), 8, mesh=mesh,
+            chunk_iters=6, interpret=True, frame_tile=8, max_frames=50,
+        )
+        state = init_fn()
+        frames = 0
+        for s in range(40):
+            state, acc = step_fn(
+                state, jax.random.PRNGKey(s), np.float32(3.0),
+                jnp.asarray(frames < 50),
+            )
+            frames += int(acc.frames)
+            if frames >= 50 and int(acc.n_active) == 0:
+                break
+        # per-device quotas sum to min(max_frames, ...) within rounding
+        # slack of the per-device split (13+13+12+12 = 50)
+        assert frames == 50
