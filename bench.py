@@ -91,8 +91,15 @@ def main():
     # one-hot-matmul permutation is the fastest configuration — measured
     # bit-identical hard decisions to float32+Benes at 50 iterations
     # (benchmarks/kernel_variants_r2.txt); float32 is the fallback.
+    # The sum-product CN update is computed in the tanh-product form
+    # (exactly the reference GPU stack's BP update,
+    # ``gpu/device/kernel.cpp:237-264``; the reference CPU computes the
+    # same function as pairwise box-plus) when it measures faster —
+    # statistical BER/FER parity with the reference holds for both forms
+    # (worst |z| = 1.86 for tanh/bf16 across the AWGN_BP curve).
     want_pallas = os.environ.get("BENCH_PALLAS", "auto")
     message_dtype = "float32"
+    cn_form = "boxplus"
     if on_tpu and want_pallas != "0":
         import dataclasses
         import signal
@@ -107,14 +114,18 @@ def main():
             from libldpc_tpu.ops.pallas.layout import to_pallas_device
 
             pdc = to_pallas_device(code)
-            for md in ("bfloat16", "float32"):
-                dec_p = dataclasses.replace(dec, message_dtype=md)
+            for dt, md in (("BP_TANH", "bfloat16"), ("BP", "bfloat16"),
+                           ("BP", "float32")):
+                dec_p = dataclasses.replace(
+                    dec, message_dtype=md, type=dt
+                )
                 fps_p, n_p = measure(
                     make_sim_step(pdc, "AWGN", dec_p, batch, use_pallas=True)
                 )
                 if fps_p > fps:
                     fps, n_steps, pallas_on = fps_p, n_p, True
                     message_dtype = md
+                    cn_form = "tanh" if dt == "BP_TANH" else "boxplus"
         except Exception:
             pass
         finally:
@@ -139,7 +150,7 @@ def main():
         )
         cost = rl.decode_frame_cost(
             nc=sdc.nc, nnz=sdc.nnz, cn_classes=sdc.cn_classes,
-            iterations=50, minsum=False, early_term=False,
+            iterations=50, cn_form=cn_form, early_term=False,
             n_pad=pdc.n_pad, benes_stages=sum(pdc.benes_active),
             mxu_pairs=mxu_pairs,
         )
@@ -158,6 +169,7 @@ def main():
         "platform": platform,
         "pallas": pallas_on,
         "message_dtype": message_dtype if pallas_on else None,
+        "cn_form": cn_form,
         "steps": n_steps,
         "model_flops_per_frame": round(cost.total_ops),
         "model_split": cost.as_dict(),

@@ -51,6 +51,12 @@ TRANSCENDENTAL_OPS = 4
 
 BOXPLUS_OPS = 8 + 2 * (1 + TRANSCENDENTAL_OPS)  # core + 2 softplus
 MINSUM_OPS = 7
+#: tanh-product form (exact sum-product, the reference GPU update,
+#: ``gpu/device/kernel.cpp:237-264``): per input edge one ``tanh_pre``
+#: (exp + divide), per output edge one ``tanh_post`` (log + divide);
+#: pairwise combines collapse to single multiplies.
+TANH_PRE_OPS = 2 + TRANSCENDENTAL_OPS
+TANH_POST_OPS = 3 + TRANSCENDENTAL_OPS
 BENES_STAGE_OPS = 4
 
 
@@ -110,6 +116,7 @@ def decode_frame_cost(
     cn_classes,
     iterations: float,
     minsum: bool = False,
+    cn_form: str = "auto",
     early_term: bool = True,
     n_pad: Optional[int] = None,
     benes_stages: Optional[int] = None,
@@ -125,8 +132,19 @@ def decode_frame_cost(
     *lower bound* — XLA gathers on TPU re-stream HBM and cost strictly
     more than this model charges, which only flatters the XLA path).
     """
-    op_cost = MINSUM_OPS if minsum else BOXPLUS_OPS
-    cn = _cn_pairwise_ops(cn_classes) * op_cost * iterations
+    if cn_form == "auto":
+        cn_form = "minsum" if minsum else "boxplus"
+    if cn_form == "tanh":
+        # pairwise combines are single multiplies; the transcendental
+        # work moves to the per-edge pre/post transforms
+        cn = _cn_pairwise_ops(cn_classes) * 1.0
+        for count, d in cn_classes:
+            if d >= 2:
+                cn += count * d * (TANH_PRE_OPS + TANH_POST_OPS)
+        cn *= iterations
+    else:
+        op_cost = MINSUM_OPS if cn_form == "minsum" else BOXPLUS_OPS
+        cn = _cn_pairwise_ops(cn_classes) * op_cost * iterations
     mxu_flops = 0.0
     if mxu_pairs:
         # one-hot block matmuls on the MXU: 2*128*128 flops per pair per
