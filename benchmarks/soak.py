@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--pallas", type=int, default=1)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--type", default="BP",
+                    help="decoder type (BP / BP_TANH / BP_MS / ...)")
     ap.add_argument("--fec", type=int, default=3000)
     ap.add_argument("--max-frames", type=int, default=2_000_000)
     ap.add_argument("--out", default=os.path.join(
@@ -58,7 +60,7 @@ def main():
     tmp_ckpt = args.out + ".ckpt.tmp"
     sim = Simulator(
         code,
-        DecoderParams(iterations=50, early_term=True,
+        DecoderParams(iterations=50, early_term=True, type=args.type,
                       message_dtype=args.dtype),
         ChannelParams(seed=3, x_range=(-8.0, -2.9, 1.0), type="AWGN"),
         SimulationParams(

@@ -51,16 +51,14 @@ def _drain_counts(pdc, dec, llr, cw, k):
 class TestDrainEquivalence:
     @pytest.mark.parametrize("snr,iters,k", [(-2.0, 12, 5), (1.0, 12, 12),
                                              (3.0, 7, 3)])
-    @pytest.mark.parametrize("minsum", [False, True])
-    def test_matches_batch_decoder(self, setup, snr, iters, k, minsum):
+    @pytest.mark.parametrize("dtype", ["BP", "BP_MS", "BP_TANH"])
+    def test_matches_batch_decoder(self, setup, snr, iters, k, dtype):
         code, pdc = setup
         B = 64
         ch = simulate_channel(
             pdc, "AWGN", jax.random.PRNGKey(3), B, np.float32(snr)
         )
-        dec = DecoderParams(
-            iterations=iters, type="BP_MS" if minsum else "BP"
-        )
+        dec = DecoderParams(iterations=iters, type=dtype)
         out = bp_decode_sorted(
             pdc.sorted_dc, ch.llr, iterations=iters, early_term=True,
             minsum_mode=dec.cn_mode,
