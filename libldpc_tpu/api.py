@@ -35,6 +35,7 @@ _SIM_DEFAULTS = {
     "checkpointFile": None,
     "mesh": None,
     "usePallas": False,
+    "messageDtype": "float32",
 }
 
 _decode_sorted_jit = None  # lazily-created shared jit for LDPC.decode
@@ -174,7 +175,8 @@ class LDPC:
         (``pyLDPC/ldpc.py:135-169``): ``earlyTerm, iterations, decoding,
         seed, snr=[MIN, MAX, STEP], channel, maxFrames, fec`` — plus
         TPU-native controls ``batchSize, resultFile, checkpointFile, mesh,
-        usePallas``.  (The reference's ``threads`` is superseded by
+        usePallas, messageDtype`` (``"bfloat16"`` halves fused-kernel
+        message traffic; see ``DecoderParams.message_dtype``).  (The reference's ``threads`` is superseded by
         ``batchSize``.)
         """
         kwargs.pop("threads", None)  # accepted for compat, superseded
@@ -189,6 +191,7 @@ class LDPC:
                 early_term=p["earlyTerm"],
                 iterations=p["iterations"],
                 type=p["decoding"],
+                message_dtype=p["messageDtype"],
             ),
             ChannelParams(seed=p["seed"], x_range=tuple(p["snr"]), type=p["channel"]),
             SimulationParams(
