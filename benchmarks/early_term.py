@@ -71,6 +71,8 @@ def main():
 
     use_pallas = os.environ.get("ET_PALLAS", "0") == "1"
     dec_kw = dict(message_dtype="bfloat16") if use_pallas else {}
+    if os.environ.get("ET_TYPE"):
+        dec_kw["type"] = os.environ["ET_TYPE"]
     if use_pallas:
         from libldpc_tpu.ops.pallas.layout import to_pallas_device
         from libldpc_tpu.ops.streaming_pallas import (
