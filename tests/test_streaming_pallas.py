@@ -396,3 +396,44 @@ class TestStreamingFuzz:
         # irregular degree mixes — measured: 1 bit of 722 on trial 1)
         np.testing.assert_array_equal(got[1:], want[1:])
         assert abs(int(got[0]) - int(want[0])) <= 2, (got, want)
+
+
+def test_streaming_with_modulation_drains(setup):
+    """Higher-order modulation (4-ASK) through the in-kernel streaming
+    driver path: pool regeneration must run the modulated pipeline."""
+    import functools
+    from unittest import mock
+
+    from libldpc_tpu.ops import modulation as mod
+    from libldpc_tpu.ops import streaming_pallas as sp
+    from libldpc_tpu.sim.driver import Simulator
+    from libldpc_tpu.utils.params import (
+        ChannelParams, SimulationParams,
+    )
+
+    code, pdc = setup
+    c = mod.Constellation.mask(4, labels=[0, 1, 3, 2])
+    n_sym = code.nct // 2
+    mapper = code.bit_pos[mod.default_bit_mapper(2, n_sym)]
+
+    orig = sp.bp_stream_chunk_pallas
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        kw["batch_tile"] = 32
+        return orig(*a, **kw)
+
+    with mock.patch.object(sp, "bp_stream_chunk_pallas", interp):
+        sim = Simulator(
+            code,
+            DecoderParams(iterations=8),
+            ChannelParams(seed=3, x_range=(5.0, 6.0, 1.0)),
+            SimulationParams(batch_size=32, fec=10**9, max_frames=64),
+            modulation=(c, mapper),
+            use_pallas=True,
+            verbose=False,
+        )
+        assert sim._streaming and sim._step is None
+        res = sim.start()
+    assert int(res.frames[0]) == 64  # exact quota landing
+    assert 0 <= res.fer[0] <= 1
