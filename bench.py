@@ -91,12 +91,14 @@ def main():
     # one-hot-matmul permutation is the fastest configuration — measured
     # bit-identical hard decisions to float32+Benes at 50 iterations
     # (benchmarks/kernel_variants_r2.txt); float32 is the fallback.
-    # The sum-product CN update is computed in the tanh-product form
-    # (exactly the reference GPU stack's BP update,
-    # ``gpu/device/kernel.cpp:237-264``; the reference CPU computes the
-    # same function as pairwise box-plus) when it measures faster —
-    # statistical BER/FER parity with the reference holds for both forms
-    # (worst |z| = 1.86 for tanh/bf16 across the AWGN_BP curve).
+    # The sum-product CN update is computed in the phi (log-tanh) domain
+    # — Gallager's f-function form — when it measures faster: it carries
+    # the pairwise box-plus's extrinsic dynamic range (measured floor
+    # FER 1.9e-5 vs box-plus 2.0e-5 at -3 dB) at ~1.26x its speed.  The
+    # tanh-product form (the reference GPU's own update) is faster still
+    # but its 17.3 extrinsic cap measurably raises the deep error floor
+    # (6.1e-5 at -3 dB) and is therefore NOT used for the headline — see
+    # benchmarks/soak_sweep_tanh.txt.
     want_pallas = os.environ.get("BENCH_PALLAS", "auto")
     message_dtype = "float32"
     cn_form = "boxplus"
@@ -114,7 +116,7 @@ def main():
             from libldpc_tpu.ops.pallas.layout import to_pallas_device
 
             pdc = to_pallas_device(code)
-            for dt, md in (("BP_TANH", "bfloat16"), ("BP", "bfloat16"),
+            for dt, md in (("BP_PHI", "bfloat16"), ("BP", "bfloat16"),
                            ("BP", "float32")):
                 dec_p = dataclasses.replace(
                     dec, message_dtype=md, type=dt
@@ -125,7 +127,7 @@ def main():
                 if fps_p > fps:
                     fps, n_steps, pallas_on = fps_p, n_p, True
                     message_dtype = md
-                    cn_form = "tanh" if dt == "BP_TANH" else "boxplus"
+                    cn_form = "phi" if dt == "BP_PHI" else "boxplus"
         except Exception:
             pass
         finally:

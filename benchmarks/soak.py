@@ -83,7 +83,7 @@ def main():
             f"{args.max_frames} frames per point — with results file and\n"
             "# JSON checkpointing active.  One TPU v5e chip, in-kernel\n"
             f"# streaming driver (pallas={bool(args.pallas)}, "
-            f"dtype={args.dtype}).\n#\n"
+            f"dtype={args.dtype}, type={args.type}).\n#\n"
             f"# {total:,} frames decoded in {wall:.1f} s "
             f"({total / wall / 1e3:.1f}K frames/s sustained across the\n"
             "# whole sweep; per-point frame_time below is the IO-excluded\n"

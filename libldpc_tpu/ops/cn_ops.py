@@ -131,6 +131,83 @@ def exclusion_combine_tanh(M: jnp.ndarray) -> jnp.ndarray:
     return tanh_post(jnp.stack(out, axis=1))
 
 
+def phi(x: jnp.ndarray) -> jnp.ndarray:
+    """Gallager's self-inverse f-function ``φ(x) = -log(tanh(x/2))`` for
+    ``x >= 0`` — the FORWARD transform, ``log1p(e^-x) - log1p(-e^-x)``
+    with ``x`` floored at 1e-6.
+
+    ``log1p`` keeps ``log(1 - e^-x)`` accurate from its exact argument,
+    so this single formula holds over the whole LLR range above the
+    floor; at the floor (near-zero LLRs, e.g. punctured bits) φ caps at
+    ``φ(1e-6) ≈ 15.1``, giving neighbours extrinsics of ~5e-7 instead of
+    exactly 0 — decoding-equivalent.  ``φ(PAD_LLR) == 0`` exactly
+    (additive identity for padding lanes).  The INVERSE of φ-domain sums
+    is :func:`phi_out` (asymmetric on purpose: sums can be tiny, where
+    ``e^-s`` rounds to 1; inputs cannot).  Unlike the tanh-domain
+    product (capped at ``2*atanh(TANH_CLIP)`` ≈ 17.3), the pair keeps
+    ~4x the extrinsic dynamic range.
+    """
+    e = jnp.exp(-jnp.maximum(x, 1e-6))
+    return jnp.log1p(e) - jnp.log1p(-e)
+
+
+#: Floor for φ-domain sums before the inverse transform: a sum of exact
+#: zeros (every other input saturated past ~88, where ``e^-L``
+#: underflows) would otherwise invert to ``inf`` and poison the
+#: extrinsic subtraction with NaNs.  The floor caps extrinsics at
+#: ``-log(PHI_SUM_FLOOR/2) ~ 69.7`` — ~4x the tanh form's 17.3 cap, and
+#: finite.  (1e-30 rather than the smallest normal float32: TPUs flush
+#: subnormals, and ``tanh(s/2)`` must stay in the normal range.)
+PHI_SUM_FLOOR = 1e-30
+
+
+def phi_out(s: jnp.ndarray) -> jnp.ndarray:
+    """Inverse transform of a φ-domain sum: ``-log(tanh(s/2))``, floored
+    (see :data:`PHI_SUM_FLOOR`).  ``tanh`` stays linear for tiny sums, so
+    extrinsics up to ~69.7 come back accurately — the regime where the
+    forward formula's ``e^-s`` would round to 1."""
+    return -jnp.log(jnp.tanh(jnp.maximum(s, PHI_SUM_FLOOR) * 0.5))
+
+
+def is_phi_mode(minsum_mode) -> bool:
+    """True for ``"BP_PHI"`` — exact sum-product with the CN combine in
+    the φ (log-tanh) domain: per-edge transcendental count of the tanh
+    form, extrinsic dynamic range of the pairwise box-plus.  Same
+    algorithm as ``BP``/``BP_TANH``; the three differ only in float
+    rounding (measured: the tanh form's 17.3 extrinsic cap raises the
+    deep error floor ~3x on the bundled code, the φ form does not —
+    ``benchmarks/soak_sweep_tanh.txt``)."""
+    if isinstance(minsum_mode, tuple):
+        minsum_mode = minsum_mode[0]
+    return minsum_mode == "BP_PHI"
+
+
+def exclusion_combine_phi(M: jnp.ndarray) -> jnp.ndarray:
+    """All-but-one combine along axis 1 in the φ domain (see
+    :func:`is_phi_mode`): sign chains are products of ±1, magnitude
+    chains are sums of ``φ(|L|)``; outputs are ``sign · φ(sum)``.  Same
+    shape contract as :func:`exclusion_combine`."""
+    dc = M.shape[1]
+    if dc == 1:
+        return jnp.full_like(M, PAD_LLR)
+    S = _sign(M)
+    A = phi(jnp.abs(M))
+    fs, fa = [S[:, 0]], [A[:, 0]]
+    bs, ba = [S[:, dc - 1]], [A[:, dc - 1]]
+    for j in range(1, dc):
+        fs.append(fs[-1] * S[:, j])
+        fa.append(fa[-1] + A[:, j])
+        bs.append(bs[-1] * S[:, dc - 1 - j])
+        ba.append(ba[-1] + A[:, dc - 1 - j])
+    out = [bs[dc - 2] * phi_out(ba[dc - 2])]
+    for j in range(1, dc - 1):
+        out.append(
+            fs[j - 1] * bs[dc - 2 - j] * phi_out(fa[j - 1] + ba[dc - 2 - j])
+        )
+    out.append(fs[dc - 2] * phi_out(fa[dc - 2]))
+    return jnp.stack(out, axis=1)
+
+
 #: Decoder-type string -> pairwise CN operator.  ``BP`` is the exact
 #: sum-product (any unknown string also maps to it, matching
 #: ``set_param``, ``src/decoding/decoder.h:73-80``); ``BP_MS`` is min-sum;
@@ -156,10 +233,10 @@ def get_op(minsum_mode) -> PairwiseOp:
     decoder-type string, or a ``(type, scale, offset)`` tuple."""
     if isinstance(minsum_mode, tuple):
         minsum_mode = minsum_mode[0]
-    if minsum_mode == "BP_TANH":
+    if minsum_mode in ("BP_TANH", "BP_PHI"):
         raise ValueError(
-            "BP_TANH has no pairwise operator; branch on is_tanh_mode() "
-            "and use the tanh-domain exclusion"
+            f"{minsum_mode} has no pairwise operator; branch on "
+            "is_tanh_mode()/is_phi_mode() and use the domain exclusion"
         )
     if isinstance(minsum_mode, str):
         return OPS.get(minsum_mode, boxplus)

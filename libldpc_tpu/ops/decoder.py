@@ -60,6 +60,8 @@ def cn_update(
     M = lv2c.reshape(dcode.mc, dcode.max_dc, -1)
     if cn_ops.is_tanh_mode(minsum_mode):
         return cn_ops.exclusion_combine_tanh(M).reshape(dcode.E, -1)
+    if cn_ops.is_phi_mode(minsum_mode):
+        return cn_ops.exclusion_combine_phi(M).reshape(dcode.E, -1)
     op = cn_ops.get_op(minsum_mode)
     out = cn_ops.exclusion_combine(M, op).reshape(dcode.E, -1)
     return cn_ops.cn_postprocess(out, minsum_mode)

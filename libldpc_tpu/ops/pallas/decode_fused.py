@@ -72,7 +72,8 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
     vn_node_base = pdc.vn_node_base
     nnz = pdc.nnz
     tanh = cn_ops.is_tanh_mode(minsum_mode)
-    op = None if tanh else cn_ops.get_op(minsum_mode)
+    phi = cn_ops.is_phi_mode(minsum_mode)
+    op = None if (tanh or phi) else cn_ops.get_op(minsum_mode)
 
     # active-stage-compressed network (quiet stages dropped at build time)
     act_dists = tuple(
@@ -213,6 +214,27 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
             ]
             if d == 1:
                 parts.append(jnp.full_like(M[0], 1e30))
+                continue
+            if phi:
+                # φ-domain combine: sign chains (±1 products) + magnitude
+                # chains (sums of φ(|L|)); see cn_ops.exclusion_combine_phi
+                S = [1.0 - 2.0 * jnp.signbit(m).astype(compute) for m in M]
+                A = [cn_ops.phi(jnp.abs(m)) for m in M]
+                fs, fa = [S[0]], [A[0]]
+                bs, ba = [S[d - 1]], [A[d - 1]]
+                for j in range(1, d):
+                    fs.append(fs[-1] * S[j])
+                    fa.append(fa[-1] + A[j])
+                    bs.append(bs[-1] * S[d - 1 - j])
+                    ba.append(ba[-1] + A[d - 1 - j])
+                out = [bs[d - 2] * cn_ops.phi_out(ba[d - 2])]
+                for j in range(1, d - 1):
+                    out.append(
+                        fs[j - 1] * bs[d - 2 - j]
+                        * cn_ops.phi_out(fa[j - 1] + ba[d - 2 - j])
+                    )
+                out.append(fs[d - 2] * cn_ops.phi_out(fa[d - 2]))
+                parts.extend(out)
                 continue
             if tanh:
                 M = [cn_ops.tanh_pre(m) for m in M]

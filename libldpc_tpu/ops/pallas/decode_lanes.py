@@ -50,7 +50,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
     N = ldc.n_pad
     nc_pad = ldc.nc_pad
     tanh = cn_ops.is_tanh_mode(minsum_mode)
-    op = None if tanh else cn_ops.get_op(minsum_mode)
+    phi = cn_ops.is_phi_mode(minsum_mode)
+    op = None if (tanh or phi) else cn_ops.get_op(minsum_mode)
     mask_word = ldc.n_words  # real-edge mask lives in the last plane word
     compute = jnp.float32
     clos = ldc.transport == "clos"
@@ -133,6 +134,25 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
             ]
             if d == 1:
                 parts.append(jnp.full_like(M[0], PAD_LLR))
+                continue
+            if phi:
+                S = [1.0 - 2.0 * jnp.signbit(m).astype(compute) for m in M]
+                A = [cn_ops.phi(jnp.abs(m)) for m in M]
+                fs, fa = [S[0]], [A[0]]
+                bs, ba = [S[d - 1]], [A[d - 1]]
+                for j in range(1, d):
+                    fs.append(fs[-1] * S[j])
+                    fa.append(fa[-1] + A[j])
+                    bs.append(bs[-1] * S[d - 1 - j])
+                    ba.append(ba[-1] + A[d - 1 - j])
+                out = [bs[d - 2] * cn_ops.phi_out(ba[d - 2])]
+                for j in range(1, d - 1):
+                    out.append(
+                        fs[j - 1] * bs[d - 2 - j]
+                        * cn_ops.phi_out(fa[j - 1] + ba[d - 2 - j])
+                    )
+                out.append(fs[d - 2] * cn_ops.phi_out(fa[d - 2]))
+                parts.extend(out)
                 continue
             if tanh:
                 M = [cn_ops.tanh_pre(m) for m in M]

@@ -212,18 +212,20 @@ def cn_update_sorted(
 ) -> jnp.ndarray:
     """CN exclusion update, per degree class (no padding, no masks)."""
     tanh = cn_ops.is_tanh_mode(minsum_mode)
-    op = None if tanh else cn_ops.get_op(minsum_mode)
+    phi = cn_ops.is_phi_mode(minsum_mode)
+    op = None if (tanh or phi) else cn_ops.get_op(minsum_mode)
     B = lv2c.shape[1]
     parts = []
     for e0, e1, count, degree in _class_slices(sdc.cn_classes):
         if degree == 0:
             continue
         M = jax.lax.slice_in_dim(lv2c, e0, e1, axis=0).reshape(count, degree, B)
-        excl = (
-            cn_ops.exclusion_combine_tanh(M)
-            if tanh
-            else cn_ops.exclusion_combine(M, op)
-        )
+        if tanh:
+            excl = cn_ops.exclusion_combine_tanh(M)
+        elif phi:
+            excl = cn_ops.exclusion_combine_phi(M)
+        else:
+            excl = cn_ops.exclusion_combine(M, op)
         parts.append(excl.reshape(count * degree, B))
     out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     return cn_ops.cn_postprocess(out, minsum_mode)

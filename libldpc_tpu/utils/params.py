@@ -38,7 +38,12 @@ class DecoderParams:
         (min-sum).  Extensions beyond the CPU reference: ``"BP_TANH"``
         (sum-product in tanh-product form — the GPU stack's CN update,
         ``gpu/device/kernel.cpp:237-264``; same algorithm as ``BP`` with
-        different rounding, ~5x fewer transcendentals per check),
+        different rounding, ~5x fewer transcendentals per check — but its
+        tanh-domain product caps extrinsics at ~17.3, measurably raising
+        the deep error floor), ``"BP_PHI"`` (sum-product with the CN
+        combine in Gallager's φ/log-tanh domain: the tanh form's
+        transcendental count with box-plus dynamic range — the fast exact
+        form without the floor caveat),
         ``"BP_LIN"`` (piecewise-linear correction, the GPU
         ``CN_APPROX_LIN``), ``"BP_NMS"``/``"BP_OMS"`` (normalized/offset
         min-sum).  Any other string behaves like ``"BP"``, matching

@@ -57,6 +57,11 @@ MINSUM_OPS = 7
 #: pairwise combines collapse to single multiplies.
 TANH_PRE_OPS = 2 + TRANSCENDENTAL_OPS
 TANH_POST_OPS = 3 + TRANSCENDENTAL_OPS
+#: phi (log-tanh domain) form: forward = exp + 2 log1p + max per input
+#: edge, inverse = tanh + log + max per output edge; pairwise combines
+#: are a sign multiply + magnitude add (2 ops).
+PHI_IN_OPS = 2 + 3 * TRANSCENDENTAL_OPS
+PHI_OUT_OPS = 2 + 2 * TRANSCENDENTAL_OPS
 BENES_STAGE_OPS = 4
 
 
@@ -134,13 +139,19 @@ def decode_frame_cost(
     """
     if cn_form == "auto":
         cn_form = "minsum" if minsum else "boxplus"
-    if cn_form == "tanh":
-        # pairwise combines are single multiplies; the transcendental
-        # work moves to the per-edge pre/post transforms
-        cn = _cn_pairwise_ops(cn_classes) * 1.0
+    if cn_form in ("tanh", "phi"):
+        # pairwise combines are cheap (tanh: one multiply; phi: sign
+        # multiply + magnitude add); the transcendental work moves to the
+        # per-edge pre/post transforms
+        pair = 1.0 if cn_form == "tanh" else 2.0
+        pre, post = (
+            (TANH_PRE_OPS, TANH_POST_OPS) if cn_form == "tanh"
+            else (PHI_IN_OPS, PHI_OUT_OPS)
+        )
+        cn = _cn_pairwise_ops(cn_classes) * pair
         for count, d in cn_classes:
             if d >= 2:
-                cn += count * d * (TANH_PRE_OPS + TANH_POST_OPS)
+                cn += count * d * (pre + post)
         cn *= iterations
     else:
         op_cost = MINSUM_OPS if cn_form == "minsum" else BOXPLUS_OPS

@@ -51,7 +51,7 @@ def _drain_counts(pdc, dec, llr, cw, k):
 class TestDrainEquivalence:
     @pytest.mark.parametrize("snr,iters,k", [(-2.0, 12, 5), (1.0, 12, 12),
                                              (3.0, 7, 3)])
-    @pytest.mark.parametrize("dtype", ["BP", "BP_MS", "BP_TANH"])
+    @pytest.mark.parametrize("dtype", ["BP", "BP_MS", "BP_TANH", "BP_PHI"])
     def test_matches_batch_decoder(self, setup, snr, iters, k, dtype):
         code, pdc = setup
         B = 64
