@@ -44,8 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help='Specifies channel: "AWGN", "BSC", "BEC" (Default: AWGN)')
     p.add_argument("--decoding", default="BP",
                    help='Specifies decoding algorithm: "BP", "BP_MS" '
-                        '(reference set); also "BP_TANH", "BP_LIN", '
-                        '"BP_NMS", "BP_OMS" (Default: BP)')
+                        '(reference set); also "BP_PHI" (exact '
+                        'sum-product, fastest clean form), "BP_TANH", '
+                        '"BP_LIN", "BP_NMS", "BP_OMS" (Default: BP)')
     p.add_argument("--max-frames", type=float, default=10e9,
                    help="Limit number of decoded frames.")
     p.add_argument("--frame-error-count", type=int, default=50,
