@@ -606,3 +606,111 @@ def make_streaming_lanes_step(
         return sharded(state, key, x_value, refill)
 
     return init_fn, step_fn
+
+
+def make_streaming_lanes_multipoint_step(
+    ldc,
+    channel_type: str,
+    dec,
+    batch_per_device: int,
+    mesh: Mesh,
+    modulation=None,
+    chunk_iters: int = 0,
+    max_frames: int = int(10e9),
+    frame_tile: int = 0,
+    interpret: bool = False,
+    gen_watermark: Optional[int] = None,
+):
+    """Lane-major in-kernel streaming over a 2-D ``(points, frames)``
+    mesh — point-parallel wide sweeps on large blocklengths (see
+    :func:`make_streaming_lanes_step` and
+    :func:`make_streaming_pallas_multipoint_step`)."""
+    if channel_type == "BEC":
+        raise ValueError("streaming decode does not cover the BEC decoder")
+    iterations = dec.iterations
+    if iterations < 1:
+        raise ValueError("streaming decode requires iterations >= 1")
+    k = chunk_iters or max(4, min(8, iterations // 8))
+    n_outer = max(1, -(-iterations // k))
+    dtype = jnp.dtype(dec.message_dtype)
+    if gen_watermark is None:
+        gen_watermark = max(1, 3 * batch_per_device // 4)
+    n_points = mesh.shape[POINT_AXIS]
+    n_frame_dev = mesh.shape[FRAME_AXIS]
+    base, rem = divmod(
+        min(max_frames, n_frame_dev * _INT32_SAFE), n_frame_dev
+    )
+
+    def shard_body(state, key, x_vec, refill_vec):
+        p_idx = jax.lax.axis_index(POINT_AXIS)
+        f_idx = jax.lax.axis_index(FRAME_AXIS)
+        quota = jnp.minimum(
+            jnp.int32(base) + (f_idx < rem).astype(jnp.int32),
+            jnp.int32(_INT32_SAFE),
+        )
+        body = functools.partial(
+            _lanes_superstep, ldc, channel_type, iterations, dec.cn_mode,
+            batch_per_device, modulation, quota, k, n_outer, frame_tile,
+            dec.message_dtype, interpret, gen_watermark,
+        )
+        state, acc = body(
+            jax.random.fold_in(jax.random.fold_in(key, p_idx), f_idx),
+            x_vec[0], refill_vec[0], state,
+        )
+        acc = StreamDeltas(
+            *(jax.lax.psum(a, FRAME_AXIS)[None] for a in acc)
+        )
+        return state, acc
+
+    both = (POINT_AXIS, FRAME_AXIS)
+    state_specs = LStreamState(
+        llr_in=P(both, None),
+        codeword=P(both, None),
+        lv2c=P(both, None),
+        done=P(both, None),
+        iters=P(both, None),
+        age=P(both, None),
+        avail=P(both, None),
+        ctr=P(both, None),
+        fresh_llr=P(both, None),
+        fresh_cw=P(both, None),
+        started=P(both),
+    )
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(state_specs, P(), P(POINT_AXIS), P(POINT_AXIS)),
+        out_specs=(
+            state_specs,
+            StreamDeltas(*(P(POINT_AXIS) for _ in range(5))),
+        ),
+        check_vma=False,
+    )
+
+    def init_fn(started_offset=None):
+        st = _init_lanes_state(
+            ldc, batch_per_device * n_points * n_frame_dev, dtype,
+            n_dev=n_points * n_frame_dev,
+        )
+        if started_offset is not None:
+            per = np.repeat(
+                -(-np.asarray(started_offset, np.int64) // n_frame_dev),
+                n_frame_dev,
+            )
+            st = st._replace(
+                started=jnp.asarray(
+                    np.minimum(per, _INT32_SAFE).astype(np.int32)
+                )
+            )
+        from jax.sharding import NamedSharding
+
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            st, state_specs,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state, key, x_vec, refill_vec):
+        return sharded(state, key, x_vec, refill_vec)
+
+    return init_fn, step_fn

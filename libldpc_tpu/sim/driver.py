@@ -721,6 +721,15 @@ class Simulator:
                     self.dcode, self.ch.type, self.dec,
                     self.sim.batch_size // n_frame_dev, mesh, **kw,
                 )
+            elif self._use_pallas and isinstance(self.dcode, LanesDeviceCode):
+                from ..ops.streaming_pallas import (
+                    make_streaming_lanes_multipoint_step,
+                )
+
+                stream_bundle = make_streaming_lanes_multipoint_step(
+                    self.dcode, self.ch.type, self.dec,
+                    self.sim.batch_size // n_frame_dev, mesh, **kw,
+                )
             else:
                 from ..ops.streaming import make_streaming_multipoint_step
 

@@ -437,3 +437,86 @@ def test_streaming_with_modulation_drains(setup):
         res = sim.start()
     assert int(res.frames[0]) == 64  # exact quota landing
     assert 0 <= res.fer[0] <= 1
+
+
+class TestLanesMultipoint:
+    def test_lanes_multipoint_mesh(self):
+        """Point-parallel lane-major streaming over a 2-D CPU mesh."""
+        from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+        from libldpc_tpu.ops.streaming import FRAME_AXIS, POINT_AXIS
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_lanes_multipoint_step,
+        )
+
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+        ldc = to_lanes_device(code)
+        mesh = jax.make_mesh((2, 2), (POINT_AXIS, FRAME_AXIS))
+        B = 8  # per frame-device
+        init_fn, step_fn = make_streaming_lanes_multipoint_step(
+            ldc, "AWGN", DecoderParams(iterations=6), B, mesh,
+            chunk_iters=6, interpret=True, frame_tile=8, max_frames=20,
+        )
+        state = init_fn()
+        frames = np.zeros(2, np.int64)
+        fec = np.zeros(2, np.int64)
+        for s in range(30):
+            state, acc = step_fn(
+                state, jax.random.PRNGKey(s),
+                jnp.asarray([0.0, 4.0], jnp.float32),
+                jnp.asarray(frames < 20),
+            )
+            frames += np.asarray(acc.frames)
+            fec += np.asarray(acc.frame_errors)
+            if (frames >= 20).all() and (np.asarray(acc.n_active) == 0).all():
+                break
+        np.testing.assert_array_equal(frames, [20, 20])
+        assert fec[0] > fec[1]
+
+    def test_wide_driver_routes_lanes_streaming(self, monkeypatch):
+        """start_wide on a large unstructured code with use_pallas must run
+        the lane-major multipoint streaming path end-to-end."""
+        from unittest import mock
+
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.ops.pallas import decode_lanes as dl
+        from libldpc_tpu.ops.pallas.lanes_layout import LanesDeviceCode
+        from libldpc_tpu.ops.streaming import FRAME_AXIS, POINT_AXIS
+        from libldpc_tpu.utils.params import (
+            ChannelParams, SimulationParams,
+        )
+
+        monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
+        import dataclasses
+
+        from libldpc_tpu.ops.pallas import layout as pallas_layout
+
+        orig_tpd = pallas_layout.to_pallas_device
+        monkeypatch.setattr(
+            pallas_layout,
+            "to_pallas_device",
+            lambda cc, **kw: dataclasses.replace(
+                orig_tpd(cc, **kw), mxu_blocks_fwd=None
+            ),
+        )
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+        mesh = jax.make_mesh((2, 2), (POINT_AXIS, FRAME_AXIS))
+
+        orig = dl.bp_stream_chunk_lanes
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            kw["frame_tile"] = 8
+            return orig(*a, **kw)
+
+        with mock.patch.object(dl, "bp_stream_chunk_lanes", interp):
+            sim = drv.Simulator(
+                code,
+                DecoderParams(iterations=6, early_term=True),
+                ChannelParams(type="AWGN", seed=3, x_range=(2.0, 3.1, 1.0)),
+                SimulationParams(batch_size=16, max_frames=40, fec=10**9),
+                use_pallas=True,
+                verbose=False,
+            )
+            assert isinstance(sim.dcode, LanesDeviceCode)
+            res = sim.start_wide(mesh)
+        np.testing.assert_array_equal(np.asarray(res.frames), [40, 40])
