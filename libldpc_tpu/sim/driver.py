@@ -47,7 +47,6 @@ import numpy as np
 
 from ..models.code import LDPCCode
 from ..models.io import format_result_row, write_results_file
-from ..ops.device import to_device
 from ..parallel.mesh import make_sim_step
 from ..utils.params import ChannelParams, DecoderParams, SimulationParams
 from .results import SimResults

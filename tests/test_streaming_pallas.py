@@ -401,7 +401,6 @@ class TestStreamingFuzz:
 def test_streaming_with_modulation_drains(setup):
     """Higher-order modulation (4-ASK) through the in-kernel streaming
     driver path: pool regeneration must run the modulated pipeline."""
-    import functools
     from unittest import mock
 
     from libldpc_tpu.ops import modulation as mod
