@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--permute", default="mxu")
+    ap.add_argument("--type", default="BP",
+                    help="decoder type (BP / BP_PHI / BP_TANH / BP_MS)")
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--reps", type=int, default=20)
     args = ap.parse_args()
@@ -48,6 +50,9 @@ def main():
     from libldpc_tpu.ops.pallas.decode_fused import (
         bp_decode_pallas, bp_stream_chunk_pallas,
     )
+    from libldpc_tpu.utils.params import DecoderParams
+
+    cn_mode = DecoderParams(type=args.type).cn_mode
 
     h = "/root/reference/tests/code/h.txt"
     g = "/root/reference/tests/code/g.txt"
@@ -81,11 +86,11 @@ def main():
     rows = []
 
     t = timeit(bp_decode_pallas, pdc, llr, iterations=it, early_term=False,
-               message_dtype=dt, permute=perm)
+               message_dtype=dt, permute=perm, minsum_mode=cn_mode)
     rows.append(("noet", t))
 
     t = timeit(bp_decode_pallas, pdc, llr, iterations=it, early_term=True,
-               message_dtype=dt, permute=perm)
+               message_dtype=dt, permute=perm, minsum_mode=cn_mode)
     rows.append(("et", t))
 
     zero8 = jnp.zeros((8, B), jnp.int32)
@@ -98,6 +103,7 @@ def main():
             pdc, llr, cw, lv2c0, zero8, zero8, zero8, avail, zero8,
             pool_llr, pool_cw, jnp.int32(refill), jnp.int32(2**30),
             k=it, cap=it, message_dtype=dt, permute=perm,
+            minsum_mode=cn_mode,
         )
 
     t = timeit(stream, 0, zero8)
@@ -108,7 +114,8 @@ def main():
     rows.append(("stream+", t))
 
     base = rows[0][1]
-    print(f"batch {B}, {it} passes, dtype {dt}, permute {perm}")
+    print(f"batch {B}, {it} passes, dtype {dt}, permute {perm}, "
+          f"type {args.type}")
     for name, t in rows:
         print(f"{name:>8}: {t*1e3:8.2f} ms/call  {t/B*1e6:6.3f} us/frame "
               f"{t/base:6.2f}x")
