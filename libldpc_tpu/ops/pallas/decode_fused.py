@@ -40,12 +40,15 @@ Mosaic's roll is 32-bit-only: distance-d exchange = d/2 word roll, d = 1 is
 a 16-bit rotate of every word) while the CN/VN arithmetic always runs in
 float32.
 
-Practical scope: intended for short/medium blocklengths (padded edge space
-up to a few thousand slots — the bundled n=1024 code pads to 4096).  Very
-large codes (n >= 8192 pads the edge space to 32K+, 29+ Beneš stages) make
-Mosaic compilation pathologically slow; use the XLA sorted-layout decoder
-(:func:`libldpc_tpu.ops.sorted.bp_decode_sorted`) there — it scales cleanly
-(see ``benchmarks/res_tp_bl_tpu.txt``).
+Practical scope: short/medium blocklengths with the Beneš transport
+(padded edge space up to 4096 — the bundled n=1024 code; the unrolled
+Beneš fails to compile on-chip at n_pad 8192, see
+``sim/driver.py:FUSED_EDGE_SPACE_LIMIT``) and any size whose permutation
+is MXU-block-local (n_pad 32768 QC measured).  Large unstructured codes
+use the lane-major kernel (:mod:`.decode_lanes` — frames on sublanes,
+any blocklength); the XLA sorted-layout decoder
+(:func:`libldpc_tpu.ops.sorted.bp_decode_sorted`) remains the
+correctness golden and the BEC/layered-large fallback.
 """
 
 from __future__ import annotations
