@@ -21,7 +21,8 @@ Two transports (chosen at layout build time, :func:`.lanes_layout.to_lanes_devic
 Capability parity target: the reference GPU kernels decode any
 blocklength that fits device memory (``gpu/device/kernel.cpp:237-293``);
 this kernel restores that for the fused path (the ``[edges, frames]``
-kernel refuses ``n_pad > 16384``).
+Beneš kernel fails to compile on-chip beyond ``n_pad = 4096`` — see
+``sim/driver.py:FUSED_EDGE_SPACE_LIMIT``).
 
 Semantics match :func:`libldpc_tpu.ops.sorted.bp_decode_sorted` exactly
 (iteration counting with break-before-increment per
