@@ -55,8 +55,30 @@ def build_decode(code, iterations, use_pallas, batch, decoder="BP",
     if use_pallas:
         from libldpc_tpu.ops.pallas.decode_fused import bp_decode_pallas
         from libldpc_tpu.ops.pallas.layout import to_pallas_device
+        from libldpc_tpu.sim.driver import FUSED_EDGE_SPACE_LIMIT
 
         pdc = to_pallas_device(code)
+        if (
+            pdc.n_pad > FUSED_EDGE_SPACE_LIMIT
+            and pdc.mxu_blocks_fwd is None
+        ):
+            # same routing as the driver: large unstructured codes run the
+            # lane-major kernel (the edge-major Benes kernel fails to
+            # compile on-chip beyond n_pad 4096)
+            from libldpc_tpu.ops.pallas.decode_lanes import bp_decode_lanes
+            from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+
+            ldc = to_lanes_device(
+                code,
+                transport="clos" if message_dtype == "bfloat16" else "benes",
+            )
+            llr_j = jnp.asarray(llr[np.asarray(ldc.sorted_dc.vn_perm)])
+            fn = functools.partial(
+                bp_decode_lanes, ldc, iterations=iterations,
+                early_term=False, minsum_mode=decoder,
+                message_dtype=message_dtype,
+            )
+            return fn, llr_j
         if permute == "auto":
             permute = "mxu" if pdc.mxu_blocks_fwd is not None else "benes"
         llr_j = jnp.asarray(llr[np.asarray(pdc.sorted_dc.vn_perm)])
