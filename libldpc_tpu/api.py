@@ -39,6 +39,7 @@ _SIM_DEFAULTS = {
 }
 
 _decode_sorted_jit = None  # lazily-created shared jit for LDPC.decode
+_decode_sorted_jit_lock = threading.Lock()  # guards first-call creation
 
 
 class LDPC:
@@ -135,12 +136,14 @@ class LDPC:
         full[self.code.bit_pos] = llr_in.T
         global _decode_sorted_jit
         if _decode_sorted_jit is None:
-            from .ops.sorted import bp_decode_sorted
+            with _decode_sorted_jit_lock:
+                if _decode_sorted_jit is None:
+                    from .ops.sorted import bp_decode_sorted
 
-            _decode_sorted_jit = jax.jit(
-                bp_decode_sorted,
-                static_argnames=("iterations", "early_term", "minsum_mode"),
-            )
+                    _decode_sorted_jit = jax.jit(
+                        bp_decode_sorted,
+                        static_argnames=("iterations", "early_term", "minsum_mode"),
+                    )
         sdc = self.dcode
         vperm = self._vn_perm
         out = _decode_sorted_jit(

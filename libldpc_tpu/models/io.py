@@ -326,11 +326,19 @@ def write_results_file(
     path: str,
     rows: Sequence[str],
     header: str = "snr fer ber frames avg_iter frame_time",
+    comment: str = "",
 ) -> None:
     """Atomically rewrite the whole results table, mirroring the reference's
-    rewrite-on-every-frame-error behaviour (``src/sim/ldpcsim.cpp:221-229``)."""
+    rewrite-on-every-frame-error behaviour (``src/sim/ldpcsim.cpp:221-229``).
+
+    ``comment`` (written as a ``#``-prefixed line above the column header)
+    records the decode path actually used — kernel/transport/dtype and any
+    capability fallback — so a results file is self-describing about which
+    numerics class produced it."""
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
+        if comment:
+            f.write(f"# {comment}\n")
         f.write(header + "\n")
         for row in rows:
             if row:

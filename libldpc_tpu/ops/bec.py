@@ -25,7 +25,7 @@ same break-before-increment iteration count as the BP decoder.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

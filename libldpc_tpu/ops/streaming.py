@@ -221,6 +221,34 @@ def _superstep_body(
 _INT32_SAFE = 2**31 - 2**20  # per-device start-quota clamp
 
 
+def split_exact(total, parts: int) -> np.ndarray:
+    """Split an already-counted frame offset (checkpoint resume) over
+    ``parts`` per-device ``started`` counters so they sum to ``total``
+    EXACTLY, with the remainder on low device indices — the same split the
+    per-device quotas use (``base + (idx < rem)``), so each device's resume
+    offset never exceeds its quota.
+
+    Exactness matters: a ceil-division split overshoots by up to
+    ``parts - 1`` frames, making ``max_frames`` unreachable when it is the
+    binding stopping rule — the kernels grant zero starts once the
+    per-device quota is consumed, counted frames stall short of
+    ``max_frames``, and the driver would spin dispatching no-op supersteps
+    forever."""
+    total = int(min(int(total), parts * _INT32_SAFE))
+    base, rem = divmod(total, parts)
+    out = np.full(parts, base, np.int64)
+    out[:rem] += 1
+    return np.minimum(out, _INT32_SAFE).astype(np.int32)
+
+
+def split_exact_multi(offsets, n_frame_dev: int) -> np.ndarray:
+    """Per-point resume offsets, each split exactly over that point's
+    ``n_frame_dev`` frame devices (2-D points x frames mesh)."""
+    return np.concatenate(
+        [split_exact(o, n_frame_dev) for o in np.asarray(offsets).ravel()]
+    )
+
+
 def make_streaming_step(
     sdc: SortedDeviceCode,
     channel_type: str,
@@ -320,10 +348,9 @@ def make_streaming_step(
         st = _init_state(sdc, batch_per_device * n_dev, n_dev=n_dev)
         if started_offset:
             # distribute already-counted frames (checkpoint resume) over
-            # the per-device quotas; ±n_dev frames of rounding slack
-            per = -(-started_offset // n_dev)
+            # the per-device quotas — EXACT split (sums to started_offset)
             st = st._replace(
-                started=jnp.full((n_dev,), min(per, _INT32_SAFE), jnp.int32)
+                started=jnp.asarray(split_exact(started_offset, n_dev))
             )
         # commit to the mesh sharding so step_fn's buffer donation aliases
         # input and output shards exactly
@@ -428,15 +455,11 @@ def make_streaming_multipoint_step(
             n_dev=n_points * n_frame_dev,
         )
         if started_offset is not None:
-            # per-point already-counted frames (checkpoint resume), spread
-            # over each point's frame devices
-            per = np.repeat(
-                -(-np.asarray(started_offset, np.int64) // n_frame_dev),
-                n_frame_dev,
-            )
+            # per-point already-counted frames (checkpoint resume), split
+            # EXACTLY over each point's frame devices
             st = st._replace(
                 started=jnp.asarray(
-                    np.minimum(per, _INT32_SAFE).astype(np.int32)
+                    split_exact_multi(started_offset, n_frame_dev)
                 )
             )
         from jax.sharding import NamedSharding

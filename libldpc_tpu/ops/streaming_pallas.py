@@ -49,7 +49,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .channel import simulate_channel
 from .pallas.decode_fused import bp_stream_chunk_pallas
 from .pallas.layout import PallasDeviceCode
-from .streaming import _INT32_SAFE, FRAME_AXIS, POINT_AXIS, StreamDeltas
+from .streaming import (
+    _INT32_SAFE,
+    FRAME_AXIS,
+    POINT_AXIS,
+    StreamDeltas,
+    split_exact,
+    split_exact_multi,
+)
 
 
 class PStreamState(NamedTuple):
@@ -255,9 +262,9 @@ def make_streaming_pallas_step(
     def init_fn(started_offset: int = 0):
         st = _init_state(pdc, batch_per_device * n_dev, dtype, n_dev=n_dev)
         if started_offset:
-            per = -(-started_offset // n_dev)
+            # EXACT resume split — see streaming.split_exact
             st = st._replace(
-                started=jnp.full((n_dev,), min(per, _INT32_SAFE), jnp.int32)
+                started=jnp.asarray(split_exact(started_offset, n_dev))
             )
         from jax.sharding import NamedSharding
 
@@ -362,13 +369,10 @@ def make_streaming_pallas_multipoint_step(
             n_dev=n_points * n_frame_dev,
         )
         if started_offset is not None:
-            per = np.repeat(
-                -(-np.asarray(started_offset, np.int64) // n_frame_dev),
-                n_frame_dev,
-            )
+            # EXACT per-point resume split — see streaming.split_exact_multi
             st = st._replace(
                 started=jnp.asarray(
-                    np.minimum(per, _INT32_SAFE).astype(np.int32)
+                    split_exact_multi(started_offset, n_frame_dev)
                 )
             )
         from jax.sharding import NamedSharding
@@ -590,9 +594,9 @@ def make_streaming_lanes_step(
         st = _init_lanes_state(ldc, batch_per_device * n_dev, dtype,
                                n_dev=n_dev)
         if started_offset:
-            per = -(-started_offset // n_dev)
+            # EXACT resume split — see streaming.split_exact
             st = st._replace(
-                started=jnp.full((n_dev,), min(per, _INT32_SAFE), jnp.int32)
+                started=jnp.asarray(split_exact(started_offset, n_dev))
             )
         from jax.sharding import NamedSharding
 
@@ -693,13 +697,10 @@ def make_streaming_lanes_multipoint_step(
             n_dev=n_points * n_frame_dev,
         )
         if started_offset is not None:
-            per = np.repeat(
-                -(-np.asarray(started_offset, np.int64) // n_frame_dev),
-                n_frame_dev,
-            )
+            # EXACT per-point resume split — see streaming.split_exact_multi
             st = st._replace(
                 started=jnp.asarray(
-                    np.minimum(per, _INT32_SAFE).astype(np.int32)
+                    split_exact_multi(started_offset, n_frame_dev)
                 )
             )
         from jax.sharding import NamedSharding

@@ -31,15 +31,20 @@ _build_failed = False
 
 
 def _build() -> bool:
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _LIB,
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
+    # try -march=native first (word-parallel rank profits from wide SIMD),
+    # but fall back to plain -O3: the flag is non-portable (unsupported on
+    # some toolchains/targets) and the library must still build there
+    for extra in (["-march=native"], []):
+        cmd = [
+            "g++", "-O3", *extra, "-shared", "-fPIC", "-std=c++17",
+            _SRC, "-o", _LIB,
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def _load():

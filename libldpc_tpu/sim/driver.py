@@ -175,6 +175,10 @@ class Simulator:
                         "is not block-local; layered schedule falls back "
                         "to the XLA sorted decoder"
                     )
+                    self._fallback_reason = (
+                        f"layered n_pad={self.dcode.n_pad}>"
+                        f"{FUSED_EDGE_SPACE_LIMIT} unstructured -> xla"
+                    )
                     use_pallas = False
                     self.dcode = self.dcode.sorted_dc
                 else:
@@ -320,6 +324,41 @@ class Simulator:
                 forensics=simulation_params.error_log_file is not None,
             )
         self.results: Optional[SimResults] = None
+        self.decode_path = self._describe_decode_path()
+
+    def _describe_decode_path(self) -> str:
+        """One-line description of the decode path actually constructed —
+        kernel family, transport, message dtype, schedule, streaming mode,
+        and any capability fallback taken — recorded in the results-file
+        header so a silent fallback (e.g. an unsupported kernel/schedule
+        combination rerouting to XLA) is visible in the artifact itself."""
+        from ..ops.pallas.lanes_layout import LanesDeviceCode
+        from ..ops.pallas.layout import PallasDeviceCode
+
+        if isinstance(self.dcode, LanesDeviceCode):
+            kernel = "pallas-lanes"
+            transport = self.dcode.transport
+        elif isinstance(self.dcode, PallasDeviceCode):
+            kernel = "pallas-fused"
+            transport = (
+                "mxu" if self.dcode.mxu_blocks_fwd is not None
+                else ("clos" if self.dcode.clos_p1 is not None else "benes")
+            )
+        else:
+            kernel = "xla-sorted"
+            transport = "gather"
+        parts = [
+            f"kernel={kernel}",
+            f"transport={transport}",
+            f"dtype={self.dec.message_dtype if self._use_pallas else 'float32'}",
+            f"cn={self.dec.type}",
+            f"schedule={'layered' if self.dec.layered else 'flooding'}",
+            f"streaming={'on' if self._streaming else 'off'}",
+        ]
+        reason = getattr(self, "_fallback_reason", None)
+        if reason:
+            parts.append(f"fallback[{reason}]")
+        return " ".join(parts)
 
     # ------------------------------------------------------------------ API
 
@@ -504,6 +543,7 @@ class Simulator:
         # (documented, statistically harmless; drain counts everything).
         depth = max(4, self.sim.pipeline_depth)
         window = 1
+        stall_rounds = 0  # no-progress detector (quota-exhaustion guard)
         t_point = time.perf_counter() - c.elapsed_s
 
         def absorb(n: int = 1):
@@ -569,9 +609,33 @@ class Simulator:
                     n = len(pending)  # draining: flush everything
                 else:
                     n = max(1, len(pending) - (window - 1) // 2)
+                frames_before = c.frames
                 t_io = absorb(n)
                 # don't charge printing/IO to the frame clock
                 t_point += time.perf_counter() - t_io
+                # quota-exhaustion guard: refill is being requested, nothing
+                # is in flight, and the absorbed supersteps made zero
+                # progress — the per-device start quotas are consumed (e.g.
+                # a resume offset written by an older build that split the
+                # offset inexactly).  Treat as the max_frames rule met
+                # instead of spinning no-op supersteps forever.
+                if (
+                    can_refill
+                    and n_active_last == 0
+                    and c.frames == frames_before
+                ):
+                    stall_rounds += 1
+                    if stall_rounds >= 3 and not pending:
+                        import warnings
+
+                        warnings.warn(
+                            "streaming point stalled with start quotas "
+                            "exhausted before the stopping rule was met; "
+                            "treating max_frames as reached"
+                        )
+                        break
+                else:
+                    stall_rounds = 0
             if can_refill:
                 window = min(depth, window * 2)
 
@@ -604,7 +668,9 @@ class Simulator:
             )
             sys.stdout.flush()
         if self.sim.result_file:
-            write_results_file(self.sim.result_file, rows)
+            write_results_file(
+                self.sim.result_file, rows, comment=self.decode_path
+            )
 
     def _forensic_dE(self, hard_col, cw_col, tx_errs: int) -> float:
         """Squared-root Euclidean distance between the modulated true and
@@ -774,7 +840,9 @@ class Simulator:
                     self._row(results, i) if results.frames[i] else ""
                     for i in range(len(x_vals))
                 ]
-                write_results_file(self.sim.result_file, rows)
+                write_results_file(
+                    self.sim.result_file, rows, comment=self.decode_path
+                )
 
         for g0 in range(group_start, len(x_vals), n_pts_parallel):
             group = list(range(g0, min(g0 + n_pts_parallel, len(x_vals))))
@@ -855,7 +923,14 @@ class Simulator:
                     cc.frame_errors += int(fec[slot])
                     cc.frames += int(frames[slot])
                     cc.iter_sum += int(iters[slot])
-                    cc.elapsed_s = elapsed / len(group)
+                    # per-point device window: each point owns its own
+                    # slice of the points axis, so its honest elapsed time
+                    # is the group wall-clock while it was still live (a
+                    # finished point is `continue`d above, freezing its
+                    # clock) — NOT an even split of group time, which would
+                    # fabricate the TIME/FRAME column (the reference's is a
+                    # real per-point measurement, src/sim/ldpcsim.cpp:192-195)
+                    cc.elapsed_s = elapsed
                     results.update_point(
                         i,
                         bit_errors=cc.bit_errors,
@@ -905,6 +980,7 @@ class Simulator:
         n_active = np.full(n_slots, -1, np.int64)  # -1 = unknown yet
         depth = max(4, self.sim.pipeline_depth)
         window = 1  # slow-start (see _run_point_streaming)
+        stall_rounds = 0  # no-progress detector (quota-exhaustion guard)
 
         def finished(i):
             return (
@@ -949,15 +1025,21 @@ class Simulator:
                   a.n_active) for a in accs]
             )
             elapsed = time.perf_counter() - t_start
+            frames_before = sum(c[i].frames for i in group)
             for bec, fec, fr, it, na in vals:
                 for s in range(n_real):
                     i = padded[s]
                     cc = c[i]
+                    was_live = not finished(i)
                     cc.bit_errors += int(bec[s])
                     cc.frame_errors += int(fec[s])
                     cc.frames += int(fr[s])
                     cc.iter_sum += int(it[s])
-                    cc.elapsed_s = elapsed / n_real
+                    # per-point device window (see the non-streaming loop):
+                    # advance a point's clock while it is live or still
+                    # draining counted frames; freeze it once done
+                    if was_live or int(fr[s]):
+                        cc.elapsed_s = elapsed
                 n_active = np.asarray(na, np.int64)
             for i in group:
                 if c[i].frames:
@@ -979,6 +1061,27 @@ class Simulator:
                 sys.stdout.flush()
             emit_rows()
             self._save_checkpoint_wide(x_vals, results, g0, c, batch_idx)
+            # quota-exhaustion guard (see _run_point_streaming): unfinished
+            # points, nothing in flight anywhere, zero progress — the
+            # per-device start quotas are consumed; stop this group instead
+            # of spinning forever.
+            if (
+                not all(finished(i) for i in group)
+                and all(n_active[s] == 0 for s in range(n_real))
+                and sum(c[i].frames for i in group) == frames_before
+            ):
+                stall_rounds += 1
+                if stall_rounds >= 3 and not pending:
+                    import warnings
+
+                    warnings.warn(
+                        "wide streaming group stalled with start quotas "
+                        "exhausted before the stopping rule was met; "
+                        "treating max_frames as reached"
+                    )
+                    return False
+            else:
+                stall_rounds = 0
 
     # --------------------------------------------------------- checkpointing
 

@@ -123,7 +123,10 @@ class TestCLI:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
         assert r.returncode == 0, r.stderr
         assert "Parity-Check Matrix" in r.stdout
-        lines = out.read_text().strip().splitlines()
+        lines = [
+            l for l in out.read_text().strip().splitlines()
+            if not l.startswith("#")
+        ]
         assert lines[0].startswith("snr fer ber")
         assert len(lines) == 2
 

@@ -65,6 +65,10 @@ class TestResultsFile:
     def test_format(self, code, tmp_path):
         _, res = _run(code, tmp_path, x_range=(0.0, 1.0, 1.0), fec=3, batch=32)
         lines = (tmp_path / "res.txt").read_text().strip().splitlines()
+        # decode-path provenance comment, then the reference column header
+        assert lines[0].startswith("# kernel=")
+        assert "transport=" in lines[0] and "dtype=" in lines[0]
+        lines = lines[1:]
         assert lines[0] == "snr fer ber frames avg_iter frame_time"
         cols = lines[1].split()
         assert len(cols) == 6
@@ -184,6 +188,58 @@ class TestForensicLog:
 
 
 class TestCheckpointResume:
+    def test_exact_offset_split(self):
+        """Resume offsets must split EXACTLY over per-device start quotas
+        (regression: ceil division overshot by up to n_dev-1 frames, making
+        max_frames unreachable when it was the binding stopping rule)."""
+        from libldpc_tpu.ops.streaming import split_exact, split_exact_multi
+
+        for total, parts in [(37, 8), (0, 8), (7, 8), (64, 8), (1, 1),
+                             (12345, 7)]:
+            out = split_exact(total, parts)
+            assert int(out.sum()) == total
+            assert int(out.max()) - int(out.min()) <= 1
+        multi = split_exact_multi([37, 5], 4)
+        assert multi.shape == (8,)
+        assert int(multi[:4].sum()) == 37 and int(multi[4:].sum()) == 5
+
+    def test_resume_max_frames_binding_streaming(self, code, tmp_path):
+        """Livelock regression (round-2 advisor): resuming mid-point on a
+        multi-device mesh with ``max_frames`` as the binding rule must
+        terminate with exactly ``max_frames`` counted frames."""
+        import json
+        import time
+
+        from libldpc_tpu.sim.results import SimResults
+
+        mesh = default_mesh()
+        x = [8.0]
+        res0 = SimResults.empty(1, x)
+        ckpt = tmp_path / "ckpt.json"
+        # a mid-point checkpoint with 37 counted frames — NOT a multiple of
+        # the 8 mesh devices, so an inexact resume split would leave the
+        # total start quota short of max_frames
+        ckpt.write_text(json.dumps({
+            "x_vals": x, "point": 0,
+            "counters": [0, 0, 37, 370, 0.5, 3],
+            "seed": 1, "channel": "AWGN",
+            "results": json.loads(res0.to_json()),
+        }))
+        sim = Simulator(
+            code,
+            DecoderParams(iterations=10),
+            ChannelParams(seed=1, x_range=(8.0, 9.0, 1.0)),
+            SimulationParams(batch_size=64, fec=10**9, max_frames=64,
+                             checkpoint_file=str(ckpt)),
+            mesh=mesh,
+            verbose=False,
+        )
+        deadline = time.monotonic() + 300
+        res = sim.start(stop_flag=lambda: time.monotonic() > deadline,
+                        resume=True)
+        assert time.monotonic() <= deadline, "resume livelocked"
+        assert res.frames[0] == 64
+
     def test_resume_continues(self, code, tmp_path):
         ckpt = tmp_path / "ckpt.json"
         sim1, res1 = _run(
@@ -244,6 +300,45 @@ class TestMesh:
         for i in range(len(res.x_values)):
             assert res.fec[i] >= 5 or res.frames[i] == 512
 
+    @pytest.mark.parametrize("streaming", [True, False])
+    def test_wide_sweep_per_point_timing(self, code, streaming):
+        """Per-point TIME/FRAME in wide mode is a real device-window
+        measurement, not group wall-clock smeared evenly over points
+        (round-2 verdict): a point that finishes early freezes its clock,
+        and the slowest point's elapsed approaches the full group window
+        rather than an even 1/n_points split of it."""
+        import time
+
+        import jax
+
+        from libldpc_tpu.parallel.mesh import FRAME_AXIS, POINT_AXIS
+
+        mesh = jax.make_mesh((2, 4), (POINT_AXIS, FRAME_AXIS))
+
+        def build():
+            return Simulator(
+                code,
+                DecoderParams(iterations=10),
+                # one noisy point (fec binds fast) + one clean point
+                # (max_frames binds, many supersteps)
+                ChannelParams(seed=1, x_range=(-2.0, 8.1, 10.0)),  # 2 points
+                SimulationParams(batch_size=32, fec=5, max_frames=4096,
+                                 streaming=streaming),
+                verbose=False,
+            )
+
+        build().start_wide(mesh)  # warm the jit caches (untimed compile)
+        sim = build()
+        t0 = time.perf_counter()
+        res = sim.start_wide(mesh)
+        wall = time.perf_counter() - t0
+        elapsed = np.asarray(res.time) * np.asarray(res.frames)
+        assert (elapsed > 0).all()
+        # the noisy point finishes quickly; the clean point runs the whole
+        # group window — under the old even smear its elapsed was ~wall/2
+        assert elapsed[1] > elapsed[0]
+        assert elapsed[1] > 0.7 * wall, (elapsed, wall)
+
     def test_wide_sweep_2d_mesh_batch_path(self, code):
         """streaming=False keeps the batch multipoint path: whole-batch
         frame counts."""
@@ -296,7 +391,10 @@ class TestMesh:
             assert res.fec[i] >= 5 or res.frames[i] == 512
             assert res.frames[i] <= 512
         # results file in the reference column format, one row per point
-        rows = [l for l in res_file.read_text().splitlines() if l.strip()]
+        rows = [
+            l for l in res_file.read_text().splitlines()
+            if l.strip() and not l.startswith("#")
+        ]
         assert rows[0].startswith("snr")  # header row
         assert len(rows) == 6
         assert np.isclose(float(rows[1].split()[0]), -2.0)
@@ -320,7 +418,10 @@ class TestMesh:
             "-i", "8",
         ])
         assert rc == 0
-        rows = [l for l in out.read_text().splitlines() if l.strip()]
+        rows = [
+            l for l in out.read_text().splitlines()
+            if l.strip() and not l.startswith("#")
+        ]
         assert len(rows) == 4  # header + 3 sweep points
 
     def test_sharded_forensics_no_duplication(self, code, tmp_path):

@@ -60,3 +60,24 @@ class TestDistributed:
         mesh = distributed.global_mesh()
         assert FRAME_AXIS in mesh.axis_names
         assert mesh.devices.size == 8  # virtual CPU mesh
+
+
+class TestAnnotations:
+    def test_public_annotations_resolve_at_runtime(self):
+        """`from __future__ import annotations` hides a missing typing
+        import until something calls ``typing.get_type_hints`` (regression:
+        ``ops/bec.py`` used ``Optional`` without importing it).  Resolve the
+        hints of every public function in the core op/model modules."""
+        import inspect
+        import typing
+
+        from libldpc_tpu.ops import bec, bec_sorted, channel, decoder, sorted as sorted_mod, streaming
+        from libldpc_tpu.models import code as code_mod, io as io_mod
+        from libldpc_tpu.sim import driver as driver_mod
+
+        for mod in (bec, bec_sorted, channel, decoder, sorted_mod,
+                    streaming, code_mod, io_mod, driver_mod):
+            for name, fn in inspect.getmembers(mod, inspect.isfunction):
+                if fn.__module__ != mod.__name__ or name.startswith("_"):
+                    continue
+                typing.get_type_hints(fn)  # raises NameError on a bad hint
