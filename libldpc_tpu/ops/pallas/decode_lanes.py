@@ -27,7 +27,10 @@ Beneš kernel fails to compile on-chip beyond ``n_pad = 4096`` — see
 Semantics match :func:`libldpc_tpu.ops.sorted.bp_decode_sorted` exactly
 (iteration counting with break-before-increment per
 ``src/decoding/decoder.cpp:66-77``, freeze at first convergence, syndrome
-from the transported posterior).
+from the transported posterior).  Both schedules are supported: flooding
+(default) and the layered/serial schedule of the reference GPU stack
+(``gpu/device/kernel.cpp:54-74``) when the layout carries layer planes —
+so the fused path covers any blocklength x any schedule.
 """
 
 from __future__ import annotations
@@ -47,7 +50,7 @@ from .lanes_layout import LanesDeviceCode
 
 
 def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
-                 ft, dtype, stream=False, cap=0):
+                 ft, dtype, stream=False, cap=0, layered=False):
     N = ldc.n_pad
     nc_pad = ldc.nc_pad
     tanh = cn_ops.is_tanh_mode(minsum_mode)
@@ -389,6 +392,101 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
     if stream:
         return kernel_stream
 
+    def kernel_layered(*refs):
+        """Layered (serial) schedule, lane-major: per iteration, each layer
+        refreshes its checks' messages and the APP recomputes — the GPU
+        stack's kernel capability (``gpu/device/kernel.cpp:54-74``), with
+        per-layer freeze/early-termination semantics identical to the XLA
+        layered decoder (:func:`..sorted._bp_decode_sorted_layered`) and
+        the edge-major layered kernel (:func:`.decode_fused` —
+        ``kernel_layered``).  Needs one extra ``[ft, N]`` VMEM state buffer
+        for the persisted ``Lc2v`` (stale layers keep their last
+        messages)."""
+        if clos:
+            (p1_ref, p3_ref, w_ref, llr_ref, out_llr_ref, out_iters_ref,
+             out_iscw_ref, lv2c_ref, done_ref, iters_ref, iscw_ref,
+             lc2v_ref) = refs
+        else:
+            (w_ref, llr_ref, out_llr_ref, out_iters_ref, out_iscw_ref,
+             lv2c_ref, done_ref, iters_ref, iscw_ref, lc2v_ref) = refs
+            p1_ref = p3_ref = None
+        llr = llr_ref[:]
+        lv2c_ref[:] = force_pad(w_ref, init_lv2c(p1_ref, p3_ref, w_ref, llr))
+        # persisted Lc2v starts 0 on real lanes (XLA layered semantics);
+        # fake check lanes are pinned to PAD_LLR from the start — they are
+        # never in any layer, so this keeps fake checks trivially
+        # satisfied in the syndrome (the flooding kernel gets the same
+        # effect from cn_exclusion's PAD outputs every pass)
+        lc2v_ref[:] = force_pad(w_ref, jnp.zeros((ft, N), dtype))
+        done_ref[:] = jnp.zeros((ft, 128), jnp.int32)
+        iters_ref[:] = jnp.zeros((ft, 128), jnp.int32)
+        iscw_ref[:] = jnp.zeros((ft, 128), jnp.int32)
+        out_llr_ref[:] = jnp.zeros((ft, nc_pad), jnp.float32)
+
+        def body(it, carry):
+            def iteration():
+                done_start = done_ref[:, 0:1]
+                for lw, lb in ldc.layer_words:
+                    lv2c = lv2c_ref[:]
+                    lc2v_state = lc2v_ref[:]
+                    lc2v_new = cn_exclusion(lv2c)
+                    lp = ((w_ref[lw : lw + 1, :] >> lb) & 1) > 0
+                    lc2v_l = jnp.where(lp, lc2v_new, lc2v_state)
+                    lc2v_v = transport(p1_ref, p3_ref, w_ref, lc2v_l,
+                                       reverse=False)
+                    llr_out, post_v = vn_stage(llr, lc2v_v)
+                    q = transport(p1_ref, p3_ref, w_ref, post_v,
+                                  reverse=True)
+                    lv2c_l = force_pad(
+                        w_ref,
+                        (q.astype(compute)
+                         - lc2v_l.astype(compute)).astype(dtype),
+                    )
+                    llr_out = llr_out.astype(jnp.float32)
+                    done_i = done_ref[:, 0:1]
+                    keep = done_i > 0  # [ft, 1] broadcasts over lanes
+                    if early_term:
+                        is_cw = syndrome(q)
+                        newly = (1 - done_i) * is_cw
+                        done_ref[:, 0:1] = done_i + newly
+                        iscw_ref[:, 0:1] = (
+                            done_i * iscw_ref[:, 0:1] + (1 - done_i) * is_cw
+                        )
+                    lv2c_ref[:] = jnp.where(keep, lv2c, lv2c_l)
+                    lc2v_ref[:] = jnp.where(keep, lc2v_state, lc2v_l)
+                    out_llr_ref[:] = jnp.where(keep, out_llr_ref[:], llr_out)
+                    last_q = q
+                if early_term:
+                    # iteration counted iff unconverged at both the start
+                    # and the end of the full iteration (XLA layered
+                    # semantics, ops/sorted.py _bp_decode_sorted_layered)
+                    iters_ref[:, 0:1] = iters_ref[:, 0:1] + (
+                        (1 - done_start) * (1 - done_ref[:, 0:1])
+                    )
+                else:
+                    @pl.when(it == iterations - 1)
+                    def _():
+                        iscw_ref[:, 0:1] = syndrome(last_q)
+
+            if early_term:
+                active = jnp.sum(done_ref[:, 0:1]) < ft
+
+                @pl.when(active)
+                def _():
+                    iteration()
+            else:
+                iteration()
+            return carry
+
+        jax.lax.fori_loop(0, iterations, body, 0)
+        if not early_term:
+            iters_ref[:, 0:1] = jnp.full((ft, 1), iterations, jnp.int32)
+        out_iters_ref[:] = iters_ref[:]
+        out_iscw_ref[:] = iscw_ref[:]
+
+    if layered:
+        return kernel_layered
+
     def kernel(*refs):
         if clos:
             (p1_ref, p3_ref, w_ref, llr_ref, out_llr_ref, out_iters_ref,
@@ -464,7 +562,7 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "early_term", "minsum_mode", "frame_tile",
-                     "message_dtype", "interpret"),
+                     "message_dtype", "interpret", "layered"),
 )
 def bp_decode_lanes(
     ldc: LanesDeviceCode,
@@ -475,6 +573,7 @@ def bp_decode_lanes(
     frame_tile: int = 0,
     message_dtype: str = "float32",
     interpret: bool = False,
+    layered: bool = False,
 ) -> SortedDecodeOutput:
     """Fused lane-major BP decode; drop-in for :func:`bp_decode_pallas`
     at blocklengths the ``[edges, frames]`` kernel cannot compile.
@@ -483,6 +582,11 @@ def bp_decode_lanes(
     sublane tile) for float32, 32 for bfloat16 (at least one 16-bit
     sublane tile, and enough MXU rows to amortise the Clos transport's
     block matmuls).
+
+    ``layered=True`` runs the layered (serial) schedule when the layout
+    carries layer planes (``to_lanes_device(code, with_layers=True)`` on a
+    code with a layerfile); otherwise it decodes flooding, mirroring the
+    XLA decoder's behaviour on layer-less codes.
     """
     dtype = jnp.dtype(message_dtype)
     if dtype == jnp.bfloat16 and ldc.transport != "clos":
@@ -515,8 +619,9 @@ def bp_decode_lanes(
     real_lane = real_lane.at[ldc.lane_of_vn].set(1.0)
     llr_pad = (llr_pad * real_lane).T  # [B, nc_pad]
 
+    use_layered = layered and len(ldc.layer_words) > 1
     kernel = _make_kernel(ldc, iterations, early_term, minsum_mode, ft,
-                          dtype)
+                          dtype, layered=use_layered)
     W = ldc.planes.shape[0]
     clos = ldc.transport == "clos"
     nb = ldc.n_pad // 128
@@ -559,7 +664,10 @@ def bp_decode_lanes(
             pltpu.VMEM((ft, 128), jnp.int32),
             pltpu.VMEM((ft, 128), jnp.int32),
             pltpu.VMEM((ft, 128), jnp.int32),
-        ],
+        ] + (
+            # persisted Lc2v state for the layered schedule
+            [pltpu.VMEM((ft, ldc.n_pad), dtype)] if use_layered else []
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

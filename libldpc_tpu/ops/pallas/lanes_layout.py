@@ -87,6 +87,11 @@ class LanesDeviceCode:
     vn_blocks: tuple[tuple[int, int, int], ...]  # (base_edge, count_pad, deg)
     vn_node_base: tuple[int, ...]  # padded node-lane offset per VN class
     transport: str = "benes"
+    #: (word, bit) per decoding layer — CN-space edge-membership planes for
+    #: the layered schedule, bit-packed into ``planes`` words after the
+    #: real-edge mask word (empty when built without layers); the layered
+    #: analogue of the edge-major layout's ``layer_planes``
+    layer_words: tuple[tuple[int, int], ...] = ()
     # arrays
     planes: jnp.ndarray = None  # int32 [n_words + 1, n_pad]; last word bit 0
     #                             is the real-edge (CN-space) mask
@@ -103,7 +108,7 @@ class LanesDeviceCode:
         ), (
             self.n_pad, self.nc_pad, self.benes_dists, self.benes_words,
             self.n_words, self.cn_blocks, self.vn_blocks, self.vn_node_base,
-            self.transport,
+            self.transport, self.layer_words,
         )
 
     @classmethod
@@ -111,12 +116,13 @@ class LanesDeviceCode:
         (sorted_dc, planes, lane_of_vn, vn_of_lane, clos_p1,
          clos_p3) = children
         (n_pad, nc_pad, benes_dists, benes_words, n_words, cn_blocks,
-         vn_blocks, vn_node_base, transport) = aux
+         vn_blocks, vn_node_base, transport, layer_words) = aux
         return cls(
             sorted_dc=sorted_dc, n_pad=n_pad, nc_pad=nc_pad,
             benes_dists=benes_dists, benes_words=benes_words,
             n_words=n_words, cn_blocks=cn_blocks, vn_blocks=vn_blocks,
-            vn_node_base=vn_node_base, transport=transport, planes=planes,
+            vn_node_base=vn_node_base, transport=transport,
+            layer_words=layer_words, planes=planes,
             lane_of_vn=lane_of_vn, vn_of_lane=vn_of_lane,
             clos_p1=clos_p1, clos_p3=clos_p3,
         )
@@ -159,7 +165,15 @@ class LanesDeviceCode:
         return self.sorted_dc.shorten
 
 
-def to_lanes_device(code: LDPCCode, transport: str = "benes") -> LanesDeviceCode:
+def to_lanes_device(
+    code: LDPCCode, transport: str = "benes", with_layers: bool = False,
+) -> LanesDeviceCode:
+    """Build the lane-major device layout.
+
+    ``with_layers`` additionally bit-packs per-layer CN-edge membership
+    planes (from the code's layerfile, GPU-stack capability
+    ``gpu/ldpc/ldpc.cpp:111-138``) into ``planes`` for the layered
+    schedule of :func:`.decode_lanes.bp_decode_lanes`."""
     if transport not in ("benes", "clos"):
         raise ValueError(f"unknown transport {transport!r}")
     sdc = to_sorted_device(code)
@@ -272,6 +286,25 @@ def to_lanes_device(code: LDPCCode, transport: str = "benes") -> LanesDeviceCode
         benes_dists.append(stage_dists[s])
         benes_words.append((w, b))
     planes[n_words][cn_slot] = 1  # real-edge mask, CN space
+
+    # --- per-layer CN-edge membership planes (layered schedule) ---------
+    # Layer ``li`` lives at bit ``li % 31`` of word ``n_words + 1 + li//31``.
+    # Membership is set on REAL edge lanes only; fake check lanes never
+    # refresh and instead hold PAD_LLR state from the kernel's lc2v init,
+    # keeping fake checks trivially satisfied (see decode_lanes).
+    layer_words: list[tuple[int, int]] = []
+    if with_layers and code.layers and len(code.layers) > 1:
+        nl = len(code.layers)
+        lw_count = -(-nl // _BITS_PER_WORD)
+        lplanes = np.zeros((lw_count, N), dtype=np.int64)
+        for li, layer in enumerate(code.layers):
+            in_layer = np.zeros(code.mc, dtype=bool)
+            in_layer[np.asarray(layer, dtype=np.int64)] = True
+            w, b = li // _BITS_PER_WORD, li % _BITS_PER_WORD
+            member = cn_slot[in_layer[rows]]
+            lplanes[w][member] |= 1 << b
+            layer_words.append((n_words + 1 + w, b))
+        planes = np.concatenate([planes, lplanes], axis=0)
     planes = planes.astype(np.int32)
 
     return LanesDeviceCode(
@@ -285,6 +318,7 @@ def to_lanes_device(code: LDPCCode, transport: str = "benes") -> LanesDeviceCode
         vn_blocks=tuple(vn_blocks),
         vn_node_base=tuple(vn_node_base),
         transport=transport,
+        layer_words=tuple(layer_words),
         planes=jnp.asarray(planes),
         lane_of_vn=jnp.asarray(lane_of_vn),
         vn_of_lane=jnp.asarray(vn_of_lane),

@@ -117,9 +117,10 @@ def _sim_and_count(
 
             if isinstance(dcode, LanesDeviceCode):
                 # lane-major fused kernel: the arbitrary-blocklength path
-                # (frames on sublanes; see ops/pallas/decode_lanes.py);
-                # flooding only.  bf16 messages require the clos transport
-                # (the layout builder enforces the pairing).
+                # (frames on sublanes; see ops/pallas/decode_lanes.py),
+                # flooding or layered (layouts built with with_layers).
+                # bf16 messages require the clos transport (the layout
+                # builder enforces the pairing).
                 from ..ops.pallas import decode_lanes
 
                 out = decode_lanes.bp_decode_lanes(
@@ -128,6 +129,7 @@ def _sim_and_count(
                     iterations=dec.iterations,
                     early_term=dec.early_term,
                     minsum_mode=dec.cn_mode,
+                    layered=dec.layered,
                     message_dtype=(
                         dec.message_dtype
                         if dcode.transport == "clos" else "float32"

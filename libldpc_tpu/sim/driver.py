@@ -163,41 +163,32 @@ class Simulator:
                 # (ops/pallas/decode_lanes.py: frames on sublanes, 16x
                 # fewer vector tiles, n=8192 compiles in ~16 s) — the
                 # capability analogue of the reference GPU kernels' any-n
-                # grid-stride loops (gpu/device/kernel.cpp:237-293).
-                # Layered schedules stay on the XLA sorted decoder (the
-                # lane-major kernel is flooding-only).
-                if decoder_params.layered:
-                    import warnings
+                # grid-stride loops (gpu/device/kernel.cpp:237-293) —
+                # carrying layer planes when the layered schedule was
+                # requested (kernel_layered in decode_lanes).
+                from ..ops.pallas.lanes_layout import to_lanes_device
 
-                    warnings.warn(
-                        f"padded edge space {self.dcode.n_pad} too large "
-                        "for the fused [edges, frames] kernel and the code "
-                        "is not block-local; layered schedule falls back "
-                        "to the XLA sorted decoder"
-                    )
-                    self._fallback_reason = (
-                        f"layered n_pad={self.dcode.n_pad}>"
-                        f"{FUSED_EDGE_SPACE_LIMIT} unstructured -> xla"
-                    )
-                    use_pallas = False
-                    self.dcode = self.dcode.sorted_dc
-                else:
-                    from ..ops.pallas.lanes_layout import to_lanes_device
-
-                    # clos transport unlocks bf16 messages and replaces the
-                    # dominant intra-lane Benes rolls with MXU matmuls +
-                    # tile moves; f32 stays on Benes (the f32 HIGHEST-
-                    # precision matmul form does not compile on current
-                    # Mosaic for lane-major shapes)
-                    self.dcode = to_lanes_device(
-                        code,
-                        transport=(
-                            "clos"
-                            if decoder_params.message_dtype == "bfloat16"
-                            else "benes"
-                        ),
-                    )
+                # clos transport unlocks bf16 messages and replaces the
+                # dominant intra-lane Benes rolls with MXU matmuls +
+                # tile moves; f32 stays on Benes (the f32 HIGHEST-
+                # precision matmul form does not compile on current
+                # Mosaic for lane-major shapes)
+                self.dcode = to_lanes_device(
+                    code,
+                    transport=(
+                        "clos"
+                        if decoder_params.message_dtype == "bfloat16"
+                        else "benes"
+                    ),
+                    with_layers=decoder_params.layered,
+                )
         else:
+            if use_pallas and channel_params.type == "BEC":
+                # BEC peeling runs on the XLA sorted decoder (measured
+                # within 2x of the f32 BP roofline — see
+                # benchmarks/README.md BEC section); record the reroute so
+                # the results-file provenance line shows it
+                self._fallback_reason = "BEC -> xla peeling decoder"
             use_pallas = False
             from ..ops.sorted import to_sorted_device
 

@@ -196,20 +196,24 @@ class TestDriverRouting:
         assert int(res.frames[0]) == 100
         assert res.avg_iter[0] > 0
 
-    def test_layered_large_code_falls_back_to_xla(self, monkeypatch):
-        import warnings
+    def test_layered_large_code_routes_to_lanes(self, monkeypatch):
+        """Layered schedule + large unstructured code runs the lane-major
+        layered kernel (round-2 verdict item #1: previously this fell back
+        to the XLA sorted decoder) and matches the XLA layered driver's
+        counters exactly."""
+        import dataclasses
+        import functools
+        from unittest import mock
 
         import libldpc_tpu.sim.driver as drv
-        from libldpc_tpu.ops.sorted import SortedDeviceCode
+        from libldpc_tpu.ops.pallas import decode_lanes as dl
+        from libldpc_tpu.ops.pallas import layout as pallas_layout
+        from libldpc_tpu.ops.pallas.lanes_layout import LanesDeviceCode
         from libldpc_tpu.utils.params import (
             ChannelParams, DecoderParams, SimulationParams,
         )
 
         monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
-        import dataclasses
-
-        from libldpc_tpu.ops.pallas import layout as pallas_layout
-
         orig_tpd = pallas_layout.to_pallas_device
         monkeypatch.setattr(
             pallas_layout,
@@ -219,18 +223,36 @@ class TestDriverRouting:
             ),
         )
         code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
-        with warnings.catch_warnings(record=True) as w:
-            warnings.simplefilter("always")
+        code.layers = [
+            np.arange(0, code.mc, 2, dtype=np.int32),
+            np.arange(1, code.mc, 2, dtype=np.int32),
+        ]
+        dec = DecoderParams(iterations=6, layered=True)
+        ch = ChannelParams(type="AWGN", seed=3, x_range=(2.0, 2.1, 0.5))
+        sp = SimulationParams(
+            batch_size=32, max_frames=64, fec=10**9, streaming=False,
+        )
+
+        interp = functools.partial(dl.bp_decode_lanes, interpret=True,
+                                   frame_tile=8)
+        with mock.patch.object(dl, "bp_decode_lanes", interp):
             sim = drv.Simulator(
-                code,
-                DecoderParams(iterations=4, layered=True),
-                ChannelParams(type="AWGN", x_range=(2.0, 2.1, 0.5)),
-                SimulationParams(batch_size=32, max_frames=32, fec=10**9),
-                use_pallas=True,
-                verbose=False,
+                code, dec, ch, sp, use_pallas=True, verbose=False
             )
-        assert isinstance(sim.dcode, SortedDeviceCode)
-        assert any("layered" in str(x.message) for x in w)
+            assert isinstance(sim.dcode, LanesDeviceCode)
+            assert len(sim.dcode.layer_words) == 2
+            assert "schedule=layered" in sim.decode_path
+            assert "fallback" not in sim.decode_path
+            res = sim.start()
+
+        ref = drv.Simulator(
+            code, dec, ch, sp, use_pallas=False, verbose=False
+        )
+        res_ref = ref.start()
+        assert res.frames == res_ref.frames
+        assert res.fec == res_ref.fec
+        assert res.ber == res_ref.ber
+        assert res.avg_iter == res_ref.avg_iter
 
 
 class TestLanesDecoder:
@@ -277,6 +299,92 @@ class TestLanesDecoder:
         )
         np.testing.assert_array_equal(
             np.asarray(out_l.iterations), np.asarray(out_s.iterations)
+        )
+
+    @pytest.mark.parametrize("early_term", [True, False])
+    @pytest.mark.parametrize("transport", ["benes", "clos"])
+    def test_layered_matches_sorted_decoder(self, early_term, transport):
+        """Lane-major layered kernel vs the XLA layered sorted decoder:
+        identical decisions, iteration counts and convergence flags
+        (matching the edge-major layered kernel's contract,
+        gpu/device/kernel.cpp:54-74 capability)."""
+        from libldpc_tpu.ops.sorted import to_sorted_device
+
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+        code.layers = [
+            np.arange(0, code.mc, 2, dtype=np.int32),
+            np.arange(1, code.mc, 2, dtype=np.int32),
+        ]
+        ldc = to_lanes_device(code, transport=transport, with_layers=True)
+        assert len(ldc.layer_words) == 2
+        rng = np.random.default_rng(5)
+        B = 16
+        sigma2 = 10 ** (-1.0 / 10)
+        llr = np.zeros((code.nc, B), dtype=np.float32)
+        y = 1.0 + rng.normal(size=(code.nct, B)) * np.sqrt(sigma2)
+        llr[code.bit_pos] = 2.0 * y / sigma2
+        llr_s = jnp.asarray(llr[np.asarray(ldc.sorted_dc.vn_perm)])
+
+        out_l = bp_decode_lanes(
+            ldc, llr_s, iterations=8, early_term=early_term, layered=True,
+            frame_tile=8, interpret=True,
+        )
+        sdc = to_sorted_device(code, with_layers=True)
+        out_s = bp_decode_sorted(
+            sdc, llr_s, iterations=8, early_term=early_term, layered=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.hard), np.asarray(out_s.hard)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.iterations), np.asarray(out_s.iterations)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.is_codeword), np.asarray(out_s.is_codeword)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_l.llr_out), np.asarray(out_s.llr_out),
+            rtol=2e-5, atol=2e-5,
+        )
+
+    def test_layer_planes_cover_real_edges(self):
+        """Layer membership planes partition exactly the real CN-space
+        edge lanes (fake lanes in no layer)."""
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=False)
+        code.layers = [
+            np.arange(0, code.mc, 2, dtype=np.int32),
+            np.arange(1, code.mc, 2, dtype=np.int32),
+        ]
+        ldc = to_lanes_device(code, with_layers=True)
+        planes = np.asarray(ldc.planes)
+        mask = (planes[ldc.n_words] & 1).astype(bool)
+        union = np.zeros(ldc.n_pad, dtype=bool)
+        total = 0
+        for lw, lb in ldc.layer_words:
+            member = ((planes[lw] >> lb) & 1).astype(bool)
+            assert not (member & ~mask).any()  # no fake lanes in a layer
+            assert not (member & union).any()  # layers are disjoint
+            union |= member
+            total += member.sum()
+        assert total == code.nnz  # together they cover every real edge
+
+    def test_layered_without_layers_is_flooding(self, lanes_setup):
+        """layered=True on a layout without layer planes decodes flooding
+        (XLA decoder parity on layer-less codes)."""
+        code, ldc, llr_s = lanes_setup
+        out_l = bp_decode_lanes(
+            ldc, llr_s, iterations=6, early_term=True, layered=True,
+            frame_tile=8, interpret=True,
+        )
+        out_f = bp_decode_lanes(
+            ldc, llr_s, iterations=6, early_term=True, layered=False,
+            frame_tile=8, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.hard), np.asarray(out_f.hard)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.iterations), np.asarray(out_f.iterations)
         )
 
     def test_irregular_code(self):

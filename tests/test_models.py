@@ -359,3 +359,32 @@ class TestPEGConstruction:
             make_peg_code(96, dv=3, mc=48, rate=0.5)  # both
         with pytest.raises(ValueError):
             make_peg_code(96, dv=np.full(95, 3), mc=48)  # wrong length
+
+
+class TestCount4CyclesSparse:
+    def test_matches_dense_formula(self):
+        """Sparse 4-cycle count (edge-list pair enumeration) vs the dense
+        H @ H.T overlap formula on a random irregular code."""
+        import numpy as np
+
+        from libldpc_tpu.models import LDPCCode, count_4cycles
+
+        rng = np.random.default_rng(9)
+        nc, mc = 60, 30
+        rows_l, cols_l = [], []
+        for v in range(nc):
+            for r in rng.choice(mc, size=int(rng.integers(1, 5)),
+                                replace=False):
+                rows_l.append(r)
+                cols_l.append(v)
+        pairs = sorted(set(zip(rows_l, cols_l)))
+        rows = np.array([p[0] for p in pairs], dtype=np.int64)
+        cols = np.array([p[1] for p in pairs], dtype=np.int64)
+        code = LDPCCode(rows=rows, cols=cols, nc=nc, mc=mc)
+
+        H = np.zeros((mc, nc), np.int64)
+        H[rows, cols] = 1
+        overlap = H @ H.T
+        np.fill_diagonal(overlap, 0)
+        dense = int((overlap * (overlap - 1) // 2).sum() // 2)
+        assert count_4cycles(code) == dense

@@ -114,6 +114,55 @@ def test_lanes_matches_sorted_on_chip(early_term):
 
 
 @requires_tpu
+@pytest.mark.parametrize("early_term", [False, True])
+def test_lanes_layered_matches_sorted_on_chip(early_term):
+    """Compiled lane-major LAYERED kernel at n=8192 vs the XLA layered
+    sorted decoder — the round-3 capability closure: layered schedules at
+    blocklengths beyond the edge-major kernel's envelope now run fused
+    (reference capability: gpu/device/kernel.cpp:57-74 layer loop at any
+    n)."""
+    from libldpc_tpu.models import make_benchmark_code
+    from libldpc_tpu.ops.pallas.decode_lanes import bp_decode_lanes
+    from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+    from libldpc_tpu.ops.sorted import bp_decode_sorted, to_sorted_device
+
+    code = make_benchmark_code(8192, dv=3, dc=6, seed=5, with_G=False)
+    code.layers = [
+        np.arange(0, code.mc, 2, dtype=np.int32),
+        np.arange(1, code.mc, 2, dtype=np.int32),
+    ]
+    ldc = to_lanes_device(code, with_layers=True)
+    assert len(ldc.layer_words) == 2
+    B = 32
+    llr = _awgn_llrs(code, B, snr_db=-0.5, seed=13)
+    vn_perm = np.asarray(jax.device_get(ldc.sorted_dc.vn_perm))
+    llr_s = jnp.asarray(llr[vn_perm])
+
+    out_l = bp_decode_lanes(
+        ldc, llr_s, iterations=15, early_term=early_term, layered=True,
+    )
+    sdc = to_sorted_device(code, with_layers=True)
+    out_s = jax.jit(
+        lambda l: bp_decode_sorted(
+            sdc, l, iterations=15, early_term=early_term, layered=True,
+        )
+    )(llr_s)
+
+    hard_l = np.asarray(jax.device_get(out_l.hard))
+    hard_s = np.asarray(jax.device_get(out_s.hard))
+    mismatch = (hard_l != hard_s).mean()
+    assert mismatch < 1e-4, f"hard-decision mismatch rate {mismatch}"
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_l.is_codeword)),
+        np.asarray(jax.device_get(out_s.is_codeword)),
+    )
+    if early_term:
+        it_l = np.asarray(jax.device_get(out_l.iterations))
+        it_s = np.asarray(jax.device_get(out_s.iterations))
+        assert (it_l == it_s).mean() > 0.999, "iteration counts diverge"
+
+
+@requires_tpu
 @pytest.mark.parametrize("message_dtype", ["float32", "bfloat16"])
 def test_clos_matches_benes_on_chip(message_dtype):
     """Compiled Clos transport (block matmuls + tile moves) vs the Beneš
