@@ -73,6 +73,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default="", help="Sweep checkpoint file (enables --resume).")
     p.add_argument("--resume", action="store_true", help="Resume from checkpoint.")
     p.add_argument("--error-log", default="", help="Per-error-frame forensic log file.")
+    p.add_argument("--log-codewords", action="store_true",
+                   help="Also dump the decided and true codewords "
+                        "(hex-packed) per errored frame in the error log — "
+                        "the GPU stack's LOG_CW compile flag, at runtime.")
+    p.add_argument("--results-dir", default="",
+                   help="Provision a per-run results directory (created, "
+                        "must not already exist) and place the output/"
+                        "checkpoint/error-log files inside it — the "
+                        "capability of gpu/sim_cuda.sh's results-dir setup.")
     return p
 
 
@@ -82,6 +91,32 @@ def main(argv=None) -> int:
     if snr[0] > snr[1]:
         print("snr min > snr max", file=sys.stderr)
         return 1
+
+    if args.results_dir:
+        # gpu/sim_cuda.sh capability: provision a fresh per-run directory
+        # and keep every artifact of the run together (it refuses to reuse
+        # an existing simulation name, gpu/sim_cuda.sh:36-43)
+        import os
+
+        if os.path.exists(args.results_dir):
+            print(
+                f"results dir {args.results_dir!r} already exists — "
+                "refusing to overwrite a previous run",
+                file=sys.stderr,
+            )
+            return 1
+        os.makedirs(args.results_dir)
+        args.output_file = os.path.join(
+            args.results_dir, os.path.basename(args.output_file)
+        )
+        if args.checkpoint:
+            args.checkpoint = os.path.join(
+                args.results_dir, os.path.basename(args.checkpoint)
+            )
+        if args.error_log:
+            args.error_log = os.path.join(
+                args.results_dir, os.path.basename(args.error_log)
+            )
 
     # import late so --help works without jax initialisation
     import jax
@@ -147,6 +182,7 @@ def main(argv=None) -> int:
             result_file=args.output_file if primary else None,
             checkpoint_file=(args.checkpoint or None) if primary else None,
             error_log_file=(args.error_log or None) if primary else None,
+            error_log_codewords=args.log_codewords,
         ),
         mesh=mesh,
         use_pallas=args.pallas,

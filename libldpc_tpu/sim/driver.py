@@ -725,6 +725,21 @@ class Simulator:
                         f" failed_bits={trunc(wrong)}"
                         f" failed_checks={trunc(failed_checks)}"
                     )
+                    if self.sim.error_log_codewords:
+                        # LOG_CW capability: full decided word + true
+                        # codeword, hex-packed MSB-first in the code's
+                        # original bit labelling (gpu/make.sh -D LOG_CW)
+                        def hexpack(col):
+                            bits = (
+                                col[self._vn_inv]
+                                if self._vn_inv is not None else col
+                            ).astype(np.uint8)
+                            return np.packbits(bits).tobytes().hex()
+
+                        line += (
+                            f" decided_cw={hexpack(hard[:, b])}"
+                            f" true_cw={hexpack(cw[:, b])}"
+                        )
                 f.write(line + "\n")
 
     # ------------------------------------------------------------ wide sweep

@@ -146,6 +146,11 @@ class SimulationParams:
     #: Optional path for per-error-frame forensic logging (GPU stack's
     #: ``log_error``, ``gpu/sim/ldpcsim.cpp:351-464``).
     error_log_file: Optional[str] = None
+    #: Also dump the full decided word and true codeword (hex-packed bit
+    #: strings) per errored frame — the runtime equivalent of the GPU
+    #: stack's ``LOG_CW`` compile-time flag (``gpu/make.sh`` ``-D`` define,
+    #: ``src/sim/ldpcsim.cpp:235-237``).  Requires ``error_log_file``.
+    error_log_codewords: bool = False
     #: Optional path for sweep checkpoint/resume state.
     checkpoint_file: Optional[str] = None
     #: Device batches kept in flight before the host reads counters.  >1

@@ -186,6 +186,65 @@ class TestForensicLog:
                            .group(1).split(",")) if sw else 0
             assert min(sw, 64) == (n_checks if sw else 0) or sw > 64
 
+    def test_error_log_codeword_dump(self, code, tmp_path):
+        """LOG_CW capability: with error_log_codewords, each errored frame
+        carries the decided and true words as hex-packed bit strings whose
+        Hamming distance matches the logged dH."""
+        import re
+
+        log = tmp_path / "err_cw.log"
+        sim = Simulator(
+            code,
+            DecoderParams(iterations=8),
+            ChannelParams(seed=1, x_range=(-3.0, -2.0, 1.0)),
+            SimulationParams(
+                batch_size=32, fec=3, max_frames=256,
+                error_log_file=str(log), error_log_codewords=True,
+            ),
+            verbose=False,
+        )
+        sim.start()
+        lines = log.read_text().strip().splitlines()
+        assert lines
+        nbytes = -(-code.nc // 8)
+        for line in lines:
+            dec_hex = re.search(r"decided_cw=([0-9a-f]+)", line).group(1)
+            true_hex = re.search(r"true_cw=([0-9a-f]+)", line).group(1)
+            assert len(dec_hex) == len(true_hex) == 2 * nbytes
+            dec = np.unpackbits(
+                np.frombuffer(bytes.fromhex(dec_hex), np.uint8)
+            )[: code.nc]
+            true = np.unpackbits(
+                np.frombuffer(bytes.fromhex(true_hex), np.uint8)
+            )[: code.nc]
+            dH = int(re.search(r"dH=(\d+)", line).group(1))
+            assert int((dec != true).sum()) == dH
+
+
+class TestResultsDirProvisioning:
+    def test_cli_results_dir(self, code, tmp_path):
+        """--results-dir provisions a fresh directory holding every run
+        artifact and refuses to reuse an existing one (gpu/sim_cuda.sh
+        capability)."""
+        from libldpc_tpu import cli
+        from libldpc_tpu.models.io import write_codefile
+
+        h = tmp_path / "h.txt"
+        write_codefile(str(h), code.rows, code.cols, code.nc, code.mc)
+        rdir = tmp_path / "sim_run1"
+        args = [
+            str(h), "res.txt", "1.0", "2.1", "1.0",
+            "--results-dir", str(rdir),
+            "--checkpoint", "ckpt.json", "--error-log", "err.log",
+            "--batch-size", "32", "--frame-error-count", "2",
+            "--max-frames", "64", "-i", "5", "--devices", "1",
+        ]
+        assert cli.main(list(args)) == 0
+        assert (rdir / "res.txt").exists()
+        assert (rdir / "ckpt.json").exists()
+        # refuses to reuse the directory
+        assert cli.main(list(args)) == 1
+
 
 class TestCheckpointResume:
     def test_exact_offset_split(self):
