@@ -69,16 +69,27 @@ def main():
 
     rows = []
     ref_hard = None
-    for md in ("float32", "bfloat16"):
+    minsum_family = decoder in ("BP_MS", "BP_NMS", "BP_OMS")
+    dtypes = ("float32", "bfloat16") + (
+        ("int8",) if minsum_family else ()
+    )
+    for md in dtypes:
         for perm in ("benes", "mxu", "clos"):
             if perm == "mxu" and pdc.mxu_blocks_fwd is None:
                 continue
+            if md == "int8" and perm != "mxu":
+                continue  # int8 rides the s8 MXU transport only
+
+            mode = (
+                (decoder, 0.75, 0.15)
+                if decoder in ("BP_NMS", "BP_OMS") else decoder
+            )
 
             def f():
                 return bp_decode_pallas(
                     pdc, llr_s, iterations=50, early_term=False,
                     batch_tile=256, message_dtype=md, permute=perm,
-                    minsum_mode=decoder,
+                    minsum_mode=mode,
                 )
 
             t0 = time.perf_counter()

@@ -68,7 +68,8 @@ from .layout import PallasDeviceCode
 
 def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
                  minsum_mode, bt, dtype=jnp.float32, nl=0, mxu=False,
-                 clos=False, chunk=False, cap=0, stream=False):
+                 clos=False, chunk=False, cap=0, stream=False,
+                 qscale=0.1875):
     N = pdc.n_pad
     cn_blocks = pdc.cn_blocks
     vn_blocks = pdc.vn_blocks
@@ -88,6 +89,36 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
     # always runs in float32 (upcast per class slice) so quantisation is
     # confined to the stored representation (~0.4% relative per message)
     compute = jnp.float32
+    quantized = dtype == jnp.int8
+    if quantized:
+        # int8 quantized min-sum: messages (and posteriors) live as
+        # q = round(L / qscale) saturated to +-127 — the TPU-native
+        # analogue of hardware LDPC decoders' 4-8 bit messages (the
+        # reference trades CN accuracy for speed the same way via its
+        # CN_APPROX_* forms, gpu/ldpc/ldpc.cpp:232-241).  Min-sum is
+        # scale-invariant, so after the input quantisation the integer
+        # algebra is EXACT up to saturation: CN min/sign preserve the
+        # lattice, VN sums/extrinsic subtractions are integer adds (done
+        # in f32 — all values are small integers, exactly representable),
+        # and only the NMS/OMS correction re-rounds.  int8 halves bf16's
+        # VMEM residency and runs the one-hot transport as native s8
+        # MXU matmuls.
+        inv_q = 1.0 / qscale
+
+        def to_store(x):
+            return jnp.clip(
+                jnp.round(x.astype(compute) * inv_q), -127.0, 127.0
+            ).astype(jnp.int8)
+
+        def to_compute(x):
+            return x.astype(compute) * qscale
+    else:
+
+        def to_store(x):
+            return x.astype(dtype)
+
+        def to_compute(x):
+            return x.astype(compute)
 
     def benes(swap_ref, v, reverse, dists=act_dists):
         # Statically unrolled over the active stages.  (A fori_loop form with
@@ -144,10 +175,12 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         One-hot selection is exact for bf16 operands (values pass through
         a single multiply by 1.0 and an f32 accumulate); for f32 messages
         HIGHEST precision keeps the f32 values exact through the MXU's
-        bf16-decomposed passes.
+        bf16-decomposed passes.  int8 messages run native s8 x s8 -> s32
+        MXU passes — also exact (values bounded at +-127).
         """
+        int8 = dtype == jnp.int8
         precision = (
-            None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+            jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
         )
         parts = []
         for d in range(N // 128):
@@ -157,7 +190,9 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
                     blocks_ref[p].astype(dtype),
                     v[s * 128 : (s + 1) * 128, :],
                     dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=(
+                        jnp.int32 if int8 else jnp.float32
+                    ),
                     precision=precision,
                 )
                 acc = c if acc is None else acc + c
@@ -211,8 +246,9 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         parts = []
         for base, count, d in cn_blocks:
             M = [
-                lv2c[base + j * count : base + (j + 1) * count, :]
-                .astype(compute)
+                to_compute(
+                    lv2c[base + j * count : base + (j + 1) * count, :]
+                )
                 for j in range(d)
             ]
             if d == 1:
@@ -263,9 +299,9 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
             parts.extend(out)
         if N > nnz:
             parts.append(jnp.zeros((N - nnz, lv2c.shape[1]), compute))
-        return cn_ops.cn_postprocess(
+        return to_store(cn_ops.cn_postprocess(
             jnp.concatenate(parts, axis=0), minsum_mode
-        ).astype(dtype)
+        ))
 
     def vn_stage(llr_ref, lc2v_v):
         """Posterior LLRs per node and per VN-space edge slot.
@@ -285,17 +321,18 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         for (base_e, count, d), nb in zip(vn_blocks, vn_node_base):
             lin = llr_ref[nb : nb + count, :].astype(compute)
             if d == 0:
-                llr_parts.append(lin.astype(dtype))
+                llr_parts.append(to_store(lin))
                 continue
             msgs = [
-                lc2v_v[base_e + j * count : base_e + (j + 1) * count, :]
-                .astype(compute)
+                to_compute(
+                    lc2v_v[base_e + j * count : base_e + (j + 1) * count, :]
+                )
                 for j in range(d)
             ]
             tot = msgs[0]
             for j in range(1, d):
                 tot = tot + msgs[j]
-            llr_b = (lin + tot).astype(dtype)
+            llr_b = to_store(lin + tot)
             llr_parts.append(llr_b)
             for j in range(d):
                 post_parts.append(llr_b)
@@ -307,15 +344,17 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         )
 
     def extrinsic(q, lc2v):
-        """``Lv2c = q - Lc2v`` in f32, stored in the message dtype."""
-        return (q.astype(compute) - lc2v.astype(compute)).astype(dtype)
+        """``Lv2c = q - Lc2v`` in f32, stored in the message dtype (an
+        exact integer subtract for int8 — both operands are multiples of
+        the quantisation step)."""
+        return to_store(to_compute(q) - to_compute(lc2v))
 
     def init_lv2c(llr_ref, pref):
         parts = []
         for (base_e, count, d), nb in zip(vn_blocks, vn_node_base):
             if d == 0:
                 continue
-            lin = llr_ref[nb : nb + count, :].astype(dtype)
+            lin = to_store(llr_ref[nb : nb + count, :])
             for _ in range(d):
                 parts.append(lin)
         if N > nnz:
@@ -611,7 +650,8 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "early_term", "minsum_mode", "batch_tile",
-                     "interpret", "message_dtype", "layered", "permute"),
+                     "interpret", "message_dtype", "layered", "permute",
+                     "quant_scale"),
 )
 def bp_decode_pallas(
     pdc: PallasDeviceCode,
@@ -624,6 +664,7 @@ def bp_decode_pallas(
     message_dtype: str = "float32",
     layered: bool = False,
     permute: str = "benes",
+    quant_scale: float = 0.1875,
 ) -> SortedDecodeOutput:
     """See module docstring.
 
@@ -632,6 +673,15 @@ def bp_decode_pallas(
     relative message quantisation (arithmetic stays float32).  BER impact
     must be validated statistically (see ``benchmarks/parity.py``); the
     default is exact float32.
+
+    ``message_dtype="int8"`` stores/transports messages AND posteriors as
+    ``round(L / quant_scale)`` saturated to +-127 — quantized min-sum, the
+    TPU analogue of hardware decoders' sub-byte messages.  Requires a
+    min-sum-family CN form (``BP_MS``/``BP_NMS``/``BP_OMS`` — min-sum is
+    scale-invariant, so the integer algebra is exact after input
+    quantisation) and the MXU transport (int8 rides native s8 matmul
+    passes; Mosaic's roll cannot exchange int8 lanes).  Default
+    ``quant_scale = 0.1875`` spans LLRs +-23.8 at resolution ~0.19.
 
     ``permute="mxu"`` runs the edge permutations as one-hot 128x128 block
     matmuls on the MXU instead of the Beneš network — available when the
@@ -651,6 +701,20 @@ def bp_decode_pallas(
             "permute='clos' requires the Clos factorisation — build the "
             "layout with to_pallas_device(code, with_clos=True)"
         )
+    if message_dtype == "int8":
+        kind = (
+            minsum_mode[0] if isinstance(minsum_mode, tuple) else minsum_mode
+        )
+        if kind not in ("BP_MS", "BP_NMS", "BP_OMS", True):
+            raise ValueError(
+                "int8 messages require a min-sum-family CN form "
+                "(BP_MS/BP_NMS/BP_OMS) — box-plus/tanh/phi forms are not "
+                "scale-invariant"
+            )
+        if permute != "mxu":
+            raise ValueError(
+                "int8 messages require the MXU transport (permute='mxu')"
+            )
     if iterations == 0:
         zeros = jnp.zeros_like(llr_in)
         return SortedDecodeOutput(
@@ -674,7 +738,7 @@ def bp_decode_pallas(
     nl = int(pdc.layer_planes.shape[1]) if use_layered else 0
     kernel = _make_kernel(
         pdc, nc, iterations, early_term, minsum_mode, bt, dtype=dtype, nl=nl,
-        mxu=mxu, clos=clos,
+        mxu=mxu, clos=clos, qscale=quant_scale,
     )
     in_specs = []
     inputs = []
@@ -743,6 +807,8 @@ def bp_decode_pallas(
     )(*inputs)
 
     llr_out = llr_out.astype(jnp.float32)
+    if dtype == jnp.int8:
+        llr_out = llr_out * quant_scale  # dequantize posterior q-values
     return SortedDecodeOutput(
         llr_out=llr_out,
         hard=llr_out <= 0,

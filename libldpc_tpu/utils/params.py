@@ -63,11 +63,18 @@ class DecoderParams:
     ms_scale: float = 0.75
     ms_offset: float = 0.15
     #: Message storage/transport dtype for the fused Pallas kernel
-    #: (``"float32"`` or ``"bfloat16"``).  bf16 halves VMEM residency and
-    #: the Beneš transport cost at ~0.4% relative message quantisation
-    #: (arithmetic stays float32); BER impact validated statistically in
-    #: ``benchmarks/parity.py``.  Ignored by the XLA paths.
+    #: (``"float32"``, ``"bfloat16"`` or ``"int8"``).  bf16 halves VMEM
+    #: residency and the Beneš transport cost at ~0.4% relative message
+    #: quantisation (arithmetic stays float32); BER impact validated
+    #: statistically in ``benchmarks/parity.py``.  int8 is quantized
+    #: min-sum (messages = ``round(L / quant_scale)`` saturated to +-127)
+    #: — requires a min-sum-family ``type`` and an MXU-block-local code;
+    #: see :func:`libldpc_tpu.ops.pallas.decode_fused.bp_decode_pallas`.
+    #: Ignored by the XLA paths.
     message_dtype: str = "float32"
+    #: Quantisation step for ``message_dtype="int8"`` (default 0.1875:
+    #: LLR span +-23.8 at ~0.19 resolution).
+    quant_scale: float = 0.1875
     #: Edge-permutation transport for the fused Pallas kernel: ``"auto"``
     #: picks one-hot 128x128 block matmuls on the MXU when the code's
     #: permutation is block-local (structured/QC codes — 1.9x faster than

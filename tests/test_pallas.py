@@ -213,3 +213,115 @@ class TestMxuPermute:
             np.asarray(out_b.llr_out), np.asarray(out_m.llr_out),
             rtol=1e-5, atol=1e-5,
         )
+
+
+class TestInt8Quantized:
+    """int8 quantized min-sum: the kernel must match an exact integer
+    golden — min-sum is scale-invariant, so after input quantisation the
+    only approximations are the +-127 saturation and the NMS re-rounding,
+    both mirrored here bit-for-bit."""
+
+    @staticmethod
+    def _golden(code, llr, iters, scale, nms_scale=None, early_term=True):
+        rows = code.rows.astype(np.int64)
+        cols = code.cols.astype(np.int64)
+        B = llr.shape[1]
+        clip = lambda q: np.clip(q, -127.0, 127.0)
+        lv2c = clip(np.round(llr / scale))[cols]  # integer messages [nnz, B]
+        done = np.zeros(B, bool)
+        iters_c = np.zeros(B, np.int32)
+        hard = np.zeros((code.nc, B), np.uint8)
+        is_cw = np.zeros(B, bool)
+        check_edges = [np.nonzero(rows == r)[0] for r in range(code.mc)]
+        var_edges = [np.nonzero(cols == v)[0] for v in range(code.nc)]
+        for _ in range(iters):
+            lc2v = np.zeros_like(lv2c)
+            for e_idx in check_edges:
+                M = lv2c[e_idx]  # [deg, B]
+                for j in range(len(e_idx)):
+                    others = np.delete(M, j, axis=0)
+                    sgn = np.prod(np.where(others < 0, -1.0, 1.0), axis=0)
+                    lc2v[e_idx[j]] = sgn * np.abs(others).min(axis=0)
+            if nms_scale is not None:
+                lc2v = clip(np.round(nms_scale * lc2v))
+            post = np.zeros((code.nc, B))
+            for v, e_idx in enumerate(var_edges):
+                post[v] = clip(np.round(
+                    (llr[v] + scale * lc2v[e_idx].sum(axis=0)) / scale
+                ))
+            hard_now = (post <= 0).astype(np.uint8)
+            lv2c_new = clip(post[cols] - lc2v)
+            synd_ok = np.ones(B, bool)
+            for e_idx in check_edges:
+                synd_ok &= hard_now[cols[e_idx]].sum(axis=0) % 2 == 0
+            if early_term:
+                newly = ~done & synd_ok
+                iters_c += (~done & ~newly).astype(np.int32)
+                keep = done[None, :]
+                hard = np.where(keep, hard, hard_now)
+                lv2c = np.where(keep, lv2c, lv2c_new)
+                is_cw = np.where(done, is_cw, synd_ok)
+                done = done | newly
+                if done.all():
+                    break
+            else:
+                hard, lv2c, is_cw = hard_now, lv2c_new, synd_ok
+        if not early_term:
+            iters_c[:] = iters
+        return hard, iters_c, is_cw
+
+    @pytest.mark.parametrize("early_term", [True, False])
+    @pytest.mark.parametrize("mode,nms", [("BP_MS", None),
+                                          (("BP_NMS", 0.75, 0.15), 0.75)])
+    def test_matches_integer_golden(self, pallas_setup, early_term, mode,
+                                    nms):
+        code, pdc, llr_s = pallas_setup
+        scale = 0.1875
+        out = bp_decode_pallas(
+            pdc, llr_s, iterations=8, early_term=early_term,
+            minsum_mode=mode, batch_tile=128, interpret=True,
+            message_dtype="int8", permute="mxu", quant_scale=scale,
+        )
+        llr_orig = np.zeros(llr_s.shape, np.float32)
+        vn_perm = np.asarray(pdc.sorted_dc.vn_perm)
+        llr_orig[vn_perm] = np.asarray(llr_s)
+        hard_g, iters_g, iscw_g = self._golden(
+            code, llr_orig, 8, scale, nms_scale=nms, early_term=early_term,
+        )
+        hard_k = np.zeros_like(hard_g)
+        hard_k[vn_perm] = np.asarray(out.hard).astype(np.uint8)
+        np.testing.assert_array_equal(hard_k, hard_g)
+        np.testing.assert_array_equal(np.asarray(out.iterations), iters_g)
+        np.testing.assert_array_equal(np.asarray(out.is_codeword), iscw_g)
+
+    def test_int8_requires_minsum_and_mxu(self, pallas_setup):
+        code, pdc, llr_s = pallas_setup
+        with pytest.raises(ValueError, match="min-sum"):
+            bp_decode_pallas(
+                pdc, llr_s, iterations=4, minsum_mode="BP",
+                message_dtype="int8", permute="mxu", interpret=True,
+            )
+        with pytest.raises(ValueError, match="MXU"):
+            bp_decode_pallas(
+                pdc, llr_s, iterations=4, minsum_mode="BP_MS",
+                message_dtype="int8", permute="benes", interpret=True,
+            )
+
+    def test_int8_decodes_clean_frames(self, pallas_setup):
+        """At a clean operating point the quantized decoder converges to
+        codewords like the f32 decoder (end-to-end sanity beyond the
+        bit-exact golden)."""
+        code, pdc, _ = pallas_setup
+        rng = np.random.default_rng(5)
+        B = 128
+        sigma2 = 10 ** (-3.0 / 10)
+        llr = np.zeros((code.nc, B), dtype=np.float32)
+        y = 1.0 + rng.normal(size=(code.nct, B)) * np.sqrt(sigma2)
+        llr[code.bit_pos] = (2.0 * y / sigma2).astype(np.float32)
+        llr_s = jnp.asarray(llr[np.asarray(pdc.sorted_dc.vn_perm)])
+        out = bp_decode_pallas(
+            pdc, llr_s, iterations=20, minsum_mode=("BP_NMS", 0.75, 0.15),
+            batch_tile=128, interpret=True, message_dtype="int8",
+            permute="mxu",
+        )
+        assert np.asarray(out.is_codeword).mean() > 0.9
