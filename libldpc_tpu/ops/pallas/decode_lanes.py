@@ -50,7 +50,8 @@ from .lanes_layout import LanesDeviceCode
 
 
 def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
-                 ft, dtype, stream=False, cap=0, layered=False):
+                 ft, dtype, stream=False, cap=0, layered=False,
+                 bec_mode=False):
     N = ldc.n_pad
     nc_pad = ldc.nc_pad
     tanh = cn_ops.is_tanh_mode(minsum_mode)
@@ -126,6 +127,14 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
     def force_pad(w_ref, v):
         """Pin fake/free CN-space slots to PAD_LLR (see lanes_layout)."""
         real = ((w_ref[mask_word : mask_word + 1, :]) & 1) > 0
+        if v.dtype == jnp.bfloat16:
+            # arithmetic blend instead of select: Mosaic cannot relayout a
+            # [1, N] i1 mask onto 16-sublane-packed bf16 tiles in every
+            # kernel context ("Invalid relayout ... (8,128) -> (16,128)",
+            # hit by the layered kernel).  m is exactly 0/1 so
+            # v*m + PAD*(1-m) is exact in bf16 (values are finite).
+            m = real.astype(v.dtype)
+            return v * m + jnp.asarray(PAD_LLR, v.dtype) * (1 - m)
         return jnp.where(real, v, jnp.asarray(PAD_LLR, v.dtype))
 
     def cn_exclusion(v):
@@ -260,6 +269,23 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
             odd = jnp.bitwise_and(bits, 1)
             viol = viol + jnp.sum(odd, axis=1, keepdims=True)
         return jnp.where(viol == 0, 1, 0)  # int32 [ft, 1]
+
+    def resolved(llr_out):
+        """BEC convergence: every REAL node lane's posterior is nonzero
+        (erasure == exact 0 in the sign encoding — see
+        :func:`bec_decode_lanes`; exactness is preserved because the
+        min-sum algebra only mins/adds same-sign values).  The reference's
+        criterion: no erasures left in the output,
+        ``src/decoding/decoder.cpp:169-186``."""
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, nc_pad), 1)
+        real = jnp.zeros((1, nc_pad), jnp.bool_)
+        for (count, _d), nb in zip(ldc.sorted_dc.vn_classes,
+                                   ldc.vn_node_base):
+            real = real | ((iota >= nb) & (iota < nb + count))
+        unres = jnp.sum(
+            jnp.where(real & (llr_out == 0.0), 1, 0), axis=1, keepdims=True
+        )
+        return jnp.where(unres == 0, 1, 0)  # int32 [ft, 1]
 
     def kernel_stream(*refs):
         """Self-refilling streaming chunk, frames on sublanes — the
@@ -431,7 +457,13 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                     lc2v_state = lc2v_ref[:]
                     lc2v_new = cn_exclusion(lv2c)
                     lp = ((w_ref[lw : lw + 1, :] >> lb) & 1) > 0
-                    lc2v_l = jnp.where(lp, lc2v_new, lc2v_state)
+                    if dtype == jnp.bfloat16:
+                        # same [1, N]-mask-on-bf16 relayout limit as
+                        # force_pad: exact arithmetic blend (0/1 mask)
+                        lpm = lp.astype(dtype)
+                        lc2v_l = lc2v_new * lpm + lc2v_state * (1 - lpm)
+                    else:
+                        lc2v_l = jnp.where(lp, lc2v_new, lc2v_state)
                     lc2v_v = transport(p1_ref, p3_ref, w_ref, lc2v_l,
                                        reverse=False)
                     llr_out, post_v = vn_stage(llr, lc2v_v)
@@ -517,7 +549,9 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                 llr_out = llr_out.astype(jnp.float32)
 
                 if early_term:
-                    is_cw = syndrome(q)  # [ft, 1]
+                    # BEC convergence is "no erasures left", not a
+                    # syndrome check (src/decoding/decoder.cpp:169-186)
+                    is_cw = resolved(llr_out) if bec_mode else syndrome(q)
                     done_i = done_ref[:, 0:1]
                     newly = (1 - done_i) * is_cw
                     iters_ref[:, 0:1] = (
@@ -538,7 +572,9 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
 
                     @pl.when(it == iterations - 1)
                     def _():
-                        iscw_ref[:, 0:1] = syndrome(q)
+                        iscw_ref[:, 0:1] = (
+                            resolved(llr_out) if bec_mode else syndrome(q)
+                        )
 
             if early_term:
                 active = jnp.sum(done_ref[:, 0:1]) < ft
@@ -622,6 +658,27 @@ def bp_decode_lanes(
     use_layered = layered and len(ldc.layer_words) > 1
     kernel = _make_kernel(ldc, iterations, early_term, minsum_mode, ft,
                           dtype, layered=use_layered)
+    llr_out, iters, iscw = _batch_call(
+        ldc, kernel, llr_pad, B, ft, dtype, interpret,
+        extra_state=use_layered,
+    )
+
+    llr_out = jnp.take(llr_out.T, ldc.lane_of_vn, axis=0)  # [nc, B]
+    return SortedDecodeOutput(
+        llr_out=llr_out,
+        hard=llr_out <= 0,
+        iterations=iters[:, 0],
+        is_codeword=iscw[:, 0] > 0,
+    )
+
+
+def _batch_call(ldc, kernel, llr_pad, B, ft, dtype, interpret,
+                extra_state=False):
+    """Shared ``pallas_call`` plumbing for the batch decode wrappers
+    (BP and BEC): standard specs over the frame-tile grid, the permutation
+    operands of the layout's transport, and the kernel's scratch set
+    (+ one more ``[ft, n_pad]`` state buffer when ``extra_state``, for the
+    layered schedule's persisted Lc2v)."""
     W = ldc.planes.shape[0]
     clos = ldc.transport == "clos"
     nb = ldc.n_pad // 128
@@ -642,7 +699,7 @@ def bp_decode_lanes(
                      memory_space=pltpu.VMEM),
     ]
     operands += [ldc.planes, llr_pad]
-    llr_out, iters, iscw = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(B // ft,),
         in_specs=in_specs,
@@ -666,7 +723,7 @@ def bp_decode_lanes(
             pltpu.VMEM((ft, 128), jnp.int32),
         ] + (
             # persisted Lc2v state for the layered schedule
-            [pltpu.VMEM((ft, ldc.n_pad), dtype)] if use_layered else []
+            [pltpu.VMEM((ft, ldc.n_pad), dtype)] if extra_state else []
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -674,12 +731,109 @@ def bp_decode_lanes(
         interpret=interpret,
     )(*operands)
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "early_term", "frame_tile",
+                     "message_dtype", "interpret"),
+)
+def bec_decode_lanes(
+    ldc: LanesDeviceCode,
+    symbols_in: jnp.ndarray,  # int8 [nc, B] channel symbols, sorted labels
+    codeword: jnp.ndarray,  # uint8 [nc, B] true codeword, sorted labels
+    iterations: int = 50,
+    early_term: bool = True,
+    frame_tile: int = 0,
+    message_dtype: str = "float32",
+    interpret: bool = False,
+):
+    """Fused BEC peeling decode on the lane-major kernel.
+
+    TPU-native reduction (no counterpart in the reference, which has a
+    dedicated u8 decoder — ``src/decoding/decoder.cpp:91-192``): over the
+    encoding ``bit 0 -> +1, bit 1 -> -1, ERASURE -> 0``, the BEC peeling
+    algebra IS min-sum BP —
+
+    * CN op ``xor-with-absorbing-erasure`` == ``sign(l)·sign(r)·
+      min(|l|,|r|)`` (0 absorbs through the min; XOR is the sign
+      product);
+    * VN op ``reveal-if-any-neighbour-knows`` == the posterior/extrinsic
+      sums (over a BEC every revealed message equals the true bit, so all
+      nonzero terms share a sign and never cancel — a sum is 0 exactly
+      when every input is an erasure).
+
+    The only semantic difference from BP is the convergence predicate
+    ("no erasures left", not a syndrome check), switched in-kernel by
+    ``bec_mode``.  Decisions/iterations match
+    :func:`libldpc_tpu.ops.bec_sorted.bec_decode_sorted` exactly
+    (magnitudes may differ — only sign/zero carries meaning; zero is
+    preserved exactly by min/add of same-sign values in f32 AND bf16).
+    The reference's degree-1 stale-byte bug-compat mode is not
+    representable here — the driver keeps that mode on the XLA path.
+
+    Returns a :class:`~libldpc_tpu.ops.bec.BECDecodeOutput`; unresolved
+    bits decide the WRONG bit so the frame counts as errored
+    (``src/decoding/decoder.cpp:163-165``).
+    """
+    from ..bec import BECDecodeOutput
+    from ..channel import BEC_ERASURE
+
+    dtype = jnp.dtype(message_dtype)
+    if dtype == jnp.bfloat16 and ldc.transport != "clos":
+        raise ValueError(
+            "bfloat16 lane-major messages require the clos transport"
+        )
+    nc, B = symbols_in.shape
+    if frame_tile == 0:
+        frame_tile = 32 if dtype == jnp.bfloat16 else 8
+    ft = min(frame_tile, B)
+    if B % ft:
+        raise ValueError(f"batch {B} not divisible by frame tile {ft}")
+    cw_bits = codeword.astype(jnp.int8)
+    if iterations == 0:
+        sym = symbols_in
+        unresolved = sym == BEC_ERASURE
+        hard = jnp.where(unresolved, 1 - cw_bits, sym).astype(jnp.uint8)
+        return BECDecodeOutput(
+            symbols_out=sym,
+            hard=hard,
+            iterations=jnp.zeros((B,), jnp.int32),
+            resolved=~unresolved.any(axis=0),
+        )
+
+    # sign encoding, then sorted labels -> padded lanes (fake lanes 0 =
+    # erasure; they are excluded from the resolved() predicate)
+    llr = jnp.where(
+        symbols_in == BEC_ERASURE,
+        jnp.float32(0.0),
+        1.0 - 2.0 * symbols_in.astype(jnp.float32),
+    )
+    llr_pad = jnp.take(
+        llr, ldc.vn_of_lane, axis=0, mode="fill", fill_value=0.0
+    )
+    real_lane = jnp.zeros((ldc.nc_pad, 1), jnp.float32)
+    real_lane = real_lane.at[ldc.lane_of_vn].set(1.0)
+    llr_pad = (llr_pad * real_lane).T  # [B, nc_pad]
+
+    kernel = _make_kernel(ldc, iterations, early_term, "BP_MS", ft, dtype,
+                          bec_mode=True)
+    llr_out, iters, iscw = _batch_call(
+        ldc, kernel, llr_pad, B, ft, dtype, interpret,
+    )
+
     llr_out = jnp.take(llr_out.T, ldc.lane_of_vn, axis=0)  # [nc, B]
-    return SortedDecodeOutput(
-        llr_out=llr_out,
-        hard=llr_out <= 0,
+    unresolved = llr_out == 0.0
+    sym_out = jnp.where(
+        unresolved,
+        jnp.int8(BEC_ERASURE),
+        (llr_out < 0).astype(jnp.int8),
+    )
+    hard = jnp.where(unresolved, 1 - cw_bits, (llr_out < 0).astype(jnp.int8))
+    return BECDecodeOutput(
+        symbols_out=sym_out,
+        hard=hard.astype(jnp.uint8),
         iterations=iters[:, 0],
-        is_codeword=iscw[:, 0] > 0,
+        resolved=iscw[:, 0] > 0,
     )
 
 

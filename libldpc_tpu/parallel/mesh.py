@@ -89,7 +89,29 @@ def _sim_and_count(
     ch = simulate_channel(dcode, channel_type, key, batch, x_value,
                           modulation=modulation)
     if channel_type == "BEC":
-        if isinstance(dcode, SortedDeviceCode):
+        from ..ops.pallas.lanes_layout import LanesDeviceCode
+
+        if isinstance(dcode, LanesDeviceCode):
+            # fused BEC: min-sum over the sign encoding on the lane-major
+            # kernel (ops/pallas/decode_lanes.bec_decode_lanes); the
+            # stale-byte compat mode never routes here (driver keeps it
+            # on the XLA path)
+            from ..ops.pallas.decode_lanes import bec_decode_lanes
+
+            out = bec_decode_lanes(
+                dcode,
+                ch.llr,
+                ch.codeword,
+                iterations=dec.iterations,
+                early_term=dec.early_term,
+                # bf16 is EXACT for the BEC sign/zero algebra (validated
+                # bit-identical vs the XLA peeling decoder) and measured
+                # ~3x faster than f32/Benes — always use it on clos
+                message_dtype=(
+                    "bfloat16" if dcode.transport == "clos" else "float32"
+                ),
+            )
+        elif isinstance(dcode, SortedDeviceCode):
             from ..ops.bec_sorted import bec_decode_sorted
 
             out = bec_decode_sorted(
@@ -158,6 +180,7 @@ def _sim_and_count(
                     layered=dec.layered,
                     message_dtype=dec.message_dtype,
                     permute=perm,
+                    quant_scale=dec.quant_scale,
                 )
         elif isinstance(dcode, SortedDeviceCode):
             out = bp_decode_sorted(

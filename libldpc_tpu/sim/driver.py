@@ -135,9 +135,29 @@ class Simulator:
         self.sim = simulation_params
         self.mesh = mesh
         self.verbose = verbose
+        #: BEC runs fused on the lane-major kernel (min-sum over the sign
+        #: encoding — see ops/pallas/decode_lanes.bec_decode_lanes;
+        #: measured motivation: the XLA peeling path reached only ~5.5% of
+        #: VPU peak, benchmarks/res_tp_bec.txt) — except in the layered or
+        #: stale-byte bug-compat modes, which stay on the XLA decoder.
+        bec_fused = (
+            use_pallas
+            and channel_params.type == "BEC"
+            and not decoder_params.layered
+            and not decoder_params.bec_ref_bug_compat
+        )
         # the degree-class-sorted layout is the fast path for BP, BEC and
         # layered decoding (fused Pallas kernel over it when use_pallas)
-        if decoder_params.layered and not (
+        if bec_fused:
+            from ..ops.pallas.lanes_layout import to_lanes_device
+
+            # always Clos + bf16 for fused BEC: the sign/zero algebra is
+            # EXACT in bf16 (no accuracy trade, unlike BP), and measured
+            # 2.8-3.3x the XLA peeling path where the f32/Benes variant is
+            # SLOWER than XLA (benchmarks/res_tp_bec.txt: the peeling
+            # algebra is too cheap to amortise VPU roll stages)
+            self.dcode = to_lanes_device(code, transport="clos")
+        elif decoder_params.layered and not (
             use_pallas and channel_params.type != "BEC"
         ):
             from ..ops.sorted import to_sorted_device
@@ -168,6 +188,13 @@ class Simulator:
                 # requested (kernel_layered in decode_lanes).
                 from ..ops.pallas.lanes_layout import to_lanes_device
 
+                if decoder_params.message_dtype == "int8":
+                    raise ValueError(
+                        "int8 quantized messages need the MXU-block-local "
+                        "edge-major kernel; this code is large and "
+                        "unstructured (lane-major route) — use float32/"
+                        "bfloat16 messages here"
+                    )
                 # clos transport unlocks bf16 messages and replaces the
                 # dominant intra-lane Benes rolls with MXU matmuls +
                 # tile moves; f32 stays on Benes (the f32 HIGHEST-
@@ -184,11 +211,11 @@ class Simulator:
                 )
         else:
             if use_pallas and channel_params.type == "BEC":
-                # BEC peeling runs on the XLA sorted decoder (measured
-                # within 2x of the f32 BP roofline — see
-                # benchmarks/README.md BEC section); record the reroute so
-                # the results-file provenance line shows it
-                self._fallback_reason = "BEC -> xla peeling decoder"
+                # only the layered / stale-byte-compat BEC modes reroute
+                # to the XLA peeling decoder; record it in the provenance
+                self._fallback_reason = (
+                    "BEC layered/bug-compat mode -> xla peeling decoder"
+                )
             use_pallas = False
             from ..ops.sorted import to_sorted_device
 
@@ -248,6 +275,9 @@ class Simulator:
             and channel_params.type != "BEC"
             and not decoder_params.layered
             and simulation_params.error_log_file is None
+            # int8 quantized min-sum runs on the batch kernel only (the
+            # in-kernel streaming kernels are f32/bf16)
+            and not (use_pallas and decoder_params.message_dtype == "int8")
         )
         from ..ops.pallas.lanes_layout import LanesDeviceCode
 
@@ -338,10 +368,13 @@ class Simulator:
         else:
             kernel = "xla-sorted"
             transport = "gather"
+        dtype = self.dec.message_dtype if self._use_pallas else "float32"
+        if self.ch.type == "BEC" and kernel == "pallas-lanes":
+            dtype = "bfloat16-exact"  # BEC sign/zero algebra is exact
         parts = [
             f"kernel={kernel}",
             f"transport={transport}",
-            f"dtype={self.dec.message_dtype if self._use_pallas else 'float32'}",
+            f"dtype={dtype}",
             f"cn={self.dec.type}",
             f"schedule={'layered' if self.dec.layered else 'flooding'}",
             f"streaming={'on' if self._streaming else 'off'}",

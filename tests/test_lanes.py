@@ -387,6 +387,130 @@ class TestLanesDecoder:
             np.asarray(out_l.iterations), np.asarray(out_f.iterations)
         )
 
+    @pytest.mark.parametrize("early_term", [True, False])
+    @pytest.mark.parametrize("transport,mdtype", [
+        ("benes", "float32"), ("clos", "float32"), ("clos", "bfloat16"),
+    ])
+    def test_bec_matches_sorted_decoder(self, early_term, transport, mdtype):
+        """Fused BEC (min-sum over the sign encoding) vs the XLA peeling
+        decoder: identical symbols, decisions, iteration counts and
+        resolution flags — the sign/zero algebra is exact in f32 AND bf16,
+        so even the bf16 kernel must agree bit-for-bit."""
+        from libldpc_tpu.ops.bec_sorted import bec_decode_sorted
+        from libldpc_tpu.ops.channel import BEC_ERASURE
+        from libldpc_tpu.ops.pallas.decode_lanes import bec_decode_lanes
+
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+        ldc = to_lanes_device(code, transport=transport)
+        sdc = ldc.sorted_dc
+        rng = np.random.default_rng(3)
+        B = 16
+        # mixed difficulty: some frames resolve, some stall
+        cw = np.zeros((code.nc, B), np.uint8)
+        erased = rng.random((code.nc, B)) < 0.42
+        sym = np.where(erased, np.int8(BEC_ERASURE), cw.astype(np.int8))
+        vn_perm = np.asarray(sdc.vn_perm)
+        sym_s = jnp.asarray(sym[vn_perm])
+        cw_s = jnp.asarray(cw)
+
+        out_l = bec_decode_lanes(
+            ldc, sym_s, cw_s, iterations=10, early_term=early_term,
+            frame_tile=8, message_dtype=mdtype, interpret=True,
+        )
+        out_s = bec_decode_sorted(
+            sdc, sym_s, cw_s, iterations=10, early_term=early_term,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.symbols_out), np.asarray(out_s.symbols_out)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.hard), np.asarray(out_s.hard)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.iterations), np.asarray(out_s.iterations)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.resolved), np.asarray(out_s.resolved)
+        )
+        # sanity: the pattern is hard enough that some frames stall and
+        # easy enough that some resolve — both convergence branches hit
+        res = np.asarray(out_s.resolved)
+        assert res.any() and not res.all()
+
+    def test_bec_random_codewords_match(self):
+        """Same equivalence with a real (non-zero) codeword ensemble —
+        exercises the wrong-bit forcing on both 0 and 1 bits."""
+        import jax as _jax
+
+        from libldpc_tpu.ops.bec_sorted import bec_decode_sorted
+        from libldpc_tpu.ops.channel import simulate_channel
+        from libldpc_tpu.ops.pallas.decode_lanes import bec_decode_lanes
+
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+        ldc = to_lanes_device(code)
+        ch = simulate_channel(
+            ldc, "BEC", _jax.random.PRNGKey(2), 16, np.float32(0.42)
+        )
+        out_l = bec_decode_lanes(
+            ldc, ch.llr, ch.codeword, iterations=10, frame_tile=8,
+            interpret=True,
+        )
+        out_s = bec_decode_sorted(
+            ldc.sorted_dc, ch.llr, ch.codeword, iterations=10,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.hard), np.asarray(out_s.hard)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.iterations), np.asarray(out_s.iterations)
+        )
+
+    def test_bec_driver_routes_to_lanes(self):
+        """BEC + use_pallas runs the fused lanes kernel; counters match
+        the XLA BEC driver exactly.  The stale-byte compat mode stays on
+        the XLA path."""
+        import functools
+        from unittest import mock
+
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.ops.pallas import decode_lanes as dl
+        from libldpc_tpu.ops.pallas.lanes_layout import LanesDeviceCode
+        from libldpc_tpu.ops.sorted import SortedDeviceCode
+        from libldpc_tpu.utils.params import (
+            ChannelParams, DecoderParams, SimulationParams,
+        )
+
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+        dec = DecoderParams(iterations=8)
+        ch = ChannelParams(type="BEC", seed=3, x_range=(0.35, 0.36, 0.5))
+        sp = SimulationParams(
+            batch_size=32, max_frames=64, fec=10**9, streaming=False,
+        )
+
+        interp = functools.partial(dl.bec_decode_lanes, interpret=True,
+                                   frame_tile=8)
+        with mock.patch.object(dl, "bec_decode_lanes", interp):
+            sim = drv.Simulator(
+                code, dec, ch, sp, use_pallas=True, verbose=False
+            )
+            assert isinstance(sim.dcode, LanesDeviceCode)
+            res = sim.start()
+        ref = drv.Simulator(
+            code, dec, ch, sp, use_pallas=False, verbose=False
+        )
+        res_ref = ref.start()
+        assert res.frames == res_ref.frames
+        assert res.fec == res_ref.fec
+        assert res.ber == res_ref.ber
+        assert res.avg_iter == res_ref.avg_iter
+
+        compat = drv.Simulator(
+            code, DecoderParams(iterations=8, bec_ref_bug_compat=True),
+            ch, sp, use_pallas=True, verbose=False,
+        )
+        assert isinstance(compat.dcode, SortedDeviceCode)
+        assert "fallback" in compat.decode_path
+
     def test_irregular_code(self):
         """Irregular degrees exercise multi-class padding."""
         from libldpc_tpu.models.code import LDPCCode

@@ -163,6 +163,50 @@ def test_lanes_layered_matches_sorted_on_chip(early_term):
 
 
 @requires_tpu
+@pytest.mark.parametrize("mdtype", ["float32", "bfloat16"])
+def test_bec_lanes_matches_sorted_on_chip(mdtype):
+    """Compiled fused BEC (min-sum over the sign encoding) vs the XLA
+    peeling decoder: the sign/zero algebra is exact in both dtypes, so
+    symbols, decisions, iteration counts and resolution flags must be
+    bit-identical on hardware too."""
+    from libldpc_tpu.models import make_benchmark_code
+    from libldpc_tpu.ops.bec_sorted import bec_decode_sorted_jit
+    from libldpc_tpu.ops.channel import BEC_ERASURE
+    from libldpc_tpu.ops.pallas.decode_lanes import bec_decode_lanes
+    from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+
+    code = make_benchmark_code(2048, dv=3, dc=6, seed=5, with_G=False)
+    ldc = to_lanes_device(
+        code, transport="clos" if mdtype == "bfloat16" else "benes"
+    )
+    B = 64
+    rng = np.random.default_rng(23)
+    cw = np.zeros((code.nc, B), np.uint8)
+    erased = rng.random((code.nc, B)) < 0.42
+    sym = np.where(erased, np.int8(BEC_ERASURE), cw.astype(np.int8))
+    vn_perm = np.asarray(jax.device_get(ldc.sorted_dc.vn_perm))
+    sym_s = jnp.asarray(sym[vn_perm])
+    cw_s = jnp.asarray(cw)
+
+    out_l = bec_decode_lanes(
+        ldc, sym_s, cw_s, iterations=15, message_dtype=mdtype,
+    )
+    out_s = bec_decode_sorted_jit(ldc.sorted_dc, sym_s, cw_s, iterations=15)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_l.hard)),
+        np.asarray(jax.device_get(out_s.hard)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_l.iterations)),
+        np.asarray(jax.device_get(out_s.iterations)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_l.resolved)),
+        np.asarray(jax.device_get(out_s.resolved)),
+    )
+
+
+@requires_tpu
 @pytest.mark.parametrize("message_dtype", ["float32", "bfloat16"])
 def test_clos_matches_benes_on_chip(message_dtype):
     """Compiled Clos transport (block matmuls + tile moves) vs the Beneš
