@@ -103,21 +103,36 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         # and only the NMS/OMS correction re-rounds.  int8 halves bf16's
         # VMEM residency and runs the one-hot transport as native s8
         # MXU matmuls.
+        #
+        # The whole kernel works directly on the integer lattice (values
+        # are q, never q*qscale): min/sign/sum/subtract are
+        # scale-invariant, so only the channel prior needs scaling — one
+        # multiply per NODE per pass instead of two per EDGE for
+        # dequantise/requantise.  The OMS offset is specified in LLR
+        # units, so it shrinks by offset/qscale on the lattice.
         inv_q = 1.0 / qscale
+        if isinstance(minsum_mode, tuple) and len(minsum_mode) == 3:
+            minsum_mode = (minsum_mode[0], minsum_mode[1],
+                           minsum_mode[2] * inv_q)
 
         def to_store(x):
-            return jnp.clip(
-                jnp.round(x.astype(compute) * inv_q), -127.0, 127.0
-            ).astype(jnp.int8)
+            return jnp.clip(jnp.round(x), -127.0, 127.0).astype(jnp.int8)
 
         def to_compute(x):
-            return x.astype(compute) * qscale
+            return x.astype(compute)
+
+        def prior(x):
+            """Raw channel LLRs -> integer-lattice units."""
+            return x.astype(compute) * inv_q
     else:
 
         def to_store(x):
             return x.astype(dtype)
 
         def to_compute(x):
+            return x.astype(compute)
+
+        def prior(x):
             return x.astype(compute)
 
     def benes(swap_ref, v, reverse, dists=act_dists):
@@ -319,7 +334,7 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         llr_parts = []
         post_parts = []
         for (base_e, count, d), nb in zip(vn_blocks, vn_node_base):
-            lin = llr_ref[nb : nb + count, :].astype(compute)
+            lin = prior(llr_ref[nb : nb + count, :])
             if d == 0:
                 llr_parts.append(to_store(lin))
                 continue
@@ -354,7 +369,7 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         for (base_e, count, d), nb in zip(vn_blocks, vn_node_base):
             if d == 0:
                 continue
-            lin = to_store(llr_ref[nb : nb + count, :])
+            lin = to_store(prior(llr_ref[nb : nb + count, :]))
             for _ in range(d):
                 parts.append(lin)
         if N > nnz:
@@ -744,6 +759,10 @@ def bp_decode_pallas(
     inputs = []
     if mxu:
         for blocks in (pdc.mxu_blocks_fwd, pdc.mxu_blocks_rev):
+            if dtype == jnp.int8:
+                # cast the one-hot blocks to s8 once outside the kernel
+                # (the in-kernel astype would re-cast bf16->s8 per pass)
+                blocks = blocks.astype(jnp.int8)
             in_specs.append(
                 pl.BlockSpec(blocks.shape, lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
