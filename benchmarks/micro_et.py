@@ -97,11 +97,12 @@ def main():
     lv2c0 = jnp.zeros((pdc.n_pad, B), jnp.dtype(dt))
     pool_llr = jnp.zeros((pdc.nc, B), jnp.float32)
     pool_cw = jnp.zeros((pdc.nc, B), jnp.int32)
+    pool_lv2c = jnp.zeros((pdc.n_pad, B), jnp.dtype(dt))
 
     def stream(refill, avail):
         return bp_stream_chunk_pallas(
             pdc, llr, cw, lv2c0, zero8, zero8, zero8, avail, zero8,
-            pool_llr, pool_cw, jnp.int32(refill), jnp.int32(2**30),
+            pool_llr, pool_cw, pool_lv2c, jnp.int32(refill), jnp.int32(2**30),
             k=it, cap=it, message_dtype=dt, permute=perm,
             minsum_mode=cn_mode,
         )

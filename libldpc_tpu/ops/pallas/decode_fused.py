@@ -65,11 +65,15 @@ from .. import cn_ops
 from ..sorted import SortedDecodeOutput
 from .layout import PallasDeviceCode
 
+#: int8 message lattice step (LLR units) — shared by every path that must
+#: reproduce the kernel's quantisation outside it (fresh_lv2c pool regen)
+DEFAULT_QUANT_SCALE = 0.1875
+
 
 def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
                  minsum_mode, bt, dtype=jnp.float32, nl=0, mxu=False,
                  clos=False, chunk=False, cap=0, stream=False,
-                 qscale=0.1875):
+                 qscale=DEFAULT_QUANT_SCALE):
     N = pdc.n_pad
     cn_blocks = pdc.cn_blocks
     vn_blocks = pdc.vn_blocks
@@ -413,8 +417,13 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
         Per-pass structure:
 
         1. **Reload phase** — lanes with ``done & avail`` take their pool
-          entry (``lv2c = 0`` + ``age = 0``: the gather-free warm-up-pass
-          reload of :mod:`libldpc_tpu.ops.streaming`).  An exact global
+          entry.  The pool ships ``fresh_lv2c`` (edge-space gathered
+          priors, pre-computed by XLA at pool regeneration via
+          ``cn_edge_node``) so the reload is warm-up-free: the next pass
+          is real iteration 1 (``age = 1``), one pass cheaper per frame
+          than the zero-init reload of :mod:`libldpc_tpu.ops.streaming`
+          (which still applies to externally injected ``age = 0``
+          state).  An exact global
           ``max_frames`` quota is enforced with a per-lane inclusive scan
           (log2(bt) roll/add stages) against a running remaining-starts
           counter in SMEM scratch, which persists across the sequential
@@ -428,7 +437,8 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
           started).
         """
         pref = args[:n_perm_refs]
-        (istx_ref, fresh_llr_ref, fresh_cw_ref, refill_ref, remaining_ref,
+        (istx_ref, fresh_llr_ref, fresh_cw_ref, fresh_lv2c_ref, refill_ref,
+         remaining_ref,
          llr_in, cw_in, lv2c_in, done_in, iters_in, age_in, avail_in,
          ctr_in,
          llr_ref, cw_ref, lv2c_ref, done_ref, iters_ref, age_ref,
@@ -471,11 +481,15 @@ def _make_kernel(pdc: PallasDeviceCode, nc, iterations, early_term,
                 rs = allowed > 0
                 llr_ref[:] = jnp.where(rs, fresh_llr_ref[:], llr_ref[:])
                 cw_ref[:] = jnp.where(rs, fresh_cw_ref[:], cw_ref[:])
-                lv2c_ref[:] = jnp.where(
-                    rs, jnp.zeros((), dtype), lv2c_ref[:]
-                )
+                # warm-up-free reload: the pool carries the edge-space
+                # gathered prior (XLA pre-computes it at regen), so the
+                # very next pass is real iteration 1 — age starts at 1
+                # (check-eligible), saving one full pass per frame
+                lv2c_ref[:] = jnp.where(rs, fresh_lv2c_ref[:], lv2c_ref[:])
                 done_ref[0:1, :] = done_i * (1 - allowed)
-                age_ref[0:1, :] = age_ref[0:1, :] * (1 - allowed)
+                age_ref[0:1, :] = (
+                    age_ref[0:1, :] * (1 - allowed) + allowed
+                )
                 iters_ref[0:1, :] = iters_ref[0:1, :] * (1 - allowed)
                 avail_ref[0:1, :] = avail_i - allowed
                 ctr_ref[4:5, :] = ctr_ref[4:5, :] + allowed
@@ -893,6 +907,7 @@ def bp_stream_chunk_pallas(
     ctr8: jnp.ndarray,  # i32 [8, B] counter planes
     fresh_llr: jnp.ndarray,  # f32 [nc, B] fresh-frame pool
     fresh_cw: jnp.ndarray,  # i32 [nc, B]
+    fresh_lv2c: jnp.ndarray,  # dtype [n_pad, B] pre-gathered edge priors
     refill: jnp.ndarray,  # i32 scalar: allow reloads
     remaining: jnp.ndarray,  # i32 scalar: global starts remaining (quota)
     *,
@@ -935,6 +950,8 @@ def bp_stream_chunk_pallas(
                                  memory_space=pltpu.VMEM)),
         (fresh_cw, pl.BlockSpec((nc, bt), lambda b: (0, b),
                                 memory_space=pltpu.VMEM)),
+        (fresh_lv2c, pl.BlockSpec((pdc.n_pad, bt), lambda b: (0, b),
+                                  memory_space=pltpu.VMEM)),
         (jnp.asarray(refill, jnp.int32).reshape(1, 1),
          pl.BlockSpec((1, 1), lambda b: (0, 0),
                       memory_space=pltpu.SMEM)),
@@ -986,14 +1003,14 @@ def bp_stream_chunk_pallas(
         out_specs=out_specs,
         out_shape=out_shape,
         input_output_aliases={
-            n_perm + 5: 0,  # llr_in
-            n_perm + 6: 1,  # cw
-            n_perm + 7: 2,  # lv2c
-            n_perm + 8: 3,  # done8
-            n_perm + 9: 4,  # iters8
-            n_perm + 10: 5,  # age8
-            n_perm + 11: 6,  # avail8
-            n_perm + 12: 7,  # ctr8
+            n_perm + 6: 0,  # llr_in
+            n_perm + 7: 1,  # cw
+            n_perm + 8: 2,  # lv2c
+            n_perm + 9: 3,  # done8
+            n_perm + 10: 4,  # iters8
+            n_perm + 11: 5,  # age8
+            n_perm + 12: 6,  # avail8
+            n_perm + 13: 7,  # ctr8
         },
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(

@@ -297,7 +297,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         4 started."""
         np_ = 3 if clos else 1
         pref = refs[:np_]
-        (istx_ref, fresh_llr_ref, fresh_cw_ref, refill_ref, remaining_ref,
+        (istx_ref, fresh_llr_ref, fresh_cw_ref, fresh_lv2c_ref, refill_ref,
+         remaining_ref,
          llr_in, cw_in, lv2c_in, done_in, iters_in, age_in, avail_in,
          ctr_in,
          llr_ref, cw_ref, lv2c_ref, done_ref, iters_ref, age_ref,
@@ -346,11 +347,14 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                 rs = allowed > 0  # [ft, 1] broadcasts over lanes
                 llr_ref[:] = jnp.where(rs, fresh_llr_ref[:], llr_ref[:])
                 cw_ref[:] = jnp.where(rs, fresh_cw_ref[:], cw_ref[:])
-                lv2c_ref[:] = jnp.where(
-                    rs, jnp.zeros((), dtype), lv2c_ref[:]
-                )
+                # warm-up-free reload: the pool ships pre-gathered
+                # edge-space priors; the next pass is real iteration 1
+                # (age = 1), one pass cheaper per frame than zero-init
+                lv2c_ref[:] = jnp.where(rs, fresh_lv2c_ref[:], lv2c_ref[:])
                 done_ref[:, 0:1] = done_i * (1 - allowed)
-                age_ref[:, 0:1] = age_ref[:, 0:1] * (1 - allowed)
+                age_ref[:, 0:1] = (
+                    age_ref[:, 0:1] * (1 - allowed) + allowed
+                )
                 iters_ref[:, 0:1] = iters_ref[:, 0:1] * (1 - allowed)
                 avail_ref[:, 0:1] = avail_i - allowed
                 ctr_ref[:] = ctr_ref[:] + jnp.where(
@@ -363,11 +367,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
             def _():
                 llr = llr_ref[:]
                 lv2c = lv2c_ref[:]
-                # zero-init rows must produce zero CN output regardless of
-                # the PAD fill the transports re-introduce; force_pad after
-                # the reload select keeps fake slots pinned for live rows,
-                # and a freshly reloaded row's first (warm-up) pass output
-                # is discarded anyway
+                # force_pad after the reload select keeps fake slots pinned
+                # to PAD_LLR for live rows (fresh_lv2c carries zeros there)
                 lc2v_c = cn_exclusion(force_pad(w_ref, lv2c))
                 lc2v_v = transport(p1_ref, p3_ref, w_ref, lc2v_c,
                                    reverse=False)
@@ -854,6 +855,7 @@ def bp_stream_chunk_lanes(
     ctr: jnp.ndarray,  # i32 [B, 128] counters in cols 0..4
     fresh_llr: jnp.ndarray,  # f32 [B, nc_pad] fresh-frame pool
     fresh_cw: jnp.ndarray,  # i32 [B, nc_pad]
+    fresh_lv2c: jnp.ndarray,  # dtype [B, n_pad] pre-gathered edge priors
     refill: jnp.ndarray,  # i32 scalar
     remaining: jnp.ndarray,  # i32 scalar: global starts remaining
     *,
@@ -917,6 +919,8 @@ def bp_stream_chunk_lanes(
                                  memory_space=pltpu.VMEM)),
         (fresh_cw, pl.BlockSpec((ft, ldc.nc_pad), lambda b: (b, 0),
                                 memory_space=pltpu.VMEM)),
+        (fresh_lv2c, pl.BlockSpec((ft, ldc.n_pad), lambda b: (b, 0),
+                                  memory_space=pltpu.VMEM)),
         (jnp.asarray(refill, jnp.int32).reshape(1, 1),
          pl.BlockSpec((1, 1), lambda b: (0, 0),
                       memory_space=pltpu.SMEM)),
@@ -970,14 +974,14 @@ def bp_stream_chunk_lanes(
         out_specs=out_specs,
         out_shape=out_shape,
         input_output_aliases={
-            n_perm + 5: 0,  # llr_in
-            n_perm + 6: 1,  # cw
-            n_perm + 7: 2,  # lv2c
-            n_perm + 8: 3,  # done
-            n_perm + 9: 4,  # iters
-            n_perm + 10: 5,  # age
-            n_perm + 11: 6,  # avail
-            n_perm + 12: 7,  # ctr
+            n_perm + 6: 0,  # llr_in
+            n_perm + 7: 1,  # cw
+            n_perm + 8: 2,  # lv2c
+            n_perm + 9: 3,  # done
+            n_perm + 10: 4,  # iters
+            n_perm + 11: 5,  # age
+            n_perm + 12: 6,  # avail
+            n_perm + 13: 7,  # ctr
         },
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(

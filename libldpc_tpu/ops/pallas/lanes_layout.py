@@ -100,11 +100,15 @@ class LanesDeviceCode:
     #                                 (arbitrary valid label on fake lanes)
     clos_p1: Optional[jnp.ndarray] = None  # bf16 one-hot [nb, 128, 128]
     clos_p3: Optional[jnp.ndarray] = None  # bf16 one-hot [nb, 128, 128]
+    #: int32 [n_pad] node lane feeding each CN-space edge slot (-1 on
+    #: fake slots) — XLA-side gather map for the streaming kernel's
+    #: warm-up-free ``fresh_lv2c`` reload
+    cn_edge_node: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         return (
             self.sorted_dc, self.planes, self.lane_of_vn, self.vn_of_lane,
-            self.clos_p1, self.clos_p3,
+            self.clos_p1, self.clos_p3, self.cn_edge_node,
         ), (
             self.n_pad, self.nc_pad, self.benes_dists, self.benes_words,
             self.n_words, self.cn_blocks, self.vn_blocks, self.vn_node_base,
@@ -114,7 +118,7 @@ class LanesDeviceCode:
     @classmethod
     def tree_unflatten(cls, aux, children):
         (sorted_dc, planes, lane_of_vn, vn_of_lane, clos_p1,
-         clos_p3) = children
+         clos_p3, cn_edge_node) = children
         (n_pad, nc_pad, benes_dists, benes_words, n_words, cn_blocks,
          vn_blocks, vn_node_base, transport, layer_words) = aux
         return cls(
@@ -124,7 +128,7 @@ class LanesDeviceCode:
             vn_node_base=vn_node_base, transport=transport,
             layer_words=layer_words, planes=planes,
             lane_of_vn=lane_of_vn, vn_of_lane=vn_of_lane,
-            clos_p1=clos_p1, clos_p3=clos_p3,
+            clos_p1=clos_p1, clos_p3=clos_p3, cn_edge_node=cn_edge_node,
         )
 
     # channel-facing delegation (same surface as PallasDeviceCode)
@@ -307,6 +311,11 @@ def to_lanes_device(
         planes = np.concatenate([planes, lplanes], axis=0)
     planes = planes.astype(np.int32)
 
+    # node lane per CN-space edge slot (-1 on fake slots): the XLA-side
+    # gather map behind the streaming kernel's warm-up-free reload
+    cn_edge_node = np.full(N, -1, dtype=np.int32)
+    cn_edge_node[cn_slot] = lane_of_vn[vn_inv[cols]]
+
     return LanesDeviceCode(
         sorted_dc=sdc,
         n_pad=N,
@@ -324,4 +333,5 @@ def to_lanes_device(
         vn_of_lane=jnp.asarray(vn_of_lane),
         clos_p1=clos_p1,
         clos_p3=clos_p3,
+        cn_edge_node=jnp.asarray(cn_edge_node),
     )

@@ -78,12 +78,18 @@ class PallasDeviceCode:
     clos_p1: Optional[jnp.ndarray] = None
     clos_p3: Optional[jnp.ndarray] = None
     clos_mid_planes: Optional[jnp.ndarray] = None
+    #: int32 [n_pad] sorted VN label feeding each CN-space edge slot (-1 on
+    #: pad slots) — lets XLA pre-gather edge-space priors for the streaming
+    #: kernel's reload (``fresh_lv2c``), eliminating the per-frame warm-up
+    #: pass of the zero-init reload
+    cn_edge_node: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         return (
             self.sorted_dc, self.swap_planes, self.layer_planes,
             self.mxu_blocks_fwd, self.mxu_blocks_rev,
             self.clos_p1, self.clos_p3, self.clos_mid_planes,
+            self.cn_edge_node,
         ), (
             self.n_pad,
             self.benes_dists,
@@ -99,7 +105,8 @@ class PallasDeviceCode:
     @classmethod
     def tree_unflatten(cls, aux, children):
         (sorted_dc, swap_planes, layer_planes, mxu_blocks_fwd,
-         mxu_blocks_rev, clos_p1, clos_p3, clos_mid_planes) = children
+         mxu_blocks_rev, clos_p1, clos_p3, clos_mid_planes,
+         cn_edge_node) = children
         (n_pad, benes_dists, benes_active, cn_blocks, vn_blocks,
          vn_node_base, mxu_plan_fwd, mxu_plan_rev, clos_mid_dists) = aux
         return cls(
@@ -120,6 +127,7 @@ class PallasDeviceCode:
             clos_p1=clos_p1,
             clos_p3=clos_p3,
             clos_mid_planes=clos_mid_planes,
+            cn_edge_node=cn_edge_node,
         )
 
     # channel-facing delegation -------------------------------------------
@@ -301,6 +309,11 @@ def to_pallas_device(code: LDPCCode, with_layers: bool = False,
         )
         clos_mid_dists = tuple(int(d) for d in cnet.mid_dists)
 
+    # sorted VN label per CN-space edge slot (-1 on pad slots): the XLA-side
+    # gather map behind the streaming kernel's warm-up-free reload
+    cn_edge_node = np.full(net.n, -1, dtype=np.int32)
+    cn_edge_node[cn_slot] = vn_inv[cols].astype(np.int32)
+
     layer_planes = None
     if with_layers and code.layers:
         # per-layer membership of each CN-space position-major edge slot
@@ -341,4 +354,5 @@ def to_pallas_device(code: LDPCCode, with_layers: bool = False,
         clos_p1=clos_p1,
         clos_p3=clos_p3,
         clos_mid_planes=clos_mid_planes,
+        cn_edge_node=jnp.asarray(cn_edge_node),
     )

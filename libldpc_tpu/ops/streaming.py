@@ -21,14 +21,15 @@ convergence — ``src/decoding/decoder.cpp:11-78``).
 
 Two tricks keep the per-iteration overhead small:
 
-* **Gather-free reload.**  A fresh frame's messages are zero-initialised
-  instead of gathered from its LLRs: one BP iteration on all-zero ``Lv2c``
-  outputs zero CN messages, reproducing exactly the standard
-  ``Lv2c = LLRIn[col]`` initialisation at the pass's end.  The reload is
-  then a handful of lane-broadcast selects — no ``[nnz, B]`` gather.  The
-  cost is one warm-up pass per frame (~``1/avg_iter`` overhead); the
-  convergence check is gated off during warm-up so counting matches the
-  batch decoder exactly.
+* **Warm-up-free reload.**  A fresh frame's messages are reloaded with
+  the standard ``Lv2c = LLRIn[col]`` init, pre-gathered inside the
+  channel-generation branch (one ``[nnz, B]`` gather per *generation*,
+  amortised over a whole reload burst), so a reloaded stream starts at
+  real iteration 1 (``age = 1``).  Externally injected state may still
+  use the zero-init protocol (``age = 0``): one BP iteration on all-zero
+  ``Lv2c`` outputs zero CN messages and reproduces the same init at the
+  pass's end, with the convergence check gated off during that warm-up
+  pass — per-frame counting is identical either way.
 * **Free syndrome.**  The extrinsic update needs
   ``g = take(llr_out, col_sorted)`` anyway; the syndrome is the per-check
   parity of ``g <= 0`` (:func:`~libldpc_tpu.ops.sorted.syndrome_ok_from_posterior`),
@@ -180,15 +181,20 @@ def _superstep_body(
             ch = simulate_channel(
                 sdc, channel_type, k, batch, x_value, modulation=modulation
             )
-            return ch.llr, ch.codeword
+            # warm-up-free reload: pre-gather the standard Lv2c init
+            # (``Lv2c = LLRIn[col]``) so a reloaded stream starts at real
+            # iteration 1 — one pass cheaper per frame than zero-init
+            return ch.llr, ch.codeword, jnp.take(ch.llr, sdc.col_sorted,
+                                                 axis=0)
 
         def no_gen(k):
             return (
                 jnp.zeros((sdc.nc, batch), st.llr_in.dtype),
                 jnp.zeros((sdc.nc, batch), st.codeword.dtype),
+                jnp.zeros((sdc.nnz, batch), st.lv2c.dtype),
             )
 
-        fresh_llr, fresh_cw = jax.lax.cond(
+        fresh_llr, fresh_cw, fresh_lv2c = jax.lax.cond(
             do_gen, gen, no_gen, jax.random.fold_in(key, i)
         )
         rs = do_gen & idle  # [B] lane-broadcast reload mask
@@ -197,14 +203,14 @@ def _superstep_body(
         # per-frame `frames < maxFrames` check, src/sim/ldpcsim.cpp:255)
         rs = rs & (st.started[0] + jnp.cumsum(rs.astype(jnp.int32)) <= quota)
         started = st.started + rs.astype(jnp.int32).sum()[None]
-        lv2c = jnp.where(rs, jnp.float32(0.0), g - lc2v)
+        lv2c = jnp.where(rs, fresh_lv2c, g - lc2v)
         return (
             StreamState(
                 llr_in=jnp.where(rs, fresh_llr, st.llr_in),
                 codeword=jnp.where(rs, fresh_cw, st.codeword),
                 lv2c=lv2c,
                 active=active | rs,
-                age=jnp.where(rs, 0, age),
+                age=jnp.where(rs, 1, age),
                 iters=jnp.where(rs, 0, iters),
                 started=started,
             ),

@@ -47,7 +47,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .channel import simulate_channel
-from .pallas.decode_fused import bp_stream_chunk_pallas
+from .pallas.decode_fused import DEFAULT_QUANT_SCALE, bp_stream_chunk_pallas
 from .pallas.layout import PallasDeviceCode
 from .streaming import (
     _INT32_SAFE,
@@ -57,6 +57,28 @@ from .streaming import (
     split_exact,
     split_exact_multi,
 )
+
+
+def _edge_prior_pool(idx, fresh_llr, dtype, axis=0):
+    """Edge-space gathered priors for the warm-up-free in-kernel reload.
+
+    ``idx`` is the layout's ``cn_edge_node`` map (-1 on pad/fake slots);
+    the value transform must byte-match the kernel's ``to_store(prior(.))``
+    so a reloaded lane is indistinguishable from a batch-kernel init
+    (``decode_fused.init_lv2c``) — including the int8 lattice rounding.
+    ``axis=0`` gathers rows ([nc, B] -> [n_pad, B], edge-major layout),
+    ``axis=1`` gathers lanes ([B, nc_pad] -> [B, n_pad], lane-major)."""
+    valid = idx >= 0
+    safe = jnp.where(valid, idx, 0)
+    if axis == 0:
+        v = jnp.where(valid[:, None], fresh_llr[safe, :], 0.0)
+    else:
+        v = jnp.where(valid[None, :], fresh_llr[:, safe], 0.0)
+    if jnp.dtype(dtype) == jnp.int8:
+        return jnp.clip(
+            jnp.round(v * (1.0 / DEFAULT_QUANT_SCALE)), -127.0, 127.0
+        ).astype(jnp.int8)
+    return v.astype(dtype)
 
 
 class PStreamState(NamedTuple):
@@ -70,6 +92,7 @@ class PStreamState(NamedTuple):
     ctr8: jnp.ndarray  # i32 [8, B] in-kernel counter planes
     fresh_llr: jnp.ndarray  # f32 [nc, B] fresh-frame pool
     fresh_cw: jnp.ndarray  # i32 [nc, B]
+    fresh_lv2c: jnp.ndarray  # msg dtype [n_pad, B] pre-gathered edge priors
     started: jnp.ndarray  # i32 [n_dev] frames started per device
 
 
@@ -87,6 +110,7 @@ def _init_state(pdc: PallasDeviceCode, batch: int, dtype,
         ctr8=jnp.zeros((8, batch), jnp.int32),
         fresh_llr=jnp.zeros((pdc.nc, batch), jnp.float32),
         fresh_cw=jnp.zeros((pdc.nc, batch), jnp.int32),
+        fresh_lv2c=jnp.zeros((pdc.n_pad, batch), dtype),
         started=jnp.zeros((n_dev,), jnp.int32),
     )
 
@@ -113,24 +137,33 @@ def _superstep(
                 x_value, modulation=modulation,
             )
             unused = st.avail8[0:1, :] > 0  # [1, B] lane-broadcast
+            llr = jnp.where(unused, st.fresh_llr, ch.llr)
+            # edge-space gathered priors for the warm-up-free reload
+            # (pure function of the merged pool, so recomputing over the
+            # whole pool is idempotent on kept entries)
             return (
-                jnp.where(unused, st.fresh_llr, ch.llr),
+                llr,
                 jnp.where(unused, st.fresh_cw,
                           ch.codeword.astype(jnp.int32)),
+                _edge_prior_pool(pdc.cn_edge_node, llr,
+                                 jnp.dtype(message_dtype)),
                 jnp.zeros((8, batch), jnp.int32).at[0].set(1),
             )
 
         def keep(_):
-            return st.fresh_llr, st.fresh_cw, st.avail8
+            return st.fresh_llr, st.fresh_cw, st.fresh_lv2c, st.avail8
 
-        fresh_llr, fresh_cw, avail8 = jax.lax.cond(do_gen, gen, keep, 0)
+        fresh_llr, fresh_cw, fresh_lv2c, avail8 = jax.lax.cond(
+            do_gen, gen, keep, 0
+        )
         # --- exact remaining-starts budget for this chunk -----------------
         started_now = st.started[0] + jnp.sum(st.ctr8[4])
         remaining = jnp.clip(quota - started_now, 0, _INT32_SAFE)
         llr_in, cw, lv2c, done8, iters8, age8, avail8, ctr8 = (
             bp_stream_chunk_pallas(
                 pdc, st.llr_in, st.codeword, st.lv2c, st.done8, st.iters8,
-                st.age8, avail8, st.ctr8, fresh_llr, fresh_cw, refill_i,
+                st.age8, avail8, st.ctr8, fresh_llr, fresh_cw, fresh_lv2c,
+                refill_i,
                 remaining, k=k, cap=iterations, minsum_mode=cn_mode,
                 batch_tile=batch_tile, message_dtype=message_dtype,
                 permute=permute, interpret=interpret,
@@ -139,7 +172,8 @@ def _superstep(
         return PStreamState(
             llr_in=llr_in, codeword=cw, lv2c=lv2c, done8=done8,
             iters8=iters8, age8=age8, avail8=avail8, ctr8=ctr8,
-            fresh_llr=fresh_llr, fresh_cw=fresh_cw, started=st.started,
+            fresh_llr=fresh_llr, fresh_cw=fresh_cw, fresh_lv2c=fresh_lv2c,
+            started=st.started,
         )
 
     st = st._replace(ctr8=jnp.zeros_like(st.ctr8))
@@ -249,6 +283,7 @@ def make_streaming_pallas_step(
         ctr8=P(None, FRAME_AXIS),
         fresh_llr=P(None, FRAME_AXIS),
         fresh_cw=P(None, FRAME_AXIS),
+        fresh_lv2c=P(None, FRAME_AXIS),
         started=P(FRAME_AXIS),
     )
     sharded = jax.shard_map(
@@ -350,6 +385,7 @@ def make_streaming_pallas_multipoint_step(
         ctr8=P(None, both),
         fresh_llr=P(None, both),
         fresh_cw=P(None, both),
+        fresh_lv2c=P(None, both),
         started=P(both),
     )
     sharded = jax.shard_map(
@@ -405,6 +441,7 @@ class LStreamState(NamedTuple):
     ctr: jnp.ndarray  # i32 [B, 128] counters in cols 0..4
     fresh_llr: jnp.ndarray  # f32 [B, nc_pad]
     fresh_cw: jnp.ndarray  # i32 [B, nc_pad]
+    fresh_lv2c: jnp.ndarray  # msg dtype [B, n_pad] pre-gathered edge priors
     started: jnp.ndarray  # i32 [n_dev]
 
 
@@ -421,6 +458,7 @@ def _init_lanes_state(ldc, batch: int, dtype, n_dev: int = 1) -> LStreamState:
         ctr=jnp.zeros((batch, 128), jnp.int32),
         fresh_llr=jnp.zeros((batch, ldc.nc_pad), jnp.float32),
         fresh_cw=jnp.zeros((batch, ldc.nc_pad), jnp.int32),
+        fresh_lv2c=jnp.zeros((batch, ldc.n_pad), dtype),
         started=jnp.zeros((n_dev,), jnp.int32),
     )
 
@@ -456,24 +494,31 @@ def _lanes_superstep(
                 batch, x_value, modulation=modulation,
             )
             unused = st.avail[:, 0:1] > 0  # [B, 1] row-broadcast
+            llr = jnp.where(unused, st.fresh_llr,
+                            lanes_of(ch.llr, jnp.float32))
+            # edge-space gathered priors for the warm-up-free reload
             return (
-                jnp.where(unused, st.fresh_llr,
-                          lanes_of(ch.llr, jnp.float32)),
+                llr,
                 jnp.where(unused, st.fresh_cw,
                           lanes_of(ch.codeword, jnp.int32)),
+                _edge_prior_pool(ldc.cn_edge_node, llr,
+                                 jnp.dtype(message_dtype), axis=1),
                 jnp.zeros((batch, 128), jnp.int32).at[:, 0].set(1),
             )
 
         def keep(_):
-            return st.fresh_llr, st.fresh_cw, st.avail
+            return st.fresh_llr, st.fresh_cw, st.fresh_lv2c, st.avail
 
-        fresh_llr, fresh_cw, avail = jax.lax.cond(do_gen, gen, keep, 0)
+        fresh_llr, fresh_cw, fresh_lv2c, avail = jax.lax.cond(
+            do_gen, gen, keep, 0
+        )
         started_now = st.started[0] + jnp.sum(st.ctr[:, 4])
         remaining = jnp.clip(quota - started_now, 0, _INT32_SAFE)
         llr_in, cw, lv2c, done, iters, age, avail, ctr = (
             bp_stream_chunk_lanes(
                 ldc, st.llr_in, st.codeword, st.lv2c, st.done, st.iters,
-                st.age, avail, st.ctr, fresh_llr, fresh_cw, refill_i,
+                st.age, avail, st.ctr, fresh_llr, fresh_cw, fresh_lv2c,
+                refill_i,
                 remaining, k=k, cap=iterations, minsum_mode=cn_mode,
                 frame_tile=frame_tile, message_dtype=message_dtype,
                 interpret=interpret,
@@ -482,7 +527,7 @@ def _lanes_superstep(
         return LStreamState(
             llr_in=llr_in, codeword=cw, lv2c=lv2c, done=done, iters=iters,
             age=age, avail=avail, ctr=ctr, fresh_llr=fresh_llr,
-            fresh_cw=fresh_cw, started=st.started,
+            fresh_cw=fresh_cw, fresh_lv2c=fresh_lv2c, started=st.started,
         )
 
     st = st._replace(ctr=jnp.zeros_like(st.ctr))
@@ -580,6 +625,7 @@ def make_streaming_lanes_step(
         ctr=P(FRAME_AXIS, None),
         fresh_llr=P(FRAME_AXIS, None),
         fresh_cw=P(FRAME_AXIS, None),
+        fresh_lv2c=P(FRAME_AXIS, None),
         started=P(FRAME_AXIS),
     )
     sharded = jax.shard_map(
@@ -678,6 +724,7 @@ def make_streaming_lanes_multipoint_step(
         ctr=P(both, None),
         fresh_llr=P(both, None),
         fresh_cw=P(both, None),
+        fresh_lv2c=P(both, None),
         started=P(both),
     )
     sharded = jax.shard_map(
