@@ -62,6 +62,17 @@ from .results import SimResults
 #: Module-level so tests can lower it to exercise the routing.
 FUSED_EDGE_SPACE_LIMIT = 4096
 
+#: Upper bound of the lane-major kernel's padded edge space.  Measured
+#: 2026-08-19 on v5e: n_pad = 65536 (n = 16384 (3,6)-regular) compiles and
+#: runs (benchmarks/res_tp_bl_scale.txt); n_pad = 131072 crashes the
+#: remote tpu_compile_helper for every variant tried — f32/Benes and
+#: bf16/Clos, down to 1 iteration x 8 frames, so the wall is the lane
+#: extent itself, not program length or VMEM state.  Beyond it the driver
+#: falls back to the XLA sorted decoder (still any-n) and records the
+#: reroute in the results-file provenance.  Module-level so tests can
+#: lower it to exercise the routing.
+LANES_EDGE_SPACE_LIMIT = 65536
+
 _CONSOLE_HEADER = (
     "==============================================================="
     "=============================\n"
@@ -220,6 +231,35 @@ class Simulator:
             from ..ops.sorted import to_sorted_device
 
             self.dcode = to_sorted_device(code)
+        # lane-major kernel envelope: padded edge spaces past the toolchain
+        # wall (see LANES_EDGE_SPACE_LIMIT) fall back to the XLA sorted
+        # decoder — still any-n, ~3x slower than the fused kernel at the
+        # envelope edge — with the reroute recorded in the provenance
+        from ..ops.pallas.lanes_layout import LanesDeviceCode as _LDC
+
+        if (
+            isinstance(self.dcode, _LDC)
+            and self.dcode.n_pad > LANES_EDGE_SPACE_LIMIT
+        ):
+            import warnings
+
+            warnings.warn(
+                f"padded edge space {self.dcode.n_pad} exceeds the "
+                f"lane-major kernel's measured compile envelope "
+                f"({LANES_EDGE_SPACE_LIMIT}); running the XLA sorted "
+                f"decoder instead",
+                stacklevel=2,
+            )
+            self._fallback_reason = (
+                f"lanes n_pad {self.dcode.n_pad} > envelope "
+                f"{LANES_EDGE_SPACE_LIMIT} -> xla sorted decoder"
+            )
+            use_pallas = False
+            from ..ops.sorted import to_sorted_device
+
+            self.dcode = to_sorted_device(
+                code, with_layers=decoder_params.layered
+            )
         n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
         if simulation_params.batch_size % n_dev:
             raise ValueError(

@@ -254,6 +254,45 @@ class TestDriverRouting:
         assert res.ber == res_ref.ber
         assert res.avg_iter == res_ref.avg_iter
 
+    def test_past_envelope_falls_back_to_xla(self, monkeypatch):
+        """Padded edge spaces past LANES_EDGE_SPACE_LIMIT (the measured
+        lane-extent compile wall, benchmarks/res_tp_bl_scale.txt) rerun on
+        the XLA sorted decoder with the reroute visible in the results
+        provenance instead of crashing the remote compiler."""
+        import dataclasses
+
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.ops.pallas import layout as pallas_layout
+        from libldpc_tpu.ops.sorted import SortedDeviceCode
+        from libldpc_tpu.utils.params import (
+            ChannelParams, DecoderParams, SimulationParams,
+        )
+
+        monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
+        monkeypatch.setattr(drv, "LANES_EDGE_SPACE_LIMIT", 128)
+        orig_tpd = pallas_layout.to_pallas_device
+        monkeypatch.setattr(
+            pallas_layout,
+            "to_pallas_device",
+            lambda c, **kw: dataclasses.replace(
+                orig_tpd(c, **kw), mxu_blocks_fwd=None
+            ),
+        )
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+        dec = DecoderParams(iterations=6)
+        ch = ChannelParams(type="AWGN", seed=3, x_range=(2.0, 2.1, 0.5))
+        sp = SimulationParams(batch_size=32, max_frames=64, fec=10**9)
+
+        with pytest.warns(UserWarning, match="compile envelope"):
+            sim = drv.Simulator(
+                code, dec, ch, sp, use_pallas=True, verbose=False
+            )
+        assert isinstance(sim.dcode, SortedDeviceCode)
+        assert "fallback" in sim.decode_path
+        assert "envelope" in sim.decode_path
+        res = sim.start()
+        assert int(res.frames[0]) == 64
+
 
 class TestLanesDecoder:
     @pytest.mark.parametrize("early_term", [True, False])
