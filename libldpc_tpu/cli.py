@@ -66,9 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas", action="store_true",
                    help="Use the fused Pallas decode kernel.")
     p.add_argument("--message-dtype", default="float32",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "int8"],
                    help="Message dtype for the fused kernel (bfloat16 "
-                        "halves transport cost at ~0.4%% quantisation).")
+                        "halves transport cost at ~0.4%% quantisation; "
+                        "int8 is quantized min-sum — requires a "
+                        "min-sum-family --decoding and a block-local "
+                        "code, see benchmarks/PARITY_int8.md).")
+    p.add_argument("--quant-scale", type=float, default=0.1875,
+                   help="int8 message lattice step in LLR units.")
     p.add_argument("--layer-file", default="", help="Decoding-layer file for the layered schedule.")
     p.add_argument("--checkpoint", default="", help="Sweep checkpoint file (enables --resume).")
     p.add_argument("--resume", action="store_true", help="Resume from checkpoint.")
@@ -173,6 +178,7 @@ def main(argv=None) -> int:
             type=args.decoding,
             layered=bool(args.layer_file),
             message_dtype=args.message_dtype,
+            quant_scale=args.quant_scale,
         ),
         ChannelParams(seed=args.seed, x_range=tuple(snr), type=args.channel),
         SimulationParams(

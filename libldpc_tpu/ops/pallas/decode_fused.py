@@ -893,7 +893,7 @@ def _perm_inputs(pdc, permute):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "cap", "minsum_mode", "batch_tile", "interpret",
-                     "message_dtype", "permute"),
+                     "message_dtype", "permute", "quant_scale"),
 )
 def bp_stream_chunk_pallas(
     pdc: PallasDeviceCode,
@@ -918,6 +918,7 @@ def bp_stream_chunk_pallas(
     interpret: bool = False,
     message_dtype: str = "float32",
     permute: str = "benes",
+    quant_scale: float = DEFAULT_QUANT_SCALE,
 ):
     """Run ``k`` self-refilling BP passes (see ``kernel_stream``).
 
@@ -936,6 +937,7 @@ def bp_stream_chunk_pallas(
     kernel = _make_kernel(
         pdc, nc, k, True, minsum_mode, bt, dtype=dtype,
         mxu=permute == "mxu", clos=permute == "clos", stream=True, cap=cap,
+        qscale=quant_scale,
     )
     in_specs, inputs = _perm_inputs(pdc, permute)
     n_perm = len(inputs)

@@ -59,7 +59,8 @@ from .streaming import (
 )
 
 
-def _edge_prior_pool(idx, fresh_llr, dtype, axis=0):
+def _edge_prior_pool(idx, fresh_llr, dtype, axis=0,
+                     qscale=DEFAULT_QUANT_SCALE):
     """Edge-space gathered priors for the warm-up-free in-kernel reload.
 
     ``idx`` is the layout's ``cn_edge_node`` map (-1 on pad/fake slots);
@@ -76,7 +77,7 @@ def _edge_prior_pool(idx, fresh_llr, dtype, axis=0):
         v = jnp.where(valid[None, :], fresh_llr[:, safe], 0.0)
     if jnp.dtype(dtype) == jnp.int8:
         return jnp.clip(
-            jnp.round(v * (1.0 / DEFAULT_QUANT_SCALE)), -127.0, 127.0
+            jnp.round(v * (1.0 / qscale)), -127.0, 127.0
         ).astype(jnp.int8)
     return v.astype(dtype)
 
@@ -118,6 +119,7 @@ def _init_state(pdc: PallasDeviceCode, batch: int, dtype,
 def _superstep(
     pdc, channel_type, iterations, cn_mode, batch, modulation, quota,
     k, n_outer, batch_tile, message_dtype, permute, interpret, watermark,
+    quant_scale,
     key, x_value, refill, st: PStreamState,
 ):
     """``n_outer`` self-refilling chunks of ``k`` fused passes, with pool
@@ -146,7 +148,8 @@ def _superstep(
                 jnp.where(unused, st.fresh_cw,
                           ch.codeword.astype(jnp.int32)),
                 _edge_prior_pool(pdc.cn_edge_node, llr,
-                                 jnp.dtype(message_dtype)),
+                                 jnp.dtype(message_dtype),
+                                 qscale=quant_scale),
                 jnp.zeros((8, batch), jnp.int32).at[0].set(1),
             )
 
@@ -167,6 +170,7 @@ def _superstep(
                 remaining, k=k, cap=iterations, minsum_mode=cn_mode,
                 batch_tile=batch_tile, message_dtype=message_dtype,
                 permute=permute, interpret=interpret,
+                quant_scale=quant_scale,
             )
         )
         return PStreamState(
@@ -229,6 +233,21 @@ def make_streaming_pallas_step(
     if permute == "auto":
         permute = "mxu" if pdc.mxu_blocks_fwd is not None else "benes"
     dtype = jnp.dtype(dec.message_dtype)
+    if dtype == jnp.int8:
+        # same constraints as the batch kernel (bp_decode_pallas): the
+        # integer lattice is only exact for min-sum-family CN forms and
+        # rides the native s8 MXU transport
+        kind = dec.cn_mode[0] if isinstance(dec.cn_mode, tuple) else dec.cn_mode
+        if kind not in ("BP_MS", "BP_NMS", "BP_OMS", True):
+            raise ValueError(
+                "int8 streaming requires a min-sum-family CN form "
+                "(BP_MS/BP_NMS/BP_OMS)"
+            )
+        if permute != "mxu":
+            raise ValueError(
+                "int8 streaming requires the MXU transport (block-local "
+                "permutation plan)"
+            )
     if gen_watermark is None:
         gen_watermark = max(1, 3 * batch_per_device // 4)
 
@@ -237,6 +256,7 @@ def make_streaming_pallas_step(
             _superstep, pdc, channel_type, iterations, dec.cn_mode,
             batch_per_device, modulation, quota, k, n_outer, batch_tile,
             dec.message_dtype, permute, interpret, gen_watermark,
+            dec.quant_scale,
         )
 
     if mesh is None:
@@ -344,6 +364,21 @@ def make_streaming_pallas_multipoint_step(
     if permute == "auto":
         permute = "mxu" if pdc.mxu_blocks_fwd is not None else "benes"
     dtype = jnp.dtype(dec.message_dtype)
+    if dtype == jnp.int8:
+        # same constraints as the batch kernel (bp_decode_pallas): the
+        # integer lattice is only exact for min-sum-family CN forms and
+        # rides the native s8 MXU transport
+        kind = dec.cn_mode[0] if isinstance(dec.cn_mode, tuple) else dec.cn_mode
+        if kind not in ("BP_MS", "BP_NMS", "BP_OMS", True):
+            raise ValueError(
+                "int8 streaming requires a min-sum-family CN form "
+                "(BP_MS/BP_NMS/BP_OMS)"
+            )
+        if permute != "mxu":
+            raise ValueError(
+                "int8 streaming requires the MXU transport (block-local "
+                "permutation plan)"
+            )
     if gen_watermark is None:
         gen_watermark = max(1, 3 * batch_per_device // 4)
     n_points = mesh.shape[POINT_AXIS]
@@ -363,6 +398,7 @@ def make_streaming_pallas_multipoint_step(
             _superstep, pdc, channel_type, iterations, dec.cn_mode,
             batch_per_device, modulation, quota, k, n_outer, batch_tile,
             dec.message_dtype, permute, interpret, gen_watermark,
+            dec.quant_scale,
         )
         state, acc = body(
             jax.random.fold_in(jax.random.fold_in(key, p_idx), f_idx),

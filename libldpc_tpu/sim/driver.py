@@ -308,6 +308,8 @@ class Simulator:
         # fast path — per-stream reload makes ET strictly cheaper than
         # fixed-iteration decoding (vs. the batch decoder's whole-batch
         # while_loop, gated by its slowest frame)
+        from ..ops.pallas.layout import PallasDeviceCode as _PallasDeviceCode_
+
         self._streaming = (
             simulation_params.streaming
             and decoder_params.early_term
@@ -315,9 +317,14 @@ class Simulator:
             and channel_params.type != "BEC"
             and not decoder_params.layered
             and simulation_params.error_log_file is None
-            # int8 quantized min-sum runs on the batch kernel only (the
-            # in-kernel streaming kernels are f32/bf16)
-            and not (use_pallas and decoder_params.message_dtype == "int8")
+            # int8 streams on the edge-major kernel (MXU transport); the
+            # lane-major kernel is f32/bf16 only, and that routing raises
+            # on int8 before reaching here
+            and not (
+                use_pallas
+                and decoder_params.message_dtype == "int8"
+                and not isinstance(self.dcode, _PallasDeviceCode_)
+            )
         )
         from ..ops.pallas.lanes_layout import LanesDeviceCode
 

@@ -76,6 +76,91 @@ class TestDrainEquivalence:
                             np.asarray(ch.codeword), k)
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize("mstype", ["BP_MS", "BP_OMS"])
+    def test_int8_matches_int8_batch_kernel(self, setup, mstype):
+        """int8 quantized min-sum streams on the edge-major kernel; the
+        drained counts must match the int8 BATCH kernel exactly (same
+        lattice, same semantics — the golden here is bp_decode_pallas
+        with message_dtype='int8', not the f32 XLA decoder)."""
+        from libldpc_tpu.ops.pallas.decode_fused import bp_decode_pallas
+
+        code, pdc = setup
+        if pdc.mxu_blocks_fwd is None:
+            pytest.skip("int8 needs the MXU-block-local plan")
+        B = 64
+        iters = 9
+        ch = simulate_channel(
+            pdc, "AWGN", jax.random.PRNGKey(11), B, np.float32(0.0)
+        )
+        dec = DecoderParams(iterations=iters, type=mstype,
+                            message_dtype="int8")
+        out = bp_decode_pallas(
+            pdc, ch.llr, iterations=iters, early_term=True,
+            minsum_mode=dec.cn_mode, message_dtype="int8", permute="mxu",
+            interpret=True,
+        )
+        bit_pos = np.asarray(pdc.sorted_dc.bit_pos)
+        tx_hard = np.asarray(out.hard)[bit_pos]
+        tx_true = np.asarray(ch.codeword)[bit_pos]
+        errs = (tx_hard != tx_true).sum(axis=0)
+        want = np.array(
+            [errs.sum(), (errs > 0).sum(), B,
+             np.asarray(out.iterations).sum()],
+            dtype=np.int64,
+        )
+        got = _drain_counts(pdc, dec, np.asarray(ch.llr),
+                            np.asarray(ch.codeword), 4)
+        np.testing.assert_array_equal(got, want)
+
+    def test_driver_streams_int8(self, setup):
+        """The Simulator keeps streaming ET enabled for int8 messages on
+        the edge-major (MXU-plan) route and lands the exact quota."""
+        from unittest import mock
+
+        import libldpc_tpu.ops.streaming_pallas as sp
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.utils.params import (
+            ChannelParams, SimulationParams,
+        )
+
+        code, pdc = setup
+        if pdc.mxu_blocks_fwd is None:
+            pytest.skip("int8 needs the MXU-block-local plan")
+
+        orig = sp.bp_stream_chunk_pallas
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(sp, "bp_stream_chunk_pallas", interp):
+            sim = drv.Simulator(
+                code,
+                DecoderParams(iterations=6, early_term=True, type="BP_MS",
+                              message_dtype="int8"),
+                ChannelParams(type="AWGN", seed=3, x_range=(2.0, 2.1, 0.5)),
+                SimulationParams(batch_size=32, max_frames=80, fec=10**9),
+                use_pallas=True,
+                verbose=False,
+            )
+            assert sim._streaming
+            assert "dtype=int8" in sim.decode_path
+            res = sim.start()
+        assert int(res.frames[0]) == 80
+        assert res.avg_iter[0] > 0
+
+    def test_int8_requires_minsum_family(self, setup):
+        code, pdc = setup
+        if pdc.mxu_blocks_fwd is None:
+            pytest.skip("int8 needs the MXU-block-local plan")
+        with pytest.raises(ValueError, match="min-sum-family"):
+            make_streaming_pallas_step(
+                pdc, "AWGN",
+                DecoderParams(iterations=5, type="BP",
+                              message_dtype="int8"),
+                32, interpret=True,
+            )
+
 
 class TestRefill:
     def test_streams_recycle(self, setup):
