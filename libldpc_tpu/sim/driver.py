@@ -73,6 +73,13 @@ FUSED_EDGE_SPACE_LIMIT = 4096
 #: lower it to exercise the routing.
 LANES_EDGE_SPACE_LIMIT = 65536
 
+#: Clos-transport fill wall within the lane extent above: at
+#: n_pad = 65536 the clos/bf16 variant compiles at 49152 padded real
+#: edges (n = 16384 (3,6)) and crashes the remote compiler at 55296
+#: (n = 18432), while f32/Benes runs bit-exactly through 64512
+#: (measured 2026-08-19, benchmarks/res_tp_bl_scale.txt).
+CLOS_LANES_FILL_LIMIT = 49152
+
 _CONSOLE_HEADER = (
     "==============================================================="
     "=============================\n"
@@ -260,6 +267,62 @@ class Simulator:
             self.dcode = to_sorted_device(
                 code, with_layers=decoder_params.layered
             )
+        elif isinstance(self.dcode, _LDC) and self.dcode.transport == "clos":
+            # the Clos transport's wall is tighter than Benes': at
+            # n_pad 65536 it compiles at <= 49152 padded real edges
+            # (n = 16384 (3,6)) but crashes the remote compiler at 55296
+            # (n = 18432) while f32/Benes runs bit-exactly through 64512
+            # (benchmarks/res_tp_bl_scale.txt).  Past the fill wall,
+            # non-BEC decoding drops to the f32/Benes lanes kernel (still
+            # fused, ~XLA-parity per pass but 3-4x XLA with in-kernel
+            # streaming ET); fused BEC — where f32/Benes measured SLOWER
+            # than XLA — reroutes to the XLA peeling decoder.
+            cb = self.dcode.cn_blocks[-1]
+            vb = self.dcode.vn_blocks[-1]
+            fill = max(cb[0] + cb[1] * cb[2], vb[0] + vb[1] * vb[2])
+            if fill > CLOS_LANES_FILL_LIMIT:
+                import dataclasses as _dc
+                import warnings
+
+                if channel_params.type == "BEC":
+                    warnings.warn(
+                        f"padded real edge count {fill} exceeds the Clos "
+                        f"transport's compile envelope "
+                        f"({CLOS_LANES_FILL_LIMIT}); running the XLA "
+                        f"peeling decoder instead",
+                        stacklevel=2,
+                    )
+                    self._fallback_reason = (
+                        f"clos fill {fill} > envelope "
+                        f"{CLOS_LANES_FILL_LIMIT} -> xla peeling decoder"
+                    )
+                    use_pallas = False
+                    from ..ops.sorted import to_sorted_device
+
+                    self.dcode = to_sorted_device(code)
+                else:
+                    warnings.warn(
+                        f"padded real edge count {fill} exceeds the Clos "
+                        f"transport's compile envelope "
+                        f"({CLOS_LANES_FILL_LIMIT}); running the f32/Benes "
+                        f"lane-major kernel instead",
+                        stacklevel=2,
+                    )
+                    self._fallback_reason = (
+                        f"clos fill {fill} > envelope "
+                        f"{CLOS_LANES_FILL_LIMIT} -> f32/benes lanes"
+                    )
+                    decoder_params = _dc.replace(
+                        decoder_params, message_dtype="float32"
+                    )
+                    self.dec = decoder_params
+                    from ..ops.pallas.lanes_layout import to_lanes_device
+
+                    self.dcode = to_lanes_device(
+                        code,
+                        transport="benes",
+                        with_layers=decoder_params.layered,
+                    )
         n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
         if simulation_params.batch_size % n_dev:
             raise ValueError(

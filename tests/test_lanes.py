@@ -293,6 +293,58 @@ class TestDriverRouting:
         res = sim.start()
         assert int(res.frames[0]) == 64
 
+    def test_past_clos_fill_wall_drops_to_benes_f32(self, monkeypatch):
+        """bf16/Clos past CLOS_LANES_FILL_LIMIT (the measured Clos fill
+        wall) rebuilds as the f32/Benes lanes kernel — still fused — with
+        the dtype downgrade visible in the provenance; fused BEC reroutes
+        to the XLA peeling decoder instead (f32/Benes BEC measured slower
+        than XLA)."""
+        import dataclasses
+
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.ops.pallas import layout as pallas_layout
+        from libldpc_tpu.ops.pallas.lanes_layout import LanesDeviceCode
+        from libldpc_tpu.ops.sorted import SortedDeviceCode
+        from libldpc_tpu.utils.params import (
+            ChannelParams, DecoderParams, SimulationParams,
+        )
+
+        monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
+        monkeypatch.setattr(drv, "CLOS_LANES_FILL_LIMIT", 128)
+        orig_tpd = pallas_layout.to_pallas_device
+        monkeypatch.setattr(
+            pallas_layout,
+            "to_pallas_device",
+            lambda c, **kw: dataclasses.replace(
+                orig_tpd(c, **kw), mxu_blocks_fwd=None
+            ),
+        )
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+        ch = ChannelParams(type="AWGN", seed=3, x_range=(2.0, 2.1, 0.5))
+        sp = SimulationParams(batch_size=32, max_frames=64, fec=10**9)
+
+        with pytest.warns(UserWarning, match="Clos transport"):
+            sim = drv.Simulator(
+                code,
+                DecoderParams(iterations=6, message_dtype="bfloat16"),
+                ch, sp, use_pallas=True, verbose=False,
+            )
+        assert isinstance(sim.dcode, LanesDeviceCode)
+        assert sim.dcode.transport == "benes"
+        assert sim.dec.message_dtype == "float32"
+        assert "dtype=float32" in sim.decode_path
+        assert "f32/benes lanes" in sim.decode_path
+
+        with pytest.warns(UserWarning, match="Clos transport"):
+            sim_bec = drv.Simulator(
+                code,
+                DecoderParams(iterations=6),
+                ChannelParams(type="BEC", seed=3, x_range=(0.3, 0.31, 0.5)),
+                sp, use_pallas=True, verbose=False,
+            )
+        assert isinstance(sim_bec.dcode, SortedDeviceCode)
+        assert "xla peeling" in sim_bec.decode_path
+
 
 class TestLanesDecoder:
     @pytest.mark.parametrize("early_term", [True, False])
