@@ -92,6 +92,7 @@ def main():
             DecoderParams(early_term=True, iterations=50, **dec_kw),
             batch,
             gen_watermark=int(float(wm) * batch) if wm else None,
+            chunk_iters=int(os.environ.get("ET_CHUNK", "0")),
         )
     else:
         # fixed-iteration fast path (the bar to beat)
