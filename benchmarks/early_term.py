@@ -73,6 +73,8 @@ def main():
     dec_kw = dict(message_dtype="bfloat16") if use_pallas else {}
     if os.environ.get("ET_TYPE"):
         dec_kw["type"] = os.environ["ET_TYPE"]
+    if os.environ.get("ET_DTYPE"):
+        dec_kw["message_dtype"] = os.environ["ET_DTYPE"]
     if use_pallas:
         from libldpc_tpu.ops.pallas.layout import to_pallas_device
         from libldpc_tpu.ops.streaming_pallas import (
