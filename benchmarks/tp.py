@@ -113,8 +113,9 @@ def main():
     ap.add_argument("--permute", default="auto",
                     choices=["auto", "benes", "mxu"])
     ap.add_argument("--message-dtype", default="float32",
-                    choices=["float32", "bfloat16"],
-                    help="Fused-kernel message dtype (bf16 transport).")
+                    choices=["float32", "bfloat16", "int8"],
+                    help="Fused-kernel message dtype (bf16 transport; int8 "
+                         "integer lattice — min-sum family + MXU plan only).")
     ap.add_argument("--iters-list", default="1,2,5,10,25,50,100,200")
     ap.add_argument("--bl-list", default="256,512,1024,2048,4096,8192")
     ap.add_argument("--bl-iters", type=int, default=32)
@@ -126,8 +127,10 @@ def main():
     suffix = "pallas" if args.pallas else "tpu"
     if args.decoder != "BP":
         suffix += "_" + args.decoder.lower()
-    if args.message_dtype != "float32":
+    if args.message_dtype == "bfloat16":
         suffix += "_bf16"
+    elif args.message_dtype == "int8":
+        suffix += "_int8"
 
     if args.mode in ("iter", "both"):
         h = "/root/reference/tests/code/h.txt"
