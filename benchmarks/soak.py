@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--type", default="BP",
                     help="decoder type (BP / BP_TANH / BP_MS / ...)")
+    ap.add_argument("--ms-scale", type=float, default=None,
+                    help="NMS/OMS alpha (defaults to DecoderParams').")
+    ap.add_argument("--ms-offset", type=float, default=None,
+                    help="NMS/OMS beta (defaults to DecoderParams').")
     ap.add_argument("--fec", type=int, default=3000)
     ap.add_argument("--max-frames", type=int, default=2_000_000)
     ap.add_argument("--out", default=os.path.join(
@@ -58,10 +62,15 @@ def main():
 
     tmp_res = args.out + ".res.tmp"
     tmp_ckpt = args.out + ".ckpt.tmp"
+    ms_kw = {}
+    if args.ms_scale is not None:
+        ms_kw["ms_scale"] = args.ms_scale
+    if args.ms_offset is not None:
+        ms_kw["ms_offset"] = args.ms_offset
     sim = Simulator(
         code,
         DecoderParams(iterations=50, early_term=True, type=args.type,
-                      message_dtype=args.dtype),
+                      message_dtype=args.dtype, **ms_kw),
         ChannelParams(seed=3, x_range=(-8.0, -2.9, 1.0), type="AWGN"),
         SimulationParams(
             batch_size=args.batch, fec=args.fec, max_frames=args.max_frames,
