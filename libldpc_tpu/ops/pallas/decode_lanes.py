@@ -383,7 +383,9 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
 
                 done_i2 = done_ref[:, 0:1]
                 age_i = age_ref[:, 0:1]
-                is_cw = syndrome(q)  # [ft, 1]
+                # BEC convergence is "no erasures left", not a syndrome
+                # (same switch as the batch kernels above)
+                is_cw = resolved(llr_out) if bec_mode else syndrome(q)
                 checking = (1 - done_i2) * jnp.where(age_i >= 1, 1, 0)
                 newly = checking * is_cw
                 iters2 = iters_ref[:, 0:1] + checking * (1 - is_cw)
@@ -394,10 +396,16 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                     (newly > 0) | (age2 >= cap + 1), 1, 0
                 )
                 done_ref[:, 0:1] = done_i2 + finished
-                # transmitted-bit errors along the lane axis
-                err = jnp.where(
-                    (llr_out <= 0) != (cw_ref[:] > 0), istx_ref[:], 0
-                )
+                # transmitted-bit errors along the lane axis.  BEC: errors
+                # are exactly the unresolved transmitted bits — revealed
+                # messages always equal the true bit, and unresolved bits
+                # decide the WRONG bit (src/decoding/decoder.cpp:163-165)
+                if bec_mode:
+                    err = jnp.where(llr_out == 0.0, istx_ref[:], 0)
+                else:
+                    err = jnp.where(
+                        (llr_out <= 0) != (cw_ref[:] > 0), istx_ref[:], 0
+                    )
                 biterr = jnp.sum(err, axis=1, keepdims=True)  # [ft, 1]
                 upd = (
                     jnp.where(col == 0, finished * biterr, 0)
@@ -841,7 +849,7 @@ def bec_decode_lanes(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "cap", "minsum_mode", "frame_tile", "interpret",
-                     "message_dtype"),
+                     "message_dtype", "bec_mode"),
 )
 def bp_stream_chunk_lanes(
     ldc: LanesDeviceCode,
@@ -865,6 +873,7 @@ def bp_stream_chunk_lanes(
     frame_tile: int = 0,
     interpret: bool = False,
     message_dtype: str = "float32",
+    bec_mode: bool = False,
 ):
     """Run ``k`` self-refilling lane-major BP passes (``kernel_stream``
     above); all eight state operands are donated/aliased in place.  The
@@ -885,7 +894,7 @@ def bp_stream_chunk_lanes(
     if ft & (ft - 1):
         raise ValueError(f"frame tile {ft} must be a power of two")
     kernel = _make_kernel(ldc, k, True, minsum_mode, ft, dtype,
-                          stream=True, cap=cap)
+                          stream=True, cap=cap, bec_mode=bec_mode)
     W = ldc.planes.shape[0]
     clos = ldc.transport == "clos"
     nb = ldc.n_pad // 128

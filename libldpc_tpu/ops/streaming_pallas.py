@@ -46,7 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .channel import simulate_channel
+from .channel import BEC_ERASURE, simulate_channel
 from .pallas.decode_fused import DEFAULT_QUANT_SCALE, bp_stream_chunk_pallas
 from .pallas.layout import PallasDeviceCode
 from .streaming import (
@@ -529,9 +529,19 @@ def _lanes_superstep(
                 ldc.sorted_dc, channel_type, jax.random.fold_in(key, j),
                 batch, x_value, modulation=modulation,
             )
+            vals = ch.llr
+            if channel_type == "BEC":
+                # sign encoding of the 3-state symbols (bit 0 -> +1,
+                # bit 1 -> -1, erasure -> exact 0) — the BEC peeling
+                # algebra IS min-sum BP over it (see bec_decode_lanes)
+                vals = jnp.where(
+                    ch.llr == BEC_ERASURE,
+                    jnp.float32(0.0),
+                    1.0 - 2.0 * ch.llr.astype(jnp.float32),
+                )
             unused = st.avail[:, 0:1] > 0  # [B, 1] row-broadcast
             llr = jnp.where(unused, st.fresh_llr,
-                            lanes_of(ch.llr, jnp.float32))
+                            lanes_of(vals, jnp.float32))
             # edge-space gathered priors for the warm-up-free reload
             return (
                 llr,
@@ -557,7 +567,7 @@ def _lanes_superstep(
                 refill_i,
                 remaining, k=k, cap=iterations, minsum_mode=cn_mode,
                 frame_tile=frame_tile, message_dtype=message_dtype,
-                interpret=interpret,
+                interpret=interpret, bec_mode=channel_type == "BEC",
             )
         )
         return LStreamState(
@@ -598,9 +608,13 @@ def make_streaming_lanes_step(
     """:func:`make_streaming_pallas_step` over the lane-major kernel — the
     in-kernel streaming path for large blocklengths (any ``n`` the
     :class:`~libldpc_tpu.ops.pallas.lanes_layout.LanesDeviceCode` layout
-    accepts).  Same state/step contract and semantics."""
-    if channel_type == "BEC":
-        raise ValueError("streaming decode does not cover the BEC decoder")
+    accepts).  Same state/step contract and semantics.
+
+    Unlike the other streaming builders this one also covers the BEC:
+    over the sign encoding the peeling algebra is min-sum BP (see
+    :func:`...decode_lanes.bec_decode_lanes`), so the same in-kernel
+    reload/counting machinery applies with the "no erasures left"
+    convergence predicate."""
     iterations = dec.iterations
     if iterations < 1:
         raise ValueError("streaming decode requires iterations >= 1")
@@ -610,9 +624,16 @@ def make_streaming_lanes_step(
     if gen_watermark is None:
         gen_watermark = max(1, 3 * batch_per_device // 4)
 
+    cn_mode = "BP_MS" if channel_type == "BEC" else dec.cn_mode
+    if channel_type == "BEC" and frame_tile == 0:
+        # the BEC variant's scoped-VMEM footprint is larger than BP's at
+        # the default tile (measured: ft=32/bf16 overflows VMEM by ~13MB
+        # at n_pad 32768 where the BP kernel fits; ft=16 compiles and runs)
+        frame_tile = 16 if jnp.dtype(dec.message_dtype) == jnp.bfloat16 else 8
+
     def body(quota):
         return functools.partial(
-            _lanes_superstep, ldc, channel_type, iterations, dec.cn_mode,
+            _lanes_superstep, ldc, channel_type, iterations, cn_mode,
             batch_per_device, modulation, quota, k, n_outer, frame_tile,
             dec.message_dtype, interpret, gen_watermark,
         )
@@ -710,9 +731,8 @@ def make_streaming_lanes_multipoint_step(
     """Lane-major in-kernel streaming over a 2-D ``(points, frames)``
     mesh — point-parallel wide sweeps on large blocklengths (see
     :func:`make_streaming_lanes_step` and
-    :func:`make_streaming_pallas_multipoint_step`)."""
-    if channel_type == "BEC":
-        raise ValueError("streaming decode does not cover the BEC decoder")
+    :func:`make_streaming_pallas_multipoint_step`; like it, this builder
+    also covers the BEC)."""
     iterations = dec.iterations
     if iterations < 1:
         raise ValueError("streaming decode requires iterations >= 1")
@@ -734,9 +754,13 @@ def make_streaming_lanes_multipoint_step(
             jnp.int32(base) + (f_idx < rem).astype(jnp.int32),
             jnp.int32(_INT32_SAFE),
         )
+        ft_l = frame_tile
+        if channel_type == "BEC" and ft_l == 0:
+            ft_l = 16 if jnp.dtype(dec.message_dtype) == jnp.bfloat16 else 8
         body = functools.partial(
-            _lanes_superstep, ldc, channel_type, iterations, dec.cn_mode,
-            batch_per_device, modulation, quota, k, n_outer, frame_tile,
+            _lanes_superstep, ldc, channel_type, iterations,
+            "BP_MS" if channel_type == "BEC" else dec.cn_mode,
+            batch_per_device, modulation, quota, k, n_outer, ft_l,
             dec.message_dtype, interpret, gen_watermark,
         )
         state, acc = body(

@@ -377,6 +377,15 @@ class Simulator:
             simulation_params.streaming
             and decoder_params.early_term
             and decoder_params.iterations >= 1
+            # BEC stays batch-stepped: in-kernel streaming exists for it
+            # (make_streaming_lanes_step covers BEC over the sign-encoded
+            # min-sum ride, drain-exact vs the batch kernel) but measured
+            # at best a TIE with the batch fused path (n=8192, 48 vs 49
+            # us/frame at avg_iter 32) and a 2-6x LOSS at n=1024 — BEC
+            # iteration counts concentrate tightly, so the batch kernel's
+            # per-tile early exit already captures the avg_iter saving
+            # without the superstep machinery.  Negative result recorded
+            # in benchmarks/EARLY_TERM.md.
             and channel_params.type != "BEC"
             and not decoder_params.layered
             and simulation_params.error_log_file is None

@@ -382,6 +382,127 @@ class TestLanesStreaming:
                 break
         np.testing.assert_array_equal(totals, want)
 
+    def test_bec_drain_matches_batch_bec_kernel(self, lsetup):
+        """BEC streams on the lanes kernel (sign-encoded min-sum ride):
+        drained counts must match the batch fused BEC decoder exactly."""
+        import jax.numpy as jnp
+        from libldpc_tpu.ops.channel import BEC_ERASURE
+        from libldpc_tpu.ops.pallas.decode_lanes import bec_decode_lanes
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_lanes_step,
+        )
+
+        code, ldc = lsetup
+        B = 16
+        iters = 9
+        ch = simulate_channel(
+            ldc.sorted_dc, "BEC", jax.random.PRNGKey(5), B,
+            np.float32(0.45),
+        )
+        out = bec_decode_lanes(
+            ldc, ch.llr, ch.codeword, iterations=iters, early_term=True,
+            interpret=True, frame_tile=8,
+        )
+        bit_pos = np.asarray(ldc.sorted_dc.bit_pos)
+        errs = (
+            np.asarray(out.hard)[bit_pos]
+            != np.asarray(ch.codeword)[bit_pos]
+        ).sum(axis=0)
+        want = np.array(
+            [errs.sum(), (errs > 0).sum(), B,
+             np.asarray(out.iterations).sum()], dtype=np.int64,
+        )
+
+        init_fn, step_fn = make_streaming_lanes_step(
+            ldc, "BEC", DecoderParams(iterations=iters), B,
+            chunk_iters=4, interpret=True, frame_tile=8,
+        )
+        state = init_fn()
+        # inject the same frames: sign encoding, then lane space
+        sign = jnp.where(
+            ch.llr == BEC_ERASURE,
+            jnp.float32(0.0),
+            1.0 - 2.0 * ch.llr.astype(jnp.float32),
+        )
+        real = np.zeros((ldc.nc_pad, 1), np.float32)
+        real[np.asarray(ldc.lane_of_vn)] = 1.0
+        llr_l = (np.asarray(
+            jnp.take(sign, ldc.vn_of_lane, axis=0, mode="fill",
+                     fill_value=0.0)) * real).T
+        cw_l = (np.asarray(
+            jnp.take(ch.codeword.astype(jnp.float32), ldc.vn_of_lane,
+                     axis=0, mode="fill", fill_value=0.0)) * real).T
+        state = state._replace(
+            llr_in=jnp.asarray(llr_l, jnp.float32),
+            codeword=jnp.asarray(cw_l).astype(jnp.int32),
+            done=jnp.zeros((B, 128), jnp.int32),
+        )
+        totals = np.zeros(4, dtype=np.int64)
+        for step in range(60):
+            state, acc = step_fn(
+                state, jax.random.PRNGKey(step), np.float32(0.45),
+                jnp.asarray(False),
+            )
+            totals += np.array([
+                int(acc.bit_errors), int(acc.frame_errors),
+                int(acc.frames), int(acc.iter_sum),
+            ])
+            if int(acc.n_active) == 0:
+                break
+        np.testing.assert_array_equal(totals, want)
+
+    def test_bec_streaming_self_refills(self, lsetup):
+        """BEC streaming with its own channel generation: exact quota,
+        plausible erasure-rate error statistics."""
+        import jax.numpy as jnp
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_lanes_step,
+        )
+
+        code, ldc = lsetup
+        B = 16
+        init_fn, step_fn = make_streaming_lanes_step(
+            ldc, "BEC", DecoderParams(iterations=8), B, chunk_iters=4,
+            interpret=True, frame_tile=8, max_frames=37,
+        )
+        state = init_fn()
+        frames = fec = 0
+        for s in range(60):
+            state, acc = step_fn(
+                state, jax.random.PRNGKey(s), np.float32(0.55),
+                jnp.asarray(frames < 37),
+            )
+            frames += int(acc.frames)
+            fec += int(acc.frame_errors)
+            if frames >= 37 and int(acc.n_active) == 0:
+                break
+        assert frames == 37
+        assert fec > 0  # eps 0.55 > the (3,6) BEC threshold ~0.43
+
+    def test_driver_keeps_bec_on_batch(self, lsetup):
+        """The driver does NOT stream BEC (measured at best a tie with
+        the batch fused path — see the gate comment in sim/driver.py and
+        benchmarks/EARLY_TERM.md); the capability itself stays available
+        through make_streaming_lanes_step (tests above)."""
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.ops.pallas.lanes_layout import LanesDeviceCode
+        from libldpc_tpu.utils.params import (
+            ChannelParams, SimulationParams,
+        )
+
+        code, _ = lsetup
+        sim = drv.Simulator(
+            code,
+            DecoderParams(iterations=8, early_term=True),
+            ChannelParams(type="BEC", seed=3, x_range=(0.4, 0.41, 0.5)),
+            SimulationParams(batch_size=32, max_frames=90, fec=10**9),
+            use_pallas=True,
+            verbose=False,
+        )
+        assert isinstance(sim.dcode, LanesDeviceCode)
+        assert not sim._streaming
+        assert "streaming=off" in sim.decode_path
+
     def test_refill_and_exact_quota(self, lsetup):
         import jax.numpy as jnp
         from libldpc_tpu.ops.streaming_pallas import (
