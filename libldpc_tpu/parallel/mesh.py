@@ -311,6 +311,7 @@ def make_multipoint_sim_step(
     mesh: Mesh,
     use_pallas: bool = False,
     modulation=None,
+    forensics: bool = False,
 ):
     """Sweep-point × frame parallelism over a 2-D mesh.
 
@@ -322,7 +323,12 @@ def make_multipoint_sim_step(
     counters come back per-point (``psum`` over frames only).
 
     Returns ``step(key, x_values[n_points]) -> counters with leading
-    n_points axis`` where ``n_points = mesh.shape[POINT_AXIS]``.
+    n_points axis`` where ``n_points = mesh.shape[POINT_AXIS]``.  With
+    ``forensics`` the per-point decisions and truth come back too
+    (``[n_points, nc, batch]``) so the wide driver can write the same
+    per-error-frame log as the sequential one (the GPU stack's
+    ``log_error`` works in its only driver mode,
+    ``gpu/sim/ldpcsim.cpp:351-464`` — ours must work in every mode).
     """
     n_points = mesh.shape[POINT_AXIS]
 
@@ -338,8 +344,9 @@ def make_multipoint_sim_step(
             batch_per_device,
             use_pallas,
             modulation,
+            forensics,
         )
-        return (
+        out = [
             jax.lax.psum(local.bit_errors[None], FRAME_AXIS),
             jax.lax.psum(local.frame_errors[None], FRAME_AXIS),
             jax.lax.psum(local.frames[None], FRAME_AXIS),
@@ -347,21 +354,34 @@ def make_multipoint_sim_step(
             jax.lax.all_gather(
                 local.frame_bit_errors, FRAME_AXIS, tiled=True
             )[None],
-        )
+        ]
+        if forensics:
+            # frame shards assemble on the last axis via the out_specs
+            out.append(local.hard[None])
+            out.append(local.codeword[None])
+        return tuple(out)
 
+    out_specs = [
+        P(POINT_AXIS),
+        P(POINT_AXIS),
+        P(POINT_AXIS),
+        P(POINT_AXIS),
+        P(POINT_AXIS, None),
+    ]
+    if forensics:
+        out_specs += [
+            P(POINT_AXIS, None, FRAME_AXIS),
+            P(POINT_AXIS, None, FRAME_AXIS),
+        ]
     sharded = jax.shard_map(
         shard_body,
         mesh=mesh,
         in_specs=(P(), P(POINT_AXIS)),
-        out_specs=(
-            P(POINT_AXIS),
-            P(POINT_AXIS),
-            P(POINT_AXIS),
-            P(POINT_AXIS),
-            P(POINT_AXIS, None),
-        ),
+        out_specs=tuple(out_specs),
         check_vma=False,
     )
+
+    cls = ForensicStepCounters if forensics else StepCounters
 
     @jax.jit
     def step(key: jax.Array, x_values: jnp.ndarray) -> StepCounters:
@@ -369,6 +389,6 @@ def make_multipoint_sim_step(
             raise ValueError(
                 f"x_values has {x_values.shape[0]} points, mesh expects {n_points}"
             )
-        return StepCounters(*sharded(key, x_values))
+        return cls(*sharded(key, x_values))
 
     return step

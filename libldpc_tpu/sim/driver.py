@@ -207,12 +207,25 @@ class Simulator:
                 from ..ops.pallas.lanes_layout import to_lanes_device
 
                 if decoder_params.message_dtype == "int8":
-                    raise ValueError(
+                    # the int8 integer-lattice min-sum lives on the
+                    # MXU-block-local edge-major kernel; the lane-major
+                    # route (large unstructured codes) runs bf16 instead —
+                    # a warned, provenance-recorded accuracy/speed reroute,
+                    # never a raise (the reference keeps its speed trades
+                    # available in the main path, gpu/ldpc/ldpc.cpp:232-241)
+                    import dataclasses as _dc
+
+                    self._record_fallback(
+                        "int8 unsupported on lane-major kernel -> bf16",
                         "int8 quantized messages need the MXU-block-local "
                         "edge-major kernel; this code is large and "
-                        "unstructured (lane-major route) — use float32/"
-                        "bfloat16 messages here"
+                        "unstructured (lane-major route) — running "
+                        "bfloat16 messages instead",
                     )
+                    decoder_params = _dc.replace(
+                        decoder_params, message_dtype="bfloat16"
+                    )
+                    self.dec = decoder_params
                 # clos transport unlocks bf16 messages and replaces the
                 # dominant intra-lane Benes rolls with MXU matmuls +
                 # tile moves; f32 stays on Benes (the f32 HIGHEST-
@@ -230,9 +243,12 @@ class Simulator:
         else:
             if use_pallas and channel_params.type == "BEC":
                 # only the layered / stale-byte-compat BEC modes reroute
-                # to the XLA peeling decoder; record it in the provenance
-                self._fallback_reason = (
-                    "BEC layered/bug-compat mode -> xla peeling decoder"
+                # to the XLA peeling decoder
+                self._record_fallback(
+                    "BEC layered/bug-compat mode -> xla peeling decoder",
+                    "fused BEC decoding supports neither the layered "
+                    "schedule nor the stale-byte bug-compat mode; running "
+                    "the XLA peeling decoder instead",
                 )
             use_pallas = False
             from ..ops.sorted import to_sorted_device
@@ -248,18 +264,13 @@ class Simulator:
             isinstance(self.dcode, _LDC)
             and self.dcode.n_pad > LANES_EDGE_SPACE_LIMIT
         ):
-            import warnings
-
-            warnings.warn(
+            self._record_fallback(
+                f"lanes n_pad {self.dcode.n_pad} > envelope "
+                f"{LANES_EDGE_SPACE_LIMIT} -> xla sorted decoder",
                 f"padded edge space {self.dcode.n_pad} exceeds the "
                 f"lane-major kernel's measured compile envelope "
                 f"({LANES_EDGE_SPACE_LIMIT}); running the XLA sorted "
                 f"decoder instead",
-                stacklevel=2,
-            )
-            self._fallback_reason = (
-                f"lanes n_pad {self.dcode.n_pad} > envelope "
-                f"{LANES_EDGE_SPACE_LIMIT} -> xla sorted decoder"
             )
             use_pallas = False
             from ..ops.sorted import to_sorted_device
@@ -282,35 +293,28 @@ class Simulator:
             fill = max(cb[0] + cb[1] * cb[2], vb[0] + vb[1] * vb[2])
             if fill > CLOS_LANES_FILL_LIMIT:
                 import dataclasses as _dc
-                import warnings
 
                 if channel_params.type == "BEC":
-                    warnings.warn(
+                    self._record_fallback(
+                        f"clos fill {fill} > envelope "
+                        f"{CLOS_LANES_FILL_LIMIT} -> xla peeling decoder",
                         f"padded real edge count {fill} exceeds the Clos "
                         f"transport's compile envelope "
                         f"({CLOS_LANES_FILL_LIMIT}); running the XLA "
                         f"peeling decoder instead",
-                        stacklevel=2,
-                    )
-                    self._fallback_reason = (
-                        f"clos fill {fill} > envelope "
-                        f"{CLOS_LANES_FILL_LIMIT} -> xla peeling decoder"
                     )
                     use_pallas = False
                     from ..ops.sorted import to_sorted_device
 
                     self.dcode = to_sorted_device(code)
                 else:
-                    warnings.warn(
+                    self._record_fallback(
+                        f"clos fill {fill} > envelope "
+                        f"{CLOS_LANES_FILL_LIMIT} -> f32/benes lanes",
                         f"padded real edge count {fill} exceeds the Clos "
                         f"transport's compile envelope "
                         f"({CLOS_LANES_FILL_LIMIT}); running the f32/Benes "
                         f"lane-major kernel instead",
-                        stacklevel=2,
-                    )
-                    self._fallback_reason = (
-                        f"clos fill {fill} > envelope "
-                        f"{CLOS_LANES_FILL_LIMIT} -> f32/benes lanes"
                     )
                     decoder_params = _dc.replace(
                         decoder_params, message_dtype="float32"
@@ -373,7 +377,7 @@ class Simulator:
         # while_loop, gated by its slowest frame)
         from ..ops.pallas.layout import PallasDeviceCode as _PallasDeviceCode_
 
-        self._streaming = (
+        stream_eligible = (
             simulation_params.streaming
             and decoder_params.early_term
             and decoder_params.iterations >= 1
@@ -388,15 +392,27 @@ class Simulator:
             # in benchmarks/EARLY_TERM.md.
             and channel_params.type != "BEC"
             and not decoder_params.layered
-            and simulation_params.error_log_file is None
             # int8 streams on the edge-major kernel (MXU transport); the
-            # lane-major kernel is f32/bf16 only, and that routing raises
-            # on int8 before reaching here
+            # lane-major kernel is f32/bf16 only, and that routing reroutes
+            # int8 to bf16 before reaching here
             and not (
                 use_pallas
                 and decoder_params.message_dtype == "int8"
                 and not isinstance(self.dcode, _PallasDeviceCode_)
             )
+        )
+        if stream_eligible and simulation_params.error_log_file is not None:
+            # forensic logging needs the per-frame decisions of a whole
+            # batch, which the streaming compaction pools don't surface —
+            # the ET fast path drops to batch stepping.  Recorded in the
+            # provenance so the mode interaction is visible in the results
+            # file (no warning: asking for forensics implies the trade).
+            self._record_fallback(
+                "forensic error log -> streaming ET disabled (batch "
+                "stepping)"
+            )
+        self._streaming = (
+            stream_eligible and simulation_params.error_log_file is None
         )
         from ..ops.pallas.lanes_layout import LanesDeviceCode
 
@@ -466,6 +482,20 @@ class Simulator:
         self.results: Optional[SimResults] = None
         self.decode_path = self._describe_decode_path()
 
+    def _record_fallback(self, reason: str, warn_msg: str = "") -> None:
+        """Single choke point for every capability reroute: emits a
+        ``UserWarning`` (unless ``warn_msg`` is empty — reserved for
+        documented mode interactions the user opted into) and stamps the
+        reason into the results-file provenance via ``decode_path``, so no
+        fallback can ever be silent in either channel."""
+        import warnings
+
+        if warn_msg:
+            warnings.warn(warn_msg, stacklevel=3)
+        if not hasattr(self, "_fallback_reasons"):
+            self._fallback_reasons: list[str] = []
+        self._fallback_reasons.append(reason)
+
     def _describe_decode_path(self) -> str:
         """One-line description of the decode path actually constructed —
         kernel family, transport, message dtype, schedule, streaming mode,
@@ -498,8 +528,7 @@ class Simulator:
             f"schedule={'layered' if self.dec.layered else 'flooding'}",
             f"streaming={'on' if self._streaming else 'off'}",
         ]
-        reason = getattr(self, "_fallback_reason", None)
-        if reason:
+        for reason in getattr(self, "_fallback_reasons", []):
             parts.append(f"fallback[{reason}]")
         return " ".join(parts)
 
@@ -976,6 +1005,7 @@ class Simulator:
                 mesh,
                 use_pallas=self._use_pallas,
                 modulation=self._mod_for_step,
+                forensics=self.sim.error_log_file is not None,
             )
         x_vals = self.ch.sweep_values()
         results = SimResults.empty(len(x_vals), x_vals)
@@ -1070,6 +1100,8 @@ class Simulator:
                 )
                 batch_idx += 1
                 elapsed = time.perf_counter() - t_start
+                t_io = time.perf_counter()
+                forensic_data = None  # fetched lazily, once per batch
                 for slot, i in enumerate(padded[: len(group)]):
                     cc = c[i]
                     if (
@@ -1081,6 +1113,28 @@ class Simulator:
                     cc.frame_errors += int(fec[slot])
                     cc.frames += int(frames[slot])
                     cc.iter_sum += int(iters[slot])
+                    if self.sim.error_log_file and int(bec[slot]):
+                        # per-point forensic log from the multipoint batch
+                        # (same line format as the sequential driver's;
+                        # finished slots are skipped above, so logged frames
+                        # are exactly the counted ones)
+                        import types
+
+                        if forensic_data is None:
+                            forensic_data = jax.device_get(
+                                (out.frame_bit_errors, out.hard,
+                                 out.codeword)
+                            )
+                        fb_, hard_, cw_ = forensic_data
+                        self._log_error_frames(
+                            types.SimpleNamespace(
+                                frame_bit_errors=fb_[slot],
+                                hard=hard_[slot],
+                                codeword=cw_[slot],
+                            ),
+                            x_vals[i],
+                            cc.frames,
+                        )
                     # per-point device window: each point owns its own
                     # slice of the points axis, so its honest elapsed time
                     # is the group wall-clock while it was still live (a
@@ -1107,6 +1161,9 @@ class Simulator:
                     sys.stdout.flush()
                 emit_rows()
                 self._save_checkpoint_wide(x_vals, results, g0, c, batch_idx)
+                # don't charge printing/forensic/checkpoint IO to the group
+                # frame clock (src/sim/ldpcsim.cpp:251 analogue)
+                t_start += time.perf_counter() - t_io
             # group finished: checkpoint the next group at batch 0
             self._save_checkpoint_wide(
                 x_vals, results, g0 + n_pts_parallel, {}, 0
@@ -1210,6 +1267,7 @@ class Simulator:
                         elapsed_s=c[i].elapsed_s,
                         nc=self.code.nc,
                     )
+            t_io = time.perf_counter()
             if self.verbose:
                 status = "  ".join(
                     f"x={x_vals[i]:g}:{c[i].frame_errors}/{self.sim.fec}"
@@ -1219,6 +1277,8 @@ class Simulator:
                 sys.stdout.flush()
             emit_rows()
             self._save_checkpoint_wide(x_vals, results, g0, c, batch_idx)
+            # don't charge printing/checkpoint IO to the group frame clock
+            t_start += time.perf_counter() - t_io
             # quota-exhaustion guard (see _run_point_streaming): unfinished
             # points, nothing in flight anywhere, zero progress — the
             # per-device start quotas are consumed; stop this group instead
@@ -1243,6 +1303,49 @@ class Simulator:
 
     # --------------------------------------------------------- checkpointing
 
+    def _checkpoint_config(self) -> dict:
+        """Experiment identity stored with every checkpoint: the full
+        decoder configuration, the batch size (which fixes the RNG stream
+        mapping) and the constructed decode path.  Resuming under a
+        different value of any of these would merge statistics from two
+        different experiments into one curve, so the loaders refuse (start
+        fresh with a warning) on mismatch.  ``fec``/``max_frames`` are
+        deliberately NOT part of the identity: raising them to extend a
+        finished sweep is a legitimate, statistics-preserving resume (the
+        stopping rule is evaluated on the host, not baked into the data)."""
+        return {
+            "dec": dataclasses.asdict(self.dec),
+            "batch_size": self.sim.batch_size,
+            "decode_path": self.decode_path,
+        }
+
+    def _check_checkpoint_config(self, state: dict) -> bool:
+        """True when the checkpoint's experiment identity matches this
+        simulator's; warns and returns False otherwise (the caller starts
+        the sweep fresh rather than merging incompatible statistics)."""
+        import warnings
+
+        stored = state.get("config")
+        if stored == self._checkpoint_config():
+            return True
+        if stored is None:
+            warnings.warn(
+                "checkpoint predates config stamping (no experiment "
+                "identity recorded); refusing to resume — starting fresh"
+            )
+        else:
+            cur = self._checkpoint_config()
+            diffs = [
+                k for k in set(stored) | set(cur)
+                if stored.get(k) != cur.get(k)
+            ]
+            warnings.warn(
+                "checkpoint was written by a different experiment "
+                f"configuration (mismatched: {', '.join(sorted(diffs))}); "
+                "refusing to resume — starting fresh"
+            )
+        return False
+
     def _save_checkpoint(
         self, x_vals, results: SimResults, point: int, c: _PointCounters
     ) -> None:
@@ -1254,6 +1357,7 @@ class Simulator:
             "counters": c.as_list(),
             "seed": self.ch.seed,
             "channel": self.ch.type,
+            "config": self._checkpoint_config(),
             "results": json.loads(results.to_json()),
         }
         tmp = self.sim.checkpoint_file + ".tmp"
@@ -1275,6 +1379,7 @@ class Simulator:
             "counters": {str(i): c.as_list() for i, c in counters.items()},
             "seed": self.ch.seed,
             "channel": self.ch.type,
+            "config": self._checkpoint_config(),
             "results": json.loads(results.to_json()),
         }
         tmp = self.sim.checkpoint_file + ".tmp"
@@ -1295,6 +1400,8 @@ class Simulator:
             or state.get("channel") != self.ch.type
         ):
             return None  # sweep config changed; start fresh
+        if not self._check_checkpoint_config(state):
+            return None  # experiment identity changed; warned, start fresh
         results = SimResults.from_json(json.dumps(state["results"]))
         counters = {
             int(i): _PointCounters.from_list(v)
@@ -1314,5 +1421,7 @@ class Simulator:
             or state.get("channel") != self.ch.type
         ):
             return None  # sweep config changed; start fresh
+        if not self._check_checkpoint_config(state):
+            return None  # experiment identity changed; warned, start fresh
         results = SimResults.from_json(json.dumps(state["results"]))
         return results, state["point"], _PointCounters.from_list(state["counters"])
