@@ -36,6 +36,12 @@ _SIM_DEFAULTS = {
     "mesh": None,
     "usePallas": False,
     "messageDtype": "float32",
+    # round-3 driver features surfaced with parity-preserving defaults
+    "layered": False,
+    "modulation": None,
+    "pointsParallel": 0,
+    "errorLogFile": None,
+    "quantScale": 0.1875,
 }
 
 _decode_sorted_jit = None  # lazily-created shared jit for LDPC.decode
@@ -179,14 +185,43 @@ class LDPC:
         seed, snr=[MIN, MAX, STEP], channel, maxFrames, fec`` — plus
         TPU-native controls ``batchSize, resultFile, checkpointFile, mesh,
         usePallas, messageDtype`` (``"bfloat16"`` halves fused-kernel
-        message traffic; see ``DecoderParams.message_dtype``).  (The reference's ``threads`` is superseded by
-        ``batchSize``.)
+        message traffic; see ``DecoderParams.message_dtype``),
+        ``layered`` (serial CN schedule from the code's layerfile),
+        ``modulation`` (``(Constellation, bit_mapper)`` pair for M-ASK
+        AWGN — the GPU stack's simfile/mapfile capability),
+        ``pointsParallel`` (N>1 runs N sweep points concurrently on a 2-D
+        ``(points, frames)`` device mesh via ``Simulator.start_wide``),
+        ``errorLogFile`` (per-error-frame forensic log — ``log_error``)
+        and ``quantScale`` (int8 message quantisation step).  (The
+        reference's ``threads`` is superseded by ``batchSize``.)
         """
         kwargs.pop("threads", None)  # accepted for compat, superseded
         self.sim_params = {**self.sim_params, **kwargs}
         p = self.sim_params
         if not p["snr"]:
             raise ValueError("snr=[MIN, MAX, STEP] is required")
+
+        wide_mesh = None
+        mesh = p["mesh"]
+        n_wide = int(p["pointsParallel"] or 0)
+        if n_wide > 1:
+            import jax
+
+            from .parallel.mesh import FRAME_AXIS, POINT_AXIS
+
+            if mesh is not None and POINT_AXIS in mesh.shape:
+                wide_mesh = mesh  # caller-provided 2-D (points, frames) mesh
+            else:
+                n_dev = len(jax.devices())
+                if n_dev % n_wide:
+                    raise ValueError(
+                        f"pointsParallel={n_wide} does not divide the "
+                        f"{n_dev} available devices"
+                    )
+                wide_mesh = jax.make_mesh(
+                    (n_wide, n_dev // n_wide), (POINT_AXIS, FRAME_AXIS)
+                )
+            mesh = None  # the wide mesh is passed to start_wide instead
 
         sim = Simulator(
             self.code,
@@ -195,6 +230,8 @@ class LDPC:
                 iterations=p["iterations"],
                 type=p["decoding"],
                 message_dtype=p["messageDtype"],
+                layered=p["layered"],
+                quant_scale=p["quantScale"],
             ),
             ChannelParams(seed=p["seed"], x_range=tuple(p["snr"]), type=p["channel"]),
             SimulationParams(
@@ -202,17 +239,22 @@ class LDPC:
                 max_frames=int(p["maxFrames"]),
                 fec=int(p["fec"]),
                 result_file=p["resultFile"],
+                error_log_file=p["errorLogFile"],
                 checkpoint_file=p["checkpointFile"],
             ),
-            mesh=p["mesh"],
+            mesh=mesh,
             use_pallas=p["usePallas"],
+            modulation=p["modulation"],
             verbose=False,
         )
         self._simulator = sim
         self._stop_event.clear()
 
         def run():
-            sim.start(stop_flag=self._stop_event.is_set)
+            if wide_mesh is not None:
+                sim.start_wide(wide_mesh, stop_flag=self._stop_event.is_set)
+            else:
+                sim.start(stop_flag=self._stop_event.is_set)
 
         if blocking:
             run()

@@ -103,6 +103,68 @@ class TestThreadedSimulation:
             LDPC(code=ldpc.code).simulate()
 
 
+class TestSimulatePassthroughs:
+    """Round-3 driver features reachable from the pyLDPC-parity surface
+    (round-3 verdict item 7): layered, modulation, pointsParallel,
+    errorLogFile, quantScale."""
+
+    def test_layered(self, small_code):
+        import dataclasses
+
+        code2 = dataclasses.replace(small_code)
+        code2.layers = [
+            np.arange(0, small_code.mc, 2, dtype=np.int32),
+            np.arange(1, small_code.mc, 2, dtype=np.int32),
+        ]
+        l = LDPC(code=code2)
+        l.simulate(blocking=True, snr=[0.0, 1.0, 1.0], fec=3, batchSize=32,
+                   iterations=8, maxFrames=128, layered=True)
+        assert l._simulator.dec.layered
+        assert "schedule=layered" in l._simulator.decode_path
+        assert (l.get_results()["frames"] > 0).all()
+
+    def test_modulation(self, small_code):
+        from libldpc_tpu.ops import modulation as mod
+
+        c = mod.Constellation.mask(4, labels=[0, 1, 3, 2])
+        mapper = small_code.bit_pos[
+            mod.default_bit_mapper(2, small_code.nct // 2)
+        ]
+        l = LDPC(code=small_code)
+        l.simulate(blocking=True, snr=[5.0, 6.0, 1.0], fec=3, batchSize=32,
+                   iterations=8, maxFrames=256, modulation=(c, mapper))
+        assert (l.get_results()["frames"] > 0).all()
+
+    def test_points_parallel(self, small_code):
+        l = LDPC(code=small_code)
+        l.simulate(blocking=True, snr=[0.0, 2.0, 1.0], fec=3, batchSize=32,
+                   iterations=8, maxFrames=128, pointsParallel=2)
+        res = l.get_results()
+        assert len(res["frames"]) == 2
+        assert (res["frames"] > 0).all()
+
+    def test_points_parallel_bad_divisor_raises(self, small_code):
+        with pytest.raises(ValueError, match="divide"):
+            LDPC(code=small_code).simulate(
+                snr=[0.0, 2.0, 1.0], pointsParallel=3
+            )
+
+    def test_error_log_file(self, small_code, tmp_path):
+        log = tmp_path / "api_errors.txt"
+        l = LDPC(code=small_code)
+        l.simulate(blocking=True, snr=[-3.0, -2.0, 1.0], fec=3, batchSize=32,
+                   iterations=8, maxFrames=256, errorLogFile=str(log))
+        assert "failed_bits=" in log.read_text()
+
+    def test_quant_scale(self, small_code):
+        l = LDPC(code=small_code)
+        # quant_scale reaches DecoderParams even when the XLA path ignores
+        # it (the int8 lattice itself needs an MXU-block-local code)
+        l.simulate(blocking=True, snr=[1.0, 2.0, 1.0], fec=3, batchSize=32,
+                   iterations=8, maxFrames=128, quantScale=0.25)
+        assert l._simulator.dec.quant_scale == 0.25
+
+
 class TestCLI:
     def test_cli_end_to_end(self, tmp_path, bundled_code):
         out = tmp_path / "res.txt"
