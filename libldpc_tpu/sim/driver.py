@@ -811,6 +811,20 @@ class Simulator:
             if can_refill:
                 window = min(depth, window * 2)
 
+    @staticmethod
+    def _device_get_global(tree):
+        """Host read of per-point device values in wide mode.  Per-point
+        counters come back ``P(points)``-sharded; when the points axis
+        spans processes those shards are not locally addressable, so the
+        values are first replicated across processes (every process runs
+        the identical host loop and must see identical global counters —
+        the multi-host stopping-rule contract)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(tree, tiled=True)
+        return jax.device_get(tree)
+
     def _row(self, results: SimResults, i: int) -> str:
         return format_result_row(
             results.x_values[i],
@@ -1094,7 +1108,7 @@ class Simulator:
                 )
                 # one batched device_get (sequential reads pay ~40 ms each
                 # on remote-tunnel backends)
-                bec, fec, frames, iters = jax.device_get(
+                bec, fec, frames, iters = self._device_get_global(
                     (out.bit_errors, out.frame_errors, out.frames,
                      out.iter_sum)
                 )
@@ -1121,7 +1135,7 @@ class Simulator:
                         import types
 
                         if forensic_data is None:
-                            forensic_data = jax.device_get(
+                            forensic_data = self._device_get_global(
                                 (out.frame_bit_errors, out.hard,
                                  out.codeword)
                             )
@@ -1235,7 +1249,7 @@ class Simulator:
             if not all_fin:
                 window = min(depth, window * 2)
             accs = [pending.pop(0) for _ in range(n)]
-            vals = jax.device_get(
+            vals = self._device_get_global(
                 [(a.bit_errors, a.frame_errors, a.frames, a.iter_sum,
                   a.n_active) for a in accs]
             )

@@ -128,7 +128,80 @@ WORKER_STREAMING_2D = textwrap.dedent(
 )
 
 
-def _run_two_process(tmp_path, worker_src, markers):
+WORKER_DRIVER = textwrap.dedent(
+    """
+    import os, sys
+    proc_id = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    tmpdir = sys.argv[4]
+    os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    jax.distributed.initialize(coordinator_address=f'localhost:{{port}}',
+                               num_processes=nproc, process_id=proc_id)
+    import numpy as np
+    sys.path.insert(0, {repo!r})
+    from libldpc_tpu.models import make_benchmark_code
+    from libldpc_tpu.parallel import distributed
+    from libldpc_tpu.parallel.mesh import FRAME_AXIS, POINT_AXIS
+    from libldpc_tpu.sim import Simulator
+    from libldpc_tpu.utils.params import (
+        ChannelParams, DecoderParams, SimulationParams,
+    )
+    code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+    primary = distributed.is_primary()
+
+    # (a) full driver loop (streaming path: stall guard, absorb coalescing,
+    # checkpointing) over the global 8-device mesh; every process runs the
+    # identical host loop and reads identical psum-reduced counters, so
+    # they stop at the same batch with no control messages
+    mesh = distributed.global_mesh()
+    sim = Simulator(
+        code,
+        DecoderParams(iterations=8),
+        ChannelParams(seed=1, x_range=(0.0, 2.0, 1.0)),
+        SimulationParams(
+            batch_size=32, fec=3, max_frames=256,
+            result_file=os.path.join(tmpdir, 'res.txt') if primary else None,
+            checkpoint_file=(
+                os.path.join(tmpdir, 'ckpt.json') if primary else None
+            ),
+        ),
+        mesh=mesh,
+        verbose=False,
+    )
+    res = sim.start()
+    assert sim._streaming, 'expected the streaming driver path'
+    print('DRIVER ' + ' '.join(
+        f'{{int(res.frames[i])}}:{{int(res.fec[i])}}:{{res.ber[i]:.6e}}'
+        for i in range(2)), flush=True)
+
+    # (b) one start_wide group on a 2 x 4 (points x frames) mesh — the
+    # points axis spans the two processes
+    mesh2 = jax.make_mesh((2, 4), (POINT_AXIS, FRAME_AXIS),
+                          devices=jax.devices())
+    simw = Simulator(
+        code,
+        DecoderParams(iterations=8),
+        ChannelParams(seed=1, x_range=(0.0, 2.0, 1.0)),
+        SimulationParams(
+            batch_size=32, fec=3, max_frames=256,
+            result_file=(
+                os.path.join(tmpdir, 'res_wide.txt') if primary else None
+            ),
+        ),
+        verbose=False,
+    )
+    resw = simw.start_wide(mesh2)
+    print('WIDEDRV ' + ' '.join(
+        f'{{int(resw.frames[i])}}:{{int(resw.fec[i])}}:{{resw.ber[i]:.6e}}'
+        for i in range(2)), flush=True)
+    """
+)
+
+
+def _run_two_process(tmp_path, worker_src, markers, extra_args=()):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "worker.py"
     script.write_text(worker_src.format(repo=repo))
@@ -139,7 +212,7 @@ def _run_two_process(tmp_path, worker_src, markers):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), "2", port],
+            [sys.executable, str(script), str(i), "2", port, *extra_args],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -183,3 +256,34 @@ def test_two_process_streaming_and_wide(tmp_path):
     assert int(results[0]["STREAM"][0]) == 96  # exact quota landing
     wide = [int(v) for v in results[0]["WIDE"]]
     assert wide[0] == 40 and wide[1] == 40  # per-point exact quotas
+
+
+def test_two_process_driver_end_to_end(tmp_path):
+    """Third real 2-process run (round-3 verdict item 5): the full
+    ``Simulator.start()`` host loop — stall guard, absorb coalescing,
+    checkpointing — and one ``start_wide`` group, end to end.  Both
+    processes must see identical global counters; the results file and
+    checkpoint are written by the primary only."""
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    results = _run_two_process(
+        tmp_path, WORKER_DRIVER, ["DRIVER", "WIDEDRV"],
+        extra_args=(str(outdir),),
+    )
+    # identical per-point frames/fec/ber on both processes — the
+    # multi-host stopping-rule contract holds through the whole driver
+    assert results[0] == results[1]
+    for marker in ("DRIVER", "WIDEDRV"):
+        for entry in results[0][marker]:
+            frames, fec, _ = entry.split(":")
+            assert int(frames) > 0
+            assert int(fec) >= 3 or int(frames) >= 256
+    # primary-only artifacts, written exactly once
+    res_lines = [
+        ln for ln in (outdir / "res.txt").read_text().strip().splitlines()
+        if not ln.startswith("#")
+    ]
+    assert res_lines[0].startswith("snr fer ber")
+    assert len(res_lines) == 3  # header + 2 sweep points
+    assert (outdir / "ckpt.json").exists()
+    assert (outdir / "res_wide.txt").exists()
