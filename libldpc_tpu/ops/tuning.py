@@ -87,6 +87,42 @@ def soft_ber(llr_out: jnp.ndarray, codeword: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softplus(-llr_out * signs).mean()
 
 
+def decode_soft_oms(
+    sdc: SortedDeviceCode,
+    llr_in: jnp.ndarray,  # f32 [nc, B], sorted labelling
+    offsets: jnp.ndarray,  # f32 [T] per-iteration OMS offsets (LLR units)
+    quant_scale: float = 0.0,
+) -> jnp.ndarray:
+    """Fixed-iteration offset-min-sum decode returning every iteration's
+    posterior ``[T, nc, B]`` — the OMS counterpart of
+    :func:`decode_soft_all`, for gradient-tuning per-iteration offset
+    schedules (cf. Lugosch & Gross 2017, neural *offset* min-sum).
+
+    ``quant_scale > 0`` makes the tuning quantisation-aware for the int8
+    integer-lattice kernel
+    (:func:`libldpc_tpu.ops.pallas.decode_fused.bp_decode_pallas` with
+    ``message_dtype="int8"``), where offsets round to whole lattice units
+    (``benchmarks/PARITY_int8.md``): the forward pass applies the
+    lattice-rounded offset while the gradient flows through the continuous
+    one (straight-through estimator), so SGD optimises what the deployed
+    kernel will actually run.
+    """
+
+    def body(lv2c, beta):
+        if quant_scale:
+            beta_q = quant_scale * jnp.round(beta / quant_scale)
+            beta = beta + jax.lax.stop_gradient(beta_q - beta)
+        lc2v = cn_update_sorted(sdc, lv2c, ("BP_OMS", 1.0, beta))
+        lc2v_v = jnp.take(lc2v, sdc.perm_c2v, axis=0)
+        llr_out = llr_in + vn_sum_sorted(sdc, lc2v_v)
+        lv2c = jnp.take(llr_out, sdc.col_sorted, axis=0) - lc2v
+        return lv2c, llr_out
+
+    lv2c0 = jnp.take(llr_in, sdc.col_sorted, axis=0)
+    _, llr_outs = jax.lax.scan(body, lv2c0, offsets)
+    return llr_outs
+
+
 class TuneResult(NamedTuple):
     scales: jnp.ndarray  # f32 [T] learned per-iteration scales
     losses: jnp.ndarray  # f32 [steps] training curve
@@ -137,3 +173,53 @@ def tune_nms_scales(
         )
         losses.append(loss)
     return TuneResult(scales=scales, losses=jnp.stack(losses))
+
+
+def tune_oms_offsets(
+    sdc: SortedDeviceCode,
+    snr_db: float,
+    iterations: int = 50,
+    steps: int = 60,
+    batch: int = 256,
+    lr: float = 0.02,
+    seed: int = 0,
+    init_offset: float = 0.375,
+    quant_scale: float = 0.0,
+) -> TuneResult:
+    """Learn per-iteration offset-min-sum offsets at one operating SNR by
+    Adam through the decoder (:func:`decode_soft_oms`).  With
+    ``quant_scale`` set, training is quantisation-aware for the int8
+    lattice (STE through lattice rounding) and the returned schedule should
+    be deployed as ``round(offsets / quant_scale)`` lattice units.
+    ``scales`` in the result holds the learned offsets."""
+    import optax
+
+    opt = optax.adam(lr)
+    offsets = jnp.full((iterations,), init_offset, dtype=jnp.float32)
+    opt_state = opt.init(offsets)
+    base_key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def step(offsets, opt_state, key):
+        ch = awgn_channel(sdc, key, batch, jnp.float32(snr_db))
+        signs = 1.0 - 2.0 * ch.codeword.astype(jnp.float32)
+
+        def loss_fn(b):
+            outs = decode_soft_oms(sdc, ch.llr, b, quant_scale=quant_scale)
+            margins = jnp.tanh(-outs * signs[None] / 4.0)
+            return jax.nn.softplus(4.0 * margins).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(offsets)
+        updates, opt_state = opt.update(grads, opt_state)
+        offsets = optax.apply_updates(offsets, updates)
+        # offsets below 0 or above ~1.5 LLR are never useful on BP codes
+        offsets = jnp.clip(offsets, 0.0, 1.5)
+        return offsets, opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        offsets, opt_state, loss = step(
+            offsets, opt_state, jax.random.fold_in(base_key, i)
+        )
+        losses.append(loss)
+    return TuneResult(scales=offsets, losses=jnp.stack(losses))
