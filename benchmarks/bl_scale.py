@@ -85,6 +85,13 @@ def main():
         out_x = xla(llr_s)
         dec_x = np.asarray(out_x.llr_out <= 0)
         fer_x = float(np.mean(np.any(dec_x, axis=0)))
+        # XLA decode time at the same point — the denominator of the
+        # fused-kernel advantage column
+        _, dt_x, _ = timed(lambda: xla(llr_s), read_f)
+        dt_x = min([dt_x] + [timed(lambda: xla(llr_s), read_f)[1]
+                             for _ in range(args.best - 1)])
+        print(f"n={n:6d} {'xla_sorted':18s} {dt_x/B*1e6:8.2f} us/frame  "
+              f"{B/dt_x:8.0f} frames/s", flush=True)
 
         for dtype, transport in (("float32", "benes"), ("bfloat16", "clos")):
             tag = f"lanes_{'f32' if dtype == 'float32' else 'bf16'}_{transport}"
@@ -108,11 +115,13 @@ def main():
                 rows.append(
                     f"{n} {tag} {ldc.n_pad} {t_layout:.1f} {tc:.1f} "
                     f"{dt / B * 1e6:.2f} {fps:.0f} {mbps:.2f} "
-                    f"{check} xla_fer={fer_x:.4f}")
+                    f"{check} xla_fer={fer_x:.4f} "
+                    f"xla_us={dt_x / B * 1e6:.2f} vs_xla={dt_x / dt:.2f}x")
                 print(f"n={n:6d} {tag:18s} n_pad={ldc.n_pad:7d} "
                       f"layout {t_layout:5.1f}s compile {tc:6.1f}s  "
                       f"{dt/B*1e6:8.2f} us/frame  {fps:8.0f} frames/s  "
-                      f"{mbps:8.2f} Mbits/s  {check} (xla fer={fer_x:.4f})",
+                      f"{mbps:8.2f} Mbits/s  {check} (xla fer={fer_x:.4f}, "
+                      f"vs xla {dt_x/dt:.2f}x)",
                       flush=True)
             except Exception as e:  # noqa: BLE001 — the limit curve IS the data
                 import re

@@ -49,9 +49,21 @@ from ..sorted import SortedDecodeOutput
 from .lanes_layout import LanesDeviceCode
 
 
+#: Largest padded edge space the lane-major kernels compile WITHOUT the
+#: spill point (measured 2026-08-19 on v5e): at n_pad = 131072 any program
+#: containing two Benes transport chains crashes the Mosaic compile helper
+#: unless the value between the chains is materialised through a VMEM
+#: scratch ref (benchmarks/probe_lane_wall*.py — 2 chains FAIL, 2/4 chains
+#: via scratch OK, fori(10) x 4 chains via scratch OK).  Below this size
+#: the kernels keep their round-3 form (no spill, measured envelopes
+#: unchanged); above it every kernel routes the CN extrinsics through the
+#: spill ref between the forward and reverse transports.
+SPILL_FREE_LIMIT = 65536
+
+
 def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                  ft, dtype, stream=False, cap=0, layered=False,
-                 bec_mode=False):
+                 bec_mode=False, spill=False):
     N = ldc.n_pad
     nc_pad = ldc.nc_pad
     tanh = cn_ops.is_tanh_mode(minsum_mode)
@@ -297,6 +309,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         4 started."""
         np_ = 3 if clos else 1
         pref = refs[:np_]
+        if spill:
+            *refs, tmp_ref, tmp2_ref, tmpn_ref = refs
         (istx_ref, fresh_llr_ref, fresh_cw_ref, fresh_lv2c_ref, refill_ref,
          remaining_ref,
          llr_in, cw_in, lv2c_in, done_in, iters_in, age_in, avail_in,
@@ -365,21 +379,41 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
             # ---- phase 2: one BP pass over in-flight rows ---------------
             @pl.when(jnp.sum(done_ref[:, 0:1]) < ft)
             def _():
-                llr = llr_ref[:]
-                lv2c = lv2c_ref[:]
                 # force_pad after the reload select keeps fake slots pinned
                 # to PAD_LLR for live rows (fresh_lv2c carries zeros there)
-                lc2v_c = cn_exclusion(force_pad(w_ref, lv2c))
-                lc2v_v = transport(p1_ref, p3_ref, w_ref, lc2v_c,
-                                   reverse=False)
-                llr_out, post_v = vn_stage(llr, lc2v_v)
-                q = transport(p1_ref, p3_ref, w_ref, post_v, reverse=True)
-                lv2c_new = force_pad(
-                    w_ref,
-                    (q.astype(compute)
-                     - lc2v_c.astype(compute)).astype(dtype),
-                )
-                llr_out = llr_out.astype(jnp.float32)
+                if spill:
+                    # giant-edge-space form (see the flooding kernel)
+                    tmp_ref[:] = cn_exclusion(
+                        force_pad(w_ref, lv2c_ref[:])
+                    )
+                    lc2v_v = transport(p1_ref, p3_ref, w_ref, tmp_ref[:],
+                                       reverse=False)
+                    llr_out, post_v = vn_stage(llr_ref[:], lc2v_v)
+                    tmp2_ref[:] = post_v
+                    tmpn_ref[:] = llr_out.astype(jnp.float32)
+                    q = transport(p1_ref, p3_ref, w_ref, tmp2_ref[:],
+                                  reverse=True)
+                    lv2c_new = force_pad(
+                        w_ref,
+                        (q.astype(compute)
+                         - tmp_ref[:].astype(compute)).astype(dtype),
+                    )
+                    lv2c = lv2c_ref[:]  # fresh read, not live across chains
+                    llr_out = tmpn_ref[:]
+                else:
+                    lv2c = lv2c_ref[:]
+                    lc2v_c = cn_exclusion(force_pad(w_ref, lv2c))
+                    lc2v_v = transport(p1_ref, p3_ref, w_ref, lc2v_c,
+                                       reverse=False)
+                    llr_out, post_v = vn_stage(llr_ref[:], lc2v_v)
+                    q = transport(p1_ref, p3_ref, w_ref, post_v,
+                                  reverse=True)
+                    lv2c_new = force_pad(
+                        w_ref,
+                        (q.astype(compute)
+                         - lc2v_c.astype(compute)).astype(dtype),
+                    )
+                    llr_out = llr_out.astype(jnp.float32)
 
                 done_i2 = done_ref[:, 0:1]
                 age_i = age_ref[:, 0:1]
@@ -437,6 +471,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         ``kernel_layered``).  Needs one extra ``[ft, N]`` VMEM state buffer
         for the persisted ``Lc2v`` (stale layers keep their last
         messages)."""
+        if spill:
+            *refs, tmp_ref, tmp2_ref, tmpn_ref = refs
         if clos:
             (p1_ref, p3_ref, w_ref, llr_ref, out_llr_ref, out_iters_ref,
              out_iscw_ref, lv2c_ref, done_ref, iters_ref, iscw_ref,
@@ -462,28 +498,56 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
             def iteration():
                 done_start = done_ref[:, 0:1]
                 for lw, lb in ldc.layer_words:
-                    lv2c = lv2c_ref[:]
-                    lc2v_state = lc2v_ref[:]
-                    lc2v_new = cn_exclusion(lv2c)
                     lp = ((w_ref[lw : lw + 1, :] >> lb) & 1) > 0
-                    if dtype == jnp.bfloat16:
-                        # same [1, N]-mask-on-bf16 relayout limit as
-                        # force_pad: exact arithmetic blend (0/1 mask)
-                        lpm = lp.astype(dtype)
-                        lc2v_l = lc2v_new * lpm + lc2v_state * (1 - lpm)
+                    if spill:
+                        # giant-edge-space form (see the flooding kernel):
+                        # every value crossing a transport chain goes
+                        # through a spill ref
+                        lc2v_new = cn_exclusion(lv2c_ref[:])
+                        if dtype == jnp.bfloat16:
+                            lpm = lp.astype(dtype)
+                            tmp_ref[:] = (lc2v_new * lpm
+                                          + lc2v_ref[:] * (1 - lpm))
+                        else:
+                            tmp_ref[:] = jnp.where(lp, lc2v_new, lc2v_ref[:])
+                        lc2v_v = transport(p1_ref, p3_ref, w_ref,
+                                           tmp_ref[:], reverse=False)
+                        llr_out, post_v = vn_stage(llr_ref[:], lc2v_v)
+                        tmp2_ref[:] = post_v
+                        tmpn_ref[:] = llr_out.astype(jnp.float32)
+                        q = transport(p1_ref, p3_ref, w_ref, tmp2_ref[:],
+                                      reverse=True)
+                        lv2c_l = force_pad(
+                            w_ref,
+                            (q.astype(compute)
+                             - tmp_ref[:].astype(compute)).astype(dtype),
+                        )
+                        lv2c = lv2c_ref[:]  # fresh reads after the chains
+                        lc2v_state = lc2v_ref[:]
+                        lc2v_l = tmp_ref[:]
+                        llr_out = tmpn_ref[:]
                     else:
-                        lc2v_l = jnp.where(lp, lc2v_new, lc2v_state)
-                    lc2v_v = transport(p1_ref, p3_ref, w_ref, lc2v_l,
-                                       reverse=False)
-                    llr_out, post_v = vn_stage(llr, lc2v_v)
-                    q = transport(p1_ref, p3_ref, w_ref, post_v,
-                                  reverse=True)
-                    lv2c_l = force_pad(
-                        w_ref,
-                        (q.astype(compute)
-                         - lc2v_l.astype(compute)).astype(dtype),
-                    )
-                    llr_out = llr_out.astype(jnp.float32)
+                        lv2c = lv2c_ref[:]
+                        lc2v_state = lc2v_ref[:]
+                        lc2v_new = cn_exclusion(lv2c)
+                        if dtype == jnp.bfloat16:
+                            # same [1, N]-mask-on-bf16 relayout limit as
+                            # force_pad: exact arithmetic blend (0/1 mask)
+                            lpm = lp.astype(dtype)
+                            lc2v_l = lc2v_new * lpm + lc2v_state * (1 - lpm)
+                        else:
+                            lc2v_l = jnp.where(lp, lc2v_new, lc2v_state)
+                        lc2v_v = transport(p1_ref, p3_ref, w_ref, lc2v_l,
+                                           reverse=False)
+                        llr_out, post_v = vn_stage(llr, lc2v_v)
+                        q = transport(p1_ref, p3_ref, w_ref, post_v,
+                                      reverse=True)
+                        lv2c_l = force_pad(
+                            w_ref,
+                            (q.astype(compute)
+                             - lc2v_l.astype(compute)).astype(dtype),
+                        )
+                        llr_out = llr_out.astype(jnp.float32)
                     done_i = done_ref[:, 0:1]
                     keep = done_i > 0  # [ft, 1] broadcasts over lanes
                     if early_term:
@@ -529,6 +593,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         return kernel_layered
 
     def kernel(*refs):
+        if spill:
+            *refs, tmp_ref, tmp2_ref, tmpn_ref = refs
         if clos:
             (p1_ref, p3_ref, w_ref, llr_ref, out_llr_ref, out_iters_ref,
              out_iscw_ref, lv2c_ref, done_ref, iters_ref, iscw_ref) = refs
@@ -545,17 +611,41 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
 
         def body(it, carry):
             def iteration():
-                lv2c = lv2c_ref[:]
-                lc2v_c = cn_exclusion(lv2c)
-                lc2v_v = transport(p1_ref, p3_ref, w_ref, lc2v_c,
-                                   reverse=False)
-                llr_out, post_v = vn_stage(llr, lc2v_v)
-                q = transport(p1_ref, p3_ref, w_ref, post_v, reverse=True)
-                lv2c_new = force_pad(
-                    w_ref,
-                    (q.astype(compute) - lc2v_c.astype(compute)).astype(dtype),
-                )
-                llr_out = llr_out.astype(jnp.float32)
+                if spill:
+                    # giant-edge-space form: every value crossing a
+                    # transport chain is materialised through a spill ref —
+                    # a dataflow edge connecting two Benes chains in one
+                    # program is the measured Mosaic wall at n_pad = 131072
+                    # (see SPILL_FREE_LIMIT / benchmarks/probe_lane_wall5)
+                    tmp_ref[:] = cn_exclusion(lv2c_ref[:])
+                    lc2v_v = transport(p1_ref, p3_ref, w_ref, tmp_ref[:],
+                                       reverse=False)
+                    llr_out, post_v = vn_stage(llr_ref[:], lc2v_v)
+                    tmp2_ref[:] = post_v
+                    tmpn_ref[:] = llr_out.astype(jnp.float32)
+                    q = transport(p1_ref, p3_ref, w_ref, tmp2_ref[:],
+                                  reverse=True)
+                    lv2c_new = force_pad(
+                        w_ref,
+                        (q.astype(compute)
+                         - tmp_ref[:].astype(compute)).astype(dtype),
+                    )
+                    lv2c = lv2c_ref[:]  # fresh read, not live across chains
+                    llr_out = tmpn_ref[:]
+                else:
+                    lv2c = lv2c_ref[:]
+                    lc2v_c = cn_exclusion(lv2c)
+                    lc2v_v = transport(p1_ref, p3_ref, w_ref, lc2v_c,
+                                       reverse=False)
+                    llr_out, post_v = vn_stage(llr, lc2v_v)
+                    q = transport(p1_ref, p3_ref, w_ref, post_v,
+                                  reverse=True)
+                    lv2c_new = force_pad(
+                        w_ref,
+                        (q.astype(compute)
+                         - lc2v_c.astype(compute)).astype(dtype),
+                    )
+                    llr_out = llr_out.astype(jnp.float32)
 
                 if early_term:
                     # BEC convergence is "no erasures left", not a
@@ -665,11 +755,12 @@ def bp_decode_lanes(
     llr_pad = (llr_pad * real_lane).T  # [B, nc_pad]
 
     use_layered = layered and len(ldc.layer_words) > 1
+    spill = ldc.n_pad > SPILL_FREE_LIMIT
     kernel = _make_kernel(ldc, iterations, early_term, minsum_mode, ft,
-                          dtype, layered=use_layered)
+                          dtype, layered=use_layered, spill=spill)
     llr_out, iters, iscw = _batch_call(
         ldc, kernel, llr_pad, B, ft, dtype, interpret,
-        extra_state=use_layered,
+        extra_state=use_layered, spill=spill,
     )
 
     llr_out = jnp.take(llr_out.T, ldc.lane_of_vn, axis=0)  # [nc, B]
@@ -682,7 +773,7 @@ def bp_decode_lanes(
 
 
 def _batch_call(ldc, kernel, llr_pad, B, ft, dtype, interpret,
-                extra_state=False):
+                extra_state=False, spill=False):
     """Shared ``pallas_call`` plumbing for the batch decode wrappers
     (BP and BEC): standard specs over the frame-tile grid, the permutation
     operands of the layout's transport, and the kernel's scratch set
@@ -733,9 +824,19 @@ def _batch_call(ldc, kernel, llr_pad, B, ft, dtype, interpret,
         ] + (
             # persisted Lc2v state for the layered schedule
             [pltpu.VMEM((ft, ldc.n_pad), dtype)] if extra_state else []
+        ) + (
+            # spill refs for giant edge spaces (see SPILL_FREE_LIMIT):
+            # CN extrinsics, transported posterior, node posterior
+            [pltpu.VMEM((ft, ldc.n_pad), dtype),
+             pltpu.VMEM((ft, ldc.n_pad), dtype),
+             pltpu.VMEM((ft, ldc.nc_pad), jnp.float32)] if spill else []
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # spill mode runs close to the v5e's 128M physical VMEM at
+            # n_pad = 262144 (measured 119.6M scoped stack); the default
+            # 100M headroom is only needed when XLA co-schedules other
+            # kernels, which the fused decoder never leaves room for
+            vmem_limit_bytes=(127 if spill else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )(*operands)
@@ -824,10 +925,11 @@ def bec_decode_lanes(
     real_lane = real_lane.at[ldc.lane_of_vn].set(1.0)
     llr_pad = (llr_pad * real_lane).T  # [B, nc_pad]
 
+    spill = ldc.n_pad > SPILL_FREE_LIMIT
     kernel = _make_kernel(ldc, iterations, early_term, "BP_MS", ft, dtype,
-                          bec_mode=True)
+                          bec_mode=True, spill=spill)
     llr_out, iters, iscw = _batch_call(
-        ldc, kernel, llr_pad, B, ft, dtype, interpret,
+        ldc, kernel, llr_pad, B, ft, dtype, interpret, spill=spill,
     )
 
     llr_out = jnp.take(llr_out.T, ldc.lane_of_vn, axis=0)  # [nc, B]
@@ -893,8 +995,10 @@ def bp_stream_chunk_lanes(
         raise ValueError(f"batch {B} not divisible by frame tile {ft}")
     if ft & (ft - 1):
         raise ValueError(f"frame tile {ft} must be a power of two")
+    spill = ldc.n_pad > SPILL_FREE_LIMIT
     kernel = _make_kernel(ldc, k, True, minsum_mode, ft, dtype,
-                          stream=True, cap=cap, bec_mode=bec_mode)
+                          stream=True, cap=cap, bec_mode=bec_mode,
+                          spill=spill)
     W = ldc.planes.shape[0]
     clos = ldc.transport == "clos"
     nb = ldc.n_pad // 128
@@ -992,9 +1096,18 @@ def bp_stream_chunk_lanes(
             n_perm + 12: 6,  # avail
             n_perm + 13: 7,  # ctr
         },
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)] + (
+            # spill refs for giant edge spaces (see SPILL_FREE_LIMIT)
+            [pltpu.VMEM((ft, ldc.n_pad), dtype),
+             pltpu.VMEM((ft, ldc.n_pad), dtype),
+             pltpu.VMEM((ft, ldc.nc_pad), jnp.float32)] if spill else []
+        ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # spill mode runs close to the v5e's 128M physical VMEM at
+            # n_pad = 262144 (measured 119.6M scoped stack); the default
+            # 100M headroom is only needed when XLA co-schedules other
+            # kernels, which the fused decoder never leaves room for
+            vmem_limit_bytes=(127 if spill else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )(*operands)

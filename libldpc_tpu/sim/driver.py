@@ -62,16 +62,19 @@ from .results import SimResults
 #: Module-level so tests can lower it to exercise the routing.
 FUSED_EDGE_SPACE_LIMIT = 4096
 
-#: Upper bound of the lane-major kernel's padded edge space.  Measured
-#: 2026-08-19 on v5e: n_pad = 65536 (n = 16384 (3,6)-regular) compiles and
-#: runs (benchmarks/res_tp_bl_scale.txt); n_pad = 131072 crashes the
-#: remote tpu_compile_helper for every variant tried — f32/Benes and
-#: bf16/Clos, down to 1 iteration x 8 frames, so the wall is the lane
-#: extent itself, not program length or VMEM state.  Beyond it the driver
-#: falls back to the XLA sorted decoder (still any-n) and records the
-#: reroute in the results-file provenance.  Module-level so tests can
+#: Upper bound of the lane-major kernel's padded edge space.  Round-3's
+#: n_pad = 65536 wall turned out to be a Mosaic limitation on programs
+#: with a dataflow edge connecting two Beneš transport chains, not the
+#: lane extent (benchmarks/probe_lane_wall*.py bisected it); above
+#: ``decode_lanes.SPILL_FREE_LIMIT`` the kernels now materialise every
+#: cross-chain value through VMEM spill refs and n_pad = 131072
+#: (n = 32768 (3,6)-regular) compiles and decodes bit-identically to the
+#: XLA sorted decoder (measured 2026-08-19 on v5e,
+#: benchmarks/res_tp_bl_scale.txt).  Beyond this measured envelope the
+#: driver falls back to the XLA sorted decoder (still any-n) and records
+#: the reroute in the results-file provenance.  Module-level so tests can
 #: lower it to exercise the routing.
-LANES_EDGE_SPACE_LIMIT = 65536
+LANES_EDGE_SPACE_LIMIT = 131072
 
 #: Clos-transport fill wall within the lane extent above: at
 #: n_pad = 65536 the clos/bf16 variant compiles at 49152 padded real

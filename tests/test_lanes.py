@@ -602,6 +602,152 @@ class TestLanesDecoder:
         assert isinstance(compat.dcode, SortedDeviceCode)
         assert "fallback" in compat.decode_path
 
+class TestSpillMode:
+    """Giant-edge-space (spill) form of the lane-major kernels: identical
+    semantics with every cross-chain value materialised through VMEM spill
+    refs (the measured Mosaic wall at n_pad = 131072 — see
+    decode_lanes.SPILL_FREE_LIMIT and benchmarks/probe_lane_wall5.py).
+    Forced on small codes here via the module threshold; distinct code
+    sizes from other tests guarantee fresh traces."""
+
+    @pytest.fixture()
+    def spill_setup(self, monkeypatch):
+        from libldpc_tpu.ops.pallas import decode_lanes as dl
+
+        monkeypatch.setattr(dl, "SPILL_FREE_LIMIT", 16)
+        code = make_benchmark_code(120, dv=3, dc=6, seed=9, with_G=True)
+        ldc = to_lanes_device(code)
+        sdc = to_sorted_device(code)
+        from libldpc_tpu.ops.channel import awgn_channel
+
+        ch = awgn_channel(sdc, jax.random.PRNGKey(5), 16, jnp.float32(0.2))
+        return code, ldc, sdc, ch
+
+    @pytest.mark.parametrize("early_term", [True, False])
+    def test_flooding_matches_sorted(self, spill_setup, early_term):
+        code, ldc, sdc, ch = spill_setup
+        out_l = bp_decode_lanes(
+            ldc, ch.llr, iterations=7, early_term=early_term,
+            minsum_mode="BP_MS", frame_tile=8, interpret=True,
+        )
+        out_s = bp_decode_sorted(
+            sdc, ch.llr, iterations=7, early_term=early_term,
+            minsum_mode="BP_MS",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.hard), np.asarray(out_s.hard)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.iterations), np.asarray(out_s.iterations)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.is_codeword), np.asarray(out_s.is_codeword)
+        )
+
+    def test_layered_matches_sorted(self, spill_setup):
+        import dataclasses
+
+        code, ldc, sdc, ch = spill_setup
+        code2 = dataclasses.replace(code)
+        code2.layers = [
+            np.arange(0, code.mc, 2, dtype=np.int32),
+            np.arange(1, code.mc, 2, dtype=np.int32),
+        ]
+        ldc2 = to_lanes_device(code2, with_layers=True)
+        sdc2 = to_sorted_device(code2, with_layers=True)
+        out_l = bp_decode_lanes(
+            ldc2, ch.llr, iterations=7, early_term=True, layered=True,
+            minsum_mode="BP_MS", frame_tile=8, interpret=True,
+        )
+        out_s = bp_decode_sorted(
+            sdc2, ch.llr, iterations=7, early_term=True, layered=True,
+            minsum_mode="BP_MS",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.hard), np.asarray(out_s.hard)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.iterations), np.asarray(out_s.iterations)
+        )
+
+    def test_bec_matches_sorted(self, spill_setup):
+        from libldpc_tpu.ops.bec_sorted import bec_decode_sorted
+        from libldpc_tpu.ops.channel import simulate_channel
+        from libldpc_tpu.ops.pallas.decode_lanes import bec_decode_lanes
+
+        code, ldc, sdc, _ = spill_setup
+        ch = simulate_channel(
+            sdc, "BEC", jax.random.PRNGKey(6), 16, jnp.float32(0.35)
+        )
+        out_l = bec_decode_lanes(
+            ldc, ch.llr, ch.codeword, iterations=7, early_term=True,
+            frame_tile=8, interpret=True,
+        )
+        out_s = bec_decode_sorted(
+            sdc, ch.llr, ch.codeword, iterations=7, early_term=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.hard), np.asarray(out_s.hard)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.iterations), np.asarray(out_s.iterations)
+        )
+
+    def test_streaming_drain_matches_batch(self, spill_setup):
+        """Spill form of the in-kernel streaming chunk: drained counts
+        must match the (spill-form) batch decoder exactly."""
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_lanes_step,
+        )
+        from libldpc_tpu.utils.params import DecoderParams
+
+        code, ldc, sdc, ch = spill_setup
+        B = 16
+        iters = 7
+        out = bp_decode_sorted(
+            sdc, ch.llr, iterations=iters, early_term=True
+        )
+        bit_pos = np.asarray(sdc.bit_pos)
+        errs = (
+            np.asarray(out.hard)[bit_pos]
+            != np.asarray(ch.codeword)[bit_pos]
+        ).sum(axis=0)
+        want = np.array(
+            [errs.sum(), (errs > 0).sum(), B,
+             np.asarray(out.iterations).sum()], dtype=np.int64,
+        )
+        init_fn, step_fn = make_streaming_lanes_step(
+            ldc, "AWGN", DecoderParams(iterations=iters), B,
+            chunk_iters=4, interpret=True, frame_tile=8,
+        )
+        state = init_fn()
+        real = np.zeros((ldc.nc_pad, 1), np.float32)
+        real[np.asarray(ldc.lane_of_vn)] = 1.0
+        llr_l = (np.asarray(
+            jnp.take(ch.llr, ldc.vn_of_lane, axis=0, mode="fill",
+                     fill_value=0.0)) * real).T
+        cw_l = (np.asarray(
+            jnp.take(ch.codeword.astype(jnp.float32), ldc.vn_of_lane,
+                     axis=0, mode="fill", fill_value=0.0)) * real).T
+        state = state._replace(
+            llr_in=jnp.asarray(llr_l, jnp.float32),
+            codeword=jnp.asarray(cw_l).astype(jnp.int32),
+            done=jnp.zeros((B, 128), jnp.int32),
+        )
+        totals = np.zeros(4, dtype=np.int64)
+        for step in range(60):
+            state, acc = step_fn(
+                state, jax.random.PRNGKey(step), np.float32(0.2),
+                jnp.asarray(False),
+            )
+            totals += np.array([
+                int(acc.bit_errors), int(acc.frame_errors),
+                int(acc.frames), int(acc.iter_sum),
+            ])
+            if int(acc.n_active) == 0:
+                break
+        np.testing.assert_array_equal(totals, want)
+
     def test_irregular_code(self):
         """Irregular degrees exercise multi-class padding."""
         from libldpc_tpu.models.code import LDPCCode

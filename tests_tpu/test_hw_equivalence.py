@@ -114,6 +114,45 @@ def test_lanes_matches_sorted_on_chip(early_term):
 
 
 @requires_tpu
+def test_lanes_spill_matches_sorted_on_chip():
+    """Compiled giant-edge-space (spill) lane-major kernel at n = 32768
+    (n_pad = 131072, past round-3's fused wall) vs the XLA sorted decoder
+    on hardware — the round-4 envelope extension (every cross-chain value
+    materialised through VMEM spill refs, decode_lanes.SPILL_FREE_LIMIT).
+    Slow: one cold Mosaic compile of ~2 minutes."""
+    from libldpc_tpu.models import make_benchmark_code
+    from libldpc_tpu.ops.pallas import decode_lanes as dl
+    from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+    from libldpc_tpu.ops.sorted import bp_decode_sorted
+
+    code = make_benchmark_code(32768, dv=3, dc=6, seed=7, with_G=False)
+    ldc = to_lanes_device(code, transport="benes")
+    assert ldc.n_pad > dl.SPILL_FREE_LIMIT  # really exercises spill
+    B = 8
+    llr = _awgn_llrs(code, B, snr_db=1.4, seed=17)
+    vn_perm = np.asarray(jax.device_get(ldc.sorted_dc.vn_perm))
+    llr_s = jnp.asarray(llr[vn_perm])
+
+    out_l = dl.bp_decode_lanes(
+        ldc, llr_s, iterations=12, early_term=True, minsum_mode="BP_MS"
+    )
+    out_s = jax.jit(
+        lambda l: bp_decode_sorted(
+            ldc.sorted_dc, l, iterations=12, early_term=True,
+            minsum_mode="BP_MS",
+        )
+    )(llr_s)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_l.hard)),
+        np.asarray(jax.device_get(out_s.hard)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_l.iterations)),
+        np.asarray(jax.device_get(out_s.iterations)),
+    )
+
+
+@requires_tpu
 @pytest.mark.parametrize("early_term", [False, True])
 def test_lanes_layered_matches_sorted_on_chip(early_term):
     """Compiled lane-major LAYERED kernel at n=8192 vs the XLA layered
