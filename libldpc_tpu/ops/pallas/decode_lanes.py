@@ -63,7 +63,7 @@ SPILL_FREE_LIMIT = 65536
 
 def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                  ft, dtype, stream=False, cap=0, layered=False,
-                 bec_mode=False, spill=False):
+                 bec_mode=False, spill=False, qscale=0.1875):
     N = ldc.n_pad
     nc_pad = ldc.nc_pad
     tanh = cn_ops.is_tanh_mode(minsum_mode)
@@ -72,6 +72,40 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
     mask_word = ldc.n_words  # real-edge mask lives in the last plane word
     compute = jnp.float32
     clos = ldc.transport == "clos"
+    quantized = dtype == jnp.int8
+    if quantized:
+        # int8 quantized min-sum on the lane-major kernel — the same
+        # integer-lattice design as the edge-major kernel (see
+        # decode_fused._make_kernel): messages and posteriors live as
+        # q = round(L / qscale) saturated to +-127; min/sign/sum/subtract
+        # run in f32 on exact small integers, the channel prior enters
+        # pre-scaled to lattice units (done by the wrapper), and only the
+        # NMS/OMS correction re-rounds.  The OMS offset is given in LLR
+        # units, so it shrinks to lattice units here.
+        if isinstance(minsum_mode, tuple) and len(minsum_mode) == 3:
+            minsum_mode = (minsum_mode[0], minsum_mode[1],
+                           minsum_mode[2] / qscale)
+        #: lattice PAD: +127 is an exact min-sum identity
+        #: (sign(127) = +, min(|m|, 127) = |m| for every lattice value)
+        pad_store = 127.0
+
+        def to_store(x):
+            return jnp.clip(jnp.round(x), -127.0, 127.0).astype(jnp.int8)
+    else:
+        pad_store = PAD_LLR
+
+        def to_store(x):
+            return x.astype(dtype)
+
+    def select_rows(mask, a, b):
+        """``jnp.where(mask, a, b)`` for message-typed values, with an
+        int8-safe bf16 arithmetic blend (Mosaic cannot lower int8 VPU
+        select/arithmetic; integers |v| <= 127 are exact in bf16)."""
+        if a.dtype == jnp.int8:
+            m = mask.astype(jnp.bfloat16)
+            return (a.astype(jnp.bfloat16) * m
+                    + b.astype(jnp.bfloat16) * (1 - m)).astype(jnp.int8)
+        return jnp.where(mask, a, b)
 
     def roll_lanes(v, k):
         """Static lane roll ``out[i] = v[i - k mod N]``.  Distances that
@@ -96,10 +130,23 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         for d, (w, b) in stages:
             sw = ((w_ref[w : w + 1, :] >> b) & 1) > 0
             top = (iota & d) == 0
-            partner = jnp.where(
-                top, roll_lanes(v, N - d), roll_lanes(v, d)
-            )
-            v = jnp.where(sw, partner, v)
+            if v.dtype == jnp.int8:
+                # arithmetic blends instead of selects (the [1, N]
+                # mask-relayout limit), computed in bf16: Mosaic cannot
+                # lower int8 VPU arithmetic (arith.addi on i8 vectors
+                # fails), and every value here is an integer |v| <= 127 —
+                # exact in bf16 — so upcast/blend/downcast is lossless
+                vb = v.astype(jnp.bfloat16)
+                swm = sw.astype(jnp.bfloat16)
+                topm = top.astype(jnp.bfloat16)
+                partner = (topm * roll_lanes(vb, N - d)
+                           + (1 - topm) * roll_lanes(vb, d))
+                v = (swm * partner + (1 - swm) * vb).astype(jnp.int8)
+            else:
+                partner = jnp.where(
+                    top, roll_lanes(v, N - d), roll_lanes(v, d)
+                )
+                v = jnp.where(sw, partner, v)
         return v
 
     def blockmul(pref, v, contract_dim):
@@ -109,7 +156,11 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         operands; float32 messages use HIGHEST precision so the values
         pass through the MXU's bf16-decomposed passes unchanged (same
         guarantee as :func:`.decode_fused._make_kernel.mxu_permute`)."""
-        precision = None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                     else None)
+        # int8 rides native s8 x s8 -> s32 MXU passes — exact (one-hot
+        # selection of values bounded at +-127)
+        acc = jnp.int32 if dtype == jnp.int8 else jnp.float32
         parts = []
         for b in range(N // 128):
             m = pref[b].astype(dtype)
@@ -118,7 +169,7 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                     v[:, b * 128 : (b + 1) * 128],
                     m,
                     dimension_numbers=(((1,), (contract_dim,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=acc,
                     precision=precision,
                 ).astype(dtype)
             )
@@ -139,6 +190,11 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
     def force_pad(w_ref, v):
         """Pin fake/free CN-space slots to PAD_LLR (see lanes_layout)."""
         real = ((w_ref[mask_word : mask_word + 1, :]) & 1) > 0
+        if v.dtype == jnp.int8:
+            # bf16 arithmetic blend (see mid_stages); lattice PAD is +127
+            m = real.astype(jnp.bfloat16)
+            vb = v.astype(jnp.bfloat16)
+            return (vb * m + jnp.bfloat16(127) * (1 - m)).astype(jnp.int8)
         if v.dtype == jnp.bfloat16:
             # arithmetic blend instead of select: Mosaic cannot relayout a
             # [1, N] i1 mask onto 16-sublane-packed bf16 tiles in every
@@ -206,12 +262,13 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
             # PAD_LLR (positive), not zero: free-slot values reach fake VN
             # posteriors and come back to fake checks' syndrome lanes,
             # where a zero would read as a hard 1 and block early term
+            # (to_store saturates it to the +127 lattice PAD for int8)
             parts.append(
                 jnp.full((v.shape[0], N - cn_end), PAD_LLR, compute)
             )
-        return cn_ops.cn_postprocess(
+        return to_store(cn_ops.cn_postprocess(
             jnp.concatenate(parts, axis=1), minsum_mode
-        ).astype(dtype)
+        ))
 
     def vn_stage(llr, lc2v_v):
         """Posterior per node ``[ft, nc_pad]`` and per VN-space slot
@@ -222,14 +279,14 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         for (base_e, cp, d), nb in zip(ldc.vn_blocks, ldc.vn_node_base):
             lin = llr[:, nb : nb + cp].astype(compute)
             if d == 0:
-                llr_parts.append(lin.astype(dtype))
+                llr_parts.append(to_store(lin))
                 continue
             tot = lc2v_v[:, base_e : base_e + cp].astype(compute)
             for j in range(1, d):
                 tot = tot + lc2v_v[
                     :, base_e + j * cp : base_e + (j + 1) * cp
                 ].astype(compute)
-            llr_b = (lin + tot).astype(dtype)
+            llr_b = to_store(lin + tot)
             llr_parts.append(llr_b)
             for _ in range(d):
                 post_parts.append(llr_b)
@@ -238,7 +295,7 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
             # positive fill — these slots land on fake checks (see
             # cn_exclusion) and must read as hard-0 bits in the syndrome
             post_parts.append(
-                jnp.full((llr.shape[0], N - vn_end), PAD_LLR, dtype)
+                jnp.full((llr.shape[0], N - vn_end), pad_store).astype(dtype)
             )
         return (
             jnp.concatenate(llr_parts, axis=1),
@@ -250,7 +307,7 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         for (base_e, cp, d), nb in zip(ldc.vn_blocks, ldc.vn_node_base):
             if d == 0:
                 continue
-            lin = llr[:, nb : nb + cp].astype(dtype)
+            lin = to_store(llr[:, nb : nb + cp].astype(compute))
             for _ in range(d):
                 parts.append(lin)
         vn_end = sum(cp * d for _, cp, d in ldc.vn_blocks)
@@ -364,7 +421,7 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                 # warm-up-free reload: the pool ships pre-gathered
                 # edge-space priors; the next pass is real iteration 1
                 # (age = 1), one pass cheaper per frame than zero-init
-                lv2c_ref[:] = jnp.where(rs, fresh_lv2c_ref[:], lv2c_ref[:])
+                lv2c_ref[:] = select_rows(rs, fresh_lv2c_ref[:], lv2c_ref[:])
                 done_ref[:, 0:1] = done_i * (1 - allowed)
                 age_ref[:, 0:1] = (
                     age_ref[:, 0:1] * (1 - allowed) + allowed
@@ -395,8 +452,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                                   reverse=True)
                     lv2c_new = force_pad(
                         w_ref,
-                        (q.astype(compute)
-                         - tmp_ref[:].astype(compute)).astype(dtype),
+                        to_store(q.astype(compute)
+                     - tmp_ref[:].astype(compute)),
                     )
                     lv2c = lv2c_ref[:]  # fresh read, not live across chains
                     llr_out = tmpn_ref[:]
@@ -410,8 +467,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                                   reverse=True)
                     lv2c_new = force_pad(
                         w_ref,
-                        (q.astype(compute)
-                         - lc2v_c.astype(compute)).astype(dtype),
+                        to_store(q.astype(compute)
+                     - lc2v_c.astype(compute)),
                     )
                     llr_out = llr_out.astype(jnp.float32)
 
@@ -453,7 +510,7 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                 )
                 ctr_ref[:] = ctr_ref[:] + upd
                 keep = done_i2 > 0
-                lv2c_ref[:] = jnp.where(keep, lv2c, lv2c_new)
+                lv2c_ref[:] = select_rows(keep, lv2c, lv2c_new)
             return carry
 
         jax.lax.fori_loop(0, iterations, body, 0)
@@ -519,8 +576,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                                       reverse=True)
                         lv2c_l = force_pad(
                             w_ref,
-                            (q.astype(compute)
-                             - tmp_ref[:].astype(compute)).astype(dtype),
+                            to_store(q.astype(compute)
+                     - tmp_ref[:].astype(compute)),
                         )
                         lv2c = lv2c_ref[:]  # fresh reads after the chains
                         lc2v_state = lc2v_ref[:]
@@ -544,8 +601,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                                       reverse=True)
                         lv2c_l = force_pad(
                             w_ref,
-                            (q.astype(compute)
-                             - lc2v_l.astype(compute)).astype(dtype),
+                            to_store(q.astype(compute)
+                     - lc2v_l.astype(compute)),
                         )
                         llr_out = llr_out.astype(jnp.float32)
                     done_i = done_ref[:, 0:1]
@@ -557,8 +614,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                         iscw_ref[:, 0:1] = (
                             done_i * iscw_ref[:, 0:1] + (1 - done_i) * is_cw
                         )
-                    lv2c_ref[:] = jnp.where(keep, lv2c, lv2c_l)
-                    lc2v_ref[:] = jnp.where(keep, lc2v_state, lc2v_l)
+                    lv2c_ref[:] = select_rows(keep, lv2c, lv2c_l)
+                    lc2v_ref[:] = select_rows(keep, lc2v_state, lc2v_l)
                     out_llr_ref[:] = jnp.where(keep, out_llr_ref[:], llr_out)
                     last_q = q
                 if early_term:
@@ -627,8 +684,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                                   reverse=True)
                     lv2c_new = force_pad(
                         w_ref,
-                        (q.astype(compute)
-                         - tmp_ref[:].astype(compute)).astype(dtype),
+                        to_store(q.astype(compute)
+                     - tmp_ref[:].astype(compute)),
                     )
                     lv2c = lv2c_ref[:]  # fresh read, not live across chains
                     llr_out = tmpn_ref[:]
@@ -642,8 +699,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                                   reverse=True)
                     lv2c_new = force_pad(
                         w_ref,
-                        (q.astype(compute)
-                         - lc2v_c.astype(compute)).astype(dtype),
+                        to_store(q.astype(compute)
+                     - lc2v_c.astype(compute)),
                     )
                     llr_out = llr_out.astype(jnp.float32)
 
@@ -661,7 +718,7 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                         done_i * iscw_ref[:, 0:1] + (1 - done_i) * is_cw
                     )
                     keep = done_i > 0  # [ft, 1] broadcasts over lanes
-                    lv2c_ref[:] = jnp.where(keep, lv2c, lv2c_new)
+                    lv2c_ref[:] = select_rows(keep, lv2c, lv2c_new)
                     out_llr_ref[:] = jnp.where(
                         keep, out_llr_ref[:], llr_out
                     )
@@ -697,7 +754,7 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "early_term", "minsum_mode", "frame_tile",
-                     "message_dtype", "interpret", "layered"),
+                     "message_dtype", "interpret", "layered", "quant_scale"),
 )
 def bp_decode_lanes(
     ldc: LanesDeviceCode,
@@ -709,12 +766,13 @@ def bp_decode_lanes(
     message_dtype: str = "float32",
     interpret: bool = False,
     layered: bool = False,
+    quant_scale: float = 0.1875,
 ) -> SortedDecodeOutput:
     """Fused lane-major BP decode; drop-in for :func:`bp_decode_pallas`
     at blocklengths the ``[edges, frames]`` kernel cannot compile.
 
     ``frame_tile=0`` picks a default per message dtype: 8 (one f32
-    sublane tile) for float32, 32 for bfloat16 (at least one 16-bit
+    sublane tile) for float32, 32 for bfloat16/int8 (at least one packed
     sublane tile, and enough MXU rows to amortise the Clos transport's
     block matmuls).
 
@@ -722,17 +780,34 @@ def bp_decode_lanes(
     carries layer planes (``to_lanes_device(code, with_layers=True)`` on a
     code with a layerfile); otherwise it decodes flooding, mirroring the
     XLA decoder's behaviour on layer-less codes.
+
+    ``message_dtype="int8"`` runs the integer-lattice quantized min-sum
+    (messages and posteriors ``round(L / quant_scale)`` saturated +-127)
+    — the same trade as the edge-major kernel's int8 mode, now available
+    on arbitrary (unstructured) blocklengths.  Requires a min-sum-family
+    CN form and the clos transport (int8 rides native s8 MXU matmuls;
+    Mosaic's roll cannot exchange int8 lanes).
     """
     dtype = jnp.dtype(message_dtype)
-    if dtype == jnp.bfloat16 and ldc.transport != "clos":
+    if dtype in (jnp.bfloat16, jnp.int8) and ldc.transport != "clos":
         raise ValueError(
-            "bfloat16 lane-major messages require the clos transport "
-            "(intra-lane bf16 rolls are unsupported by Mosaic); build the "
-            'layout with to_lanes_device(code, transport="clos")'
+            f"{message_dtype} lane-major messages require the clos "
+            "transport (intra-lane sub-32-bit rolls are unsupported by "
+            "Mosaic); build the layout with "
+            'to_lanes_device(code, transport="clos")'
         )
+    if dtype == jnp.int8:
+        kind = minsum_mode[0] if isinstance(minsum_mode, tuple) \
+            else minsum_mode
+        if kind not in ("BP_MS", "BP_NMS", "BP_OMS", True):
+            raise ValueError(
+                "int8 messages require a min-sum-family CN form "
+                "(BP_MS/BP_NMS/BP_OMS) — box-plus/tanh/phi forms are not "
+                "scale-invariant on the integer lattice"
+            )
     nc, B = llr_in.shape
     if frame_tile == 0:
-        frame_tile = 32 if dtype == jnp.bfloat16 else 8
+        frame_tile = 8 if dtype == jnp.float32 else 32
     ft = min(frame_tile, B)
     if B % ft:
         raise ValueError(f"batch {B} not divisible by frame tile {ft}")
@@ -753,17 +828,24 @@ def bp_decode_lanes(
     real_lane = jnp.zeros((ldc.nc_pad, 1), llr_in.dtype)
     real_lane = real_lane.at[ldc.lane_of_vn].set(1.0)
     llr_pad = (llr_pad * real_lane).T  # [B, nc_pad]
+    if dtype == jnp.int8:
+        # channel priors enter in integer-lattice units (one multiply per
+        # node here instead of per-edge dequant/requant in the kernel)
+        llr_pad = llr_pad * (1.0 / quant_scale)
 
     use_layered = layered and len(ldc.layer_words) > 1
     spill = ldc.n_pad > SPILL_FREE_LIMIT
     kernel = _make_kernel(ldc, iterations, early_term, minsum_mode, ft,
-                          dtype, layered=use_layered, spill=spill)
+                          dtype, layered=use_layered, spill=spill,
+                          qscale=quant_scale)
     llr_out, iters, iscw = _batch_call(
         ldc, kernel, llr_pad, B, ft, dtype, interpret,
         extra_state=use_layered, spill=spill,
     )
 
     llr_out = jnp.take(llr_out.T, ldc.lane_of_vn, axis=0)  # [nc, B]
+    if dtype == jnp.int8:
+        llr_out = llr_out * quant_scale  # dequantize posterior q-values
     return SortedDecodeOutput(
         llr_out=llr_out,
         hard=llr_out <= 0,
@@ -836,7 +918,7 @@ def _batch_call(ldc, kernel, llr_pad, B, ft, dtype, interpret,
             # n_pad = 262144 (measured 119.6M scoped stack); the default
             # 100M headroom is only needed when XLA co-schedules other
             # kernels, which the fused decoder never leaves room for
-            vmem_limit_bytes=(127 if spill else 100) * 1024 * 1024,
+            vmem_limit_bytes=(128 if spill else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )(*operands)
@@ -1107,7 +1189,7 @@ def bp_stream_chunk_lanes(
             # n_pad = 262144 (measured 119.6M scoped stack); the default
             # 100M headroom is only needed when XLA co-schedules other
             # kernels, which the fused decoder never leaves room for
-            vmem_limit_bytes=(127 if spill else 100) * 1024 * 1024,
+            vmem_limit_bytes=(128 if spill else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )(*operands)

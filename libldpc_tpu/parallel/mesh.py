@@ -156,6 +156,7 @@ def _sim_and_count(
                         dec.message_dtype
                         if dcode.transport == "clos" else "float32"
                     ),
+                    quant_scale=dec.quant_scale,
                 )
             else:
                 from ..ops.pallas import decode_fused

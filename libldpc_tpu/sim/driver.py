@@ -66,15 +66,18 @@ FUSED_EDGE_SPACE_LIMIT = 4096
 #: n_pad = 65536 wall turned out to be a Mosaic limitation on programs
 #: with a dataflow edge connecting two Beneš transport chains, not the
 #: lane extent (benchmarks/probe_lane_wall*.py bisected it); above
-#: ``decode_lanes.SPILL_FREE_LIMIT`` the kernels now materialise every
-#: cross-chain value through VMEM spill refs and n_pad = 131072
-#: (n = 32768 (3,6)-regular) compiles and decodes bit-identically to the
-#: XLA sorted decoder (measured 2026-08-19 on v5e,
-#: benchmarks/res_tp_bl_scale.txt).  Beyond this measured envelope the
-#: driver falls back to the XLA sorted decoder (still any-n) and records
-#: the reroute in the results-file provenance.  Module-level so tests can
-#: lower it to exercise the routing.
-LANES_EDGE_SPACE_LIMIT = 131072
+#: ``decode_lanes.SPILL_FREE_LIMIT`` the kernels materialise every
+#: cross-chain value through VMEM spill refs, and both n_pad = 131072
+#: (n = 32768 (3,6)-regular) and n_pad = 262144 (n = 65536) compile and
+#: decode bit-identically to the XLA sorted decoder (measured 2026-08-19
+#: on v5e, benchmarks/res_tp_bl_scale.txt).  The remaining wall is the
+#: chip's 128M VMEM itself (262144 measures a 127.6M scoped stack at the
+#: 128M limit) — the same "any blocklength that fits device memory"
+#: boundary as the reference GPU kernels (gpu/device/kernel.cpp:237-293).
+#: Beyond it the driver falls back to the XLA sorted decoder (still
+#: any-n) and records the reroute in the results-file provenance.
+#: Module-level so tests can lower it to exercise the routing.
+LANES_EDGE_SPACE_LIMIT = 262144
 
 #: Clos-transport fill wall within the lane extent above: at
 #: n_pad = 65536 the clos/bf16 variant compiles at 49152 padded real
@@ -209,36 +212,19 @@ class Simulator:
                 # requested (kernel_layered in decode_lanes).
                 from ..ops.pallas.lanes_layout import to_lanes_device
 
-                if decoder_params.message_dtype == "int8":
-                    # the int8 integer-lattice min-sum lives on the
-                    # MXU-block-local edge-major kernel; the lane-major
-                    # route (large unstructured codes) runs bf16 instead —
-                    # a warned, provenance-recorded accuracy/speed reroute,
-                    # never a raise (the reference keeps its speed trades
-                    # available in the main path, gpu/ldpc/ldpc.cpp:232-241)
-                    import dataclasses as _dc
-
-                    self._record_fallback(
-                        "int8 unsupported on lane-major kernel -> bf16",
-                        "int8 quantized messages need the MXU-block-local "
-                        "edge-major kernel; this code is large and "
-                        "unstructured (lane-major route) — running "
-                        "bfloat16 messages instead",
-                    )
-                    decoder_params = _dc.replace(
-                        decoder_params, message_dtype="bfloat16"
-                    )
-                    self.dec = decoder_params
-                # clos transport unlocks bf16 messages and replaces the
-                # dominant intra-lane Benes rolls with MXU matmuls +
-                # tile moves; f32 stays on Benes (the f32 HIGHEST-
-                # precision matmul form does not compile on current
-                # Mosaic for lane-major shapes)
+                # clos transport unlocks bf16 AND int8 messages (the
+                # integer-lattice min-sum rides native s8 MXU matmuls —
+                # available on unstructured codes since round 4) and
+                # replaces the dominant intra-lane Benes rolls with MXU
+                # matmuls + tile moves; f32 stays on Benes (the f32
+                # HIGHEST-precision matmul form does not compile on
+                # current Mosaic for lane-major shapes)
                 self.dcode = to_lanes_device(
                     code,
                     transport=(
                         "clos"
-                        if decoder_params.message_dtype == "bfloat16"
+                        if decoder_params.message_dtype in ("bfloat16",
+                                                            "int8")
                         else "benes"
                     ),
                     with_layers=decoder_params.layered,
@@ -395,15 +381,21 @@ class Simulator:
             # in benchmarks/EARLY_TERM.md.
             and channel_params.type != "BEC"
             and not decoder_params.layered
-            # int8 streams on the edge-major kernel (MXU transport); the
-            # lane-major kernel is f32/bf16 only, and that routing reroutes
-            # int8 to bf16 before reaching here
-            and not (
-                use_pallas
-                and decoder_params.message_dtype == "int8"
-                and not isinstance(self.dcode, _PallasDeviceCode_)
-            )
         )
+        if (
+            stream_eligible
+            and use_pallas
+            and decoder_params.message_dtype == "int8"
+            and not isinstance(self.dcode, _PallasDeviceCode_)
+        ):
+            # int8 streams on the edge-major kernel (MXU transport); the
+            # lane-major streaming kernel is f32/bf16 — int8 batch decode
+            # still runs fused, only the streaming ET fast path is dropped
+            self._record_fallback(
+                "int8 lane-major -> batch stepping (in-kernel streaming "
+                "is f32/bf16)"
+            )
+            stream_eligible = False
         if stream_eligible and simulation_params.error_log_file is not None:
             # forensic logging needs the per-frame decisions of a whole
             # batch, which the streaming compaction pools don't surface —

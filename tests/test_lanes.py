@@ -602,6 +602,79 @@ class TestLanesDecoder:
         assert isinstance(compat.dcode, SortedDeviceCode)
         assert "fallback" in compat.decode_path
 
+class TestLanesInt8:
+    """int8 integer-lattice quantized min-sum on the lane-major kernel
+    (round-4: the fastest message dtype, previously MXU-block-local-only,
+    now available on arbitrary unstructured blocklengths).  Must match the
+    exact integer golden of tests/test_pallas.py bit-for-bit."""
+
+    @pytest.fixture(scope="class")
+    def int8_setup(self):
+        code = make_benchmark_code(128, dv=3, dc=6, seed=4, with_G=True)
+        ldc = to_lanes_device(code, transport="clos")
+        rng = np.random.default_rng(8)
+        B = 16
+        sigma2 = 10 ** (0.5 / 10)
+        llr = np.zeros((code.nc, B), dtype=np.float32)
+        y = 1.0 + rng.normal(size=(code.nct, B)) * np.sqrt(sigma2)
+        llr[code.bit_pos] = (2.0 * y / sigma2).astype(np.float32)
+        return code, ldc, llr
+
+    @pytest.mark.parametrize("mode,oms", [("BP_MS", None),
+                                          (("BP_OMS", 1.0, 0.375), 0.375)])
+    def test_matches_integer_golden(self, int8_setup, mode, oms):
+        import test_pallas
+
+        code, ldc, llr = int8_setup
+        scale = 0.1875
+        iters = 6
+        vn_perm = np.asarray(ldc.sorted_dc.vn_perm)
+        out = bp_decode_lanes(
+            ldc, jnp.asarray(llr[vn_perm]), iterations=iters,
+            early_term=True, minsum_mode=mode, message_dtype="int8",
+            quant_scale=scale, frame_tile=8, interpret=True,
+        )
+        hard_g, iters_g, iscw_g = test_pallas.TestInt8Quantized._golden(
+            code, llr, iters, scale, oms_offset=oms,
+        )
+        hard_k = np.empty_like(hard_g)
+        hard_k[vn_perm] = np.asarray(out.hard).astype(np.uint8)
+        np.testing.assert_array_equal(hard_k, hard_g)
+        np.testing.assert_array_equal(
+            np.asarray(out.iterations), iters_g
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.is_codeword), iscw_g
+        )
+
+    def test_int8_requires_minsum_family_and_clos(self, int8_setup):
+        code, ldc, llr = int8_setup
+        with pytest.raises(ValueError, match="min-sum-family"):
+            bp_decode_lanes(
+                ldc, jnp.asarray(llr), iterations=4,
+                message_dtype="int8", minsum_mode="BP", interpret=True,
+            )
+        ldc_b = to_lanes_device(code, transport="benes")
+        with pytest.raises(ValueError, match="clos"):
+            bp_decode_lanes(
+                ldc_b, jnp.asarray(llr), iterations=4,
+                message_dtype="int8", minsum_mode="BP_MS", interpret=True,
+            )
+
+    def test_int8_decodes_clean_frames(self, int8_setup):
+        code, ldc, llr = int8_setup
+        vn_perm = np.asarray(ldc.sorted_dc.vn_perm)
+        clean = np.full_like(llr, 8.0)  # strong all-zero-codeword LLRs
+        out = bp_decode_lanes(
+            ldc, jnp.asarray(clean[vn_perm]), iterations=6,
+            early_term=True, minsum_mode="BP_MS", message_dtype="int8",
+            frame_tile=8, interpret=True,
+        )
+        assert np.asarray(out.is_codeword).all()
+        assert (np.asarray(out.iterations) == 0).all()
+        assert not np.asarray(out.hard).any()
+
+
 class TestSpillMode:
     """Giant-edge-space (spill) form of the lane-major kernels: identical
     semantics with every cross-chain value materialised through VMEM spill

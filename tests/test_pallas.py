@@ -222,7 +222,8 @@ class TestInt8Quantized:
     both mirrored here bit-for-bit."""
 
     @staticmethod
-    def _golden(code, llr, iters, scale, nms_scale=None, early_term=True):
+    def _golden(code, llr, iters, scale, nms_scale=None, early_term=True,
+                oms_offset=None):
         rows = code.rows.astype(np.int64)
         cols = code.cols.astype(np.int64)
         B = llr.shape[1]
@@ -244,6 +245,13 @@ class TestInt8Quantized:
                     lc2v[e_idx[j]] = sgn * np.abs(others).min(axis=0)
             if nms_scale is not None:
                 lc2v = clip(np.round(nms_scale * lc2v))
+            if oms_offset is not None:
+                # OMS offset in LLR units shrinks by offset/scale on the
+                # lattice, then re-rounds (kernel: cn_postprocess + to_store)
+                lc2v = clip(np.round(
+                    np.sign(lc2v)
+                    * np.maximum(np.abs(lc2v) - oms_offset / scale, 0.0)
+                ))
             post = np.zeros((code.nc, B))
             for v, e_idx in enumerate(var_edges):
                 post[v] = clip(np.round(

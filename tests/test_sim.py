@@ -474,11 +474,13 @@ class TestFallbackSignalling:
             )
         assert "fallback[BEC layered/bug-compat" in sim.decode_path
 
-    def test_int8_on_lanes_route_reroutes_to_bf16(self, code, monkeypatch):
-        """int8 messages on the lane-major route must not raise: they run
-        bf16 with a warning and a provenance stamp (the reference keeps its
-        speed/accuracy trades available in the main path,
-        gpu/ldpc/ldpc.cpp:232-241)."""
+    def test_int8_on_lanes_route_runs_natively(self, code, monkeypatch):
+        """int8 messages on the lane-major route run the integer-lattice
+        kernel natively (round-4: the clos transport rides s8 MXU
+        matmuls) — no raise, no dtype downgrade; only the streaming ET
+        fast path drops to batch stepping, recorded in provenance (the
+        reference keeps its speed/accuracy trades available in the main
+        path, gpu/ldpc/ldpc.cpp:232-241)."""
         import dataclasses
 
         import libldpc_tpu.sim.driver as drv
@@ -494,20 +496,22 @@ class TestFallbackSignalling:
                 orig_tpd(c, **kw), mxu_blocks_fwd=None
             ),
         )
-        with pytest.warns(UserWarning, match="bfloat16"):
-            sim = drv.Simulator(
-                code,
-                DecoderParams(iterations=8, type="BP_MS",
-                              message_dtype="int8"),
-                ChannelParams(seed=1, x_range=(1.0, 2.0, 1.0)),
-                SimulationParams(batch_size=32, fec=3, max_frames=128),
-                use_pallas=True,
-                verbose=False,
-            )
+        sim = drv.Simulator(
+            code,
+            DecoderParams(iterations=8, type="BP_MS",
+                          message_dtype="int8"),
+            ChannelParams(seed=1, x_range=(1.0, 2.0, 1.0)),
+            SimulationParams(batch_size=32, fec=3, max_frames=128),
+            use_pallas=True,
+            verbose=False,
+        )
         assert isinstance(sim.dcode, LanesDeviceCode)
-        assert sim.dec.message_dtype == "bfloat16"
-        assert "fallback[int8 unsupported on lane-major" in sim.decode_path
-        assert "dtype=bfloat16" in sim.decode_path
+        assert sim.dcode.transport == "clos"
+        assert sim.dec.message_dtype == "int8"
+        assert "dtype=int8" in sim.decode_path
+        assert not sim._streaming
+        assert "fallback[int8 lane-major -> batch stepping" \
+            in sim.decode_path
 
     def test_forensics_disables_streaming_with_provenance(self, code,
                                                           tmp_path):
