@@ -71,7 +71,7 @@ def main():
                 batch_size=args.batch, fec=args.fec,
                 max_frames=args.max_frames,
                 # both dtypes batch-stepped for a like-for-like parity run
-                # (int8 lanes has no streaming mode; see driver provenance)
+                # (streaming changes the frame schedule, not the decode)
                 streaming=False,
             ),
             use_pallas=True,
@@ -138,6 +138,34 @@ def main():
               f"{fps*code.nct/1e6:8.2f} Mbits/s (compile {tc:.0f}s)",
               flush=True)
 
+    # ---- streaming ET rows: driver-level sustained sweep per dtype ------
+    # int8 rides the lane-major in-kernel streaming path since round 4
+    # (sim/driver.py routes int8+lanes through make_streaming_lanes_step);
+    # one waterfall point, device-window TIME/FRAME from the results
+    st_rows = []
+    for dtype in ("bfloat16", "int8"):
+        sim = Simulator(
+            code,
+            DecoderParams(iterations=args.iters, type="BP_MS",
+                          message_dtype=dtype),
+            ChannelParams(seed=5, x_values=[snrs[-1]]),
+            SimulationParams(
+                batch_size=args.batch, fec=args.fec,
+                max_frames=args.max_frames, streaming=True,
+            ),
+            use_pallas=True,
+            verbose=False,
+        )
+        assert sim._streaming, sim.decode_path
+        res = sim.start()
+        us = res.time[0] * 1e6
+        st_rows.append(
+            f"{dtype} {snrs[-1]:g} {us:.2f} {1e6 / us:.0f} "
+            f"{res.avg_iter[0]:.2f} {int(res.frames[0])}")
+        print(f"stream {dtype:9s}: {us:8.2f} us/frame  "
+              f"{1e6 / us:8.0f} frames/s  avg_iter {res.avg_iter[0]:.2f} "
+              f"({int(res.frames[0])} frames)", flush=True)
+
     path = os.path.join(args.outdir, "res_int8_lanes.txt")
     with open(path, "w") as f:
         f.write(
@@ -148,7 +176,10 @@ def main():
             + "\n".join(rows) + "\n"
             f"# throughput ({args.tp_iters} iters no-ET, batch "
             f"{args.batch}): dtype transport us/frame frames/s Mbits/s\n"
-            + "\n".join(tp_rows) + "\n")
+            + "\n".join(tp_rows) + "\n"
+            f"# in-kernel streaming ET (driver sweep, snr {snrs[-1]:g}): "
+            f"dtype snr us/frame frames/s avg_iter frames\n"
+            + "\n".join(st_rows) + "\n")
     print(f"wrote {path}")
 
 

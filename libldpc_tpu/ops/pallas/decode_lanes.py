@@ -63,7 +63,8 @@ SPILL_FREE_LIMIT = 65536
 
 def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                  ft, dtype, stream=False, cap=0, layered=False,
-                 bec_mode=False, spill=False, qscale=0.1875):
+                 bec_mode=False, spill=False, qscale=0.1875,
+                 scale_prior=False):
     N = ldc.n_pad
     nc_pad = ldc.nc_pad
     tanh = cn_ops.is_tanh_mode(minsum_mode)
@@ -96,6 +97,13 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
 
         def to_store(x):
             return x.astype(dtype)
+
+    # Channel priors enter the batch wrappers pre-scaled to lattice units
+    # (one host-side multiply per node per decode); the STREAMING state
+    # instead carries raw-LLR priors (shared pool format across message
+    # dtypes), so the stream kernel scales them here — same f32 multiply,
+    # byte-identical posteriors (see bp_stream_chunk_lanes).
+    prior_mul = (1.0 / qscale) if (quantized and scale_prior) else 1.0
 
     def select_rows(mask, a, b):
         """``jnp.where(mask, a, b)`` for message-typed values, with an
@@ -278,6 +286,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         post_parts = []
         for (base_e, cp, d), nb in zip(ldc.vn_blocks, ldc.vn_node_base):
             lin = llr[:, nb : nb + cp].astype(compute)
+            if prior_mul != 1.0:
+                lin = lin * prior_mul
             if d == 0:
                 llr_parts.append(to_store(lin))
                 continue
@@ -1033,7 +1043,7 @@ def bec_decode_lanes(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "cap", "minsum_mode", "frame_tile", "interpret",
-                     "message_dtype", "bec_mode"),
+                     "message_dtype", "bec_mode", "quant_scale"),
 )
 def bp_stream_chunk_lanes(
     ldc: LanesDeviceCode,
@@ -1058,20 +1068,37 @@ def bp_stream_chunk_lanes(
     interpret: bool = False,
     message_dtype: str = "float32",
     bec_mode: bool = False,
+    quant_scale: float = 0.1875,
 ):
     """Run ``k`` self-refilling lane-major BP passes (``kernel_stream``
     above); all eight state operands are donated/aliased in place.  The
     lane-major counterpart of
     :func:`libldpc_tpu.ops.pallas.decode_fused.bp_stream_chunk_pallas` for
-    blocklengths the edge-major kernel cannot compile."""
+    blocklengths the edge-major kernel cannot compile.
+
+    ``message_dtype="int8"`` streams on the integer lattice (round 4): the
+    carried/pool ``llr_in``/``fresh_llr`` stay raw-LLR f32 (shared pool
+    format), ``fresh_lv2c`` arrives lattice-quantized
+    (:func:`...streaming_pallas._edge_prior_pool` with the same
+    ``quant_scale``), and the kernel scales the prior in its VN stage —
+    posteriors byte-match a batch-kernel decode of the same frames."""
     dtype = jnp.dtype(message_dtype)
-    if dtype == jnp.bfloat16 and ldc.transport != "clos":
+    if dtype in (jnp.bfloat16, jnp.int8) and ldc.transport != "clos":
         raise ValueError(
-            "bfloat16 lane-major messages require the clos transport"
+            f"{message_dtype} lane-major messages require the clos "
+            "transport"
         )
+    if dtype == jnp.int8:
+        kind = minsum_mode[0] if isinstance(minsum_mode, tuple) \
+            else minsum_mode
+        if kind not in ("BP_MS", "BP_NMS", "BP_OMS", True):
+            raise ValueError(
+                "int8 messages require a min-sum-family CN form "
+                "(BP_MS/BP_NMS/BP_OMS)"
+            )
     B = llr_in.shape[0]
     if frame_tile == 0:
-        frame_tile = 32 if dtype == jnp.bfloat16 else 8
+        frame_tile = 8 if dtype == jnp.float32 else 32
     ft = min(frame_tile, B)
     if B % ft:
         raise ValueError(f"batch {B} not divisible by frame tile {ft}")
@@ -1080,7 +1107,8 @@ def bp_stream_chunk_lanes(
     spill = ldc.n_pad > SPILL_FREE_LIMIT
     kernel = _make_kernel(ldc, k, True, minsum_mode, ft, dtype,
                           stream=True, cap=cap, bec_mode=bec_mode,
-                          spill=spill)
+                          spill=spill, qscale=quant_scale,
+                          scale_prior=True)
     W = ldc.planes.shape[0]
     clos = ldc.transport == "clos"
     nb = ldc.n_pad // 128

@@ -502,6 +502,7 @@ def _init_lanes_state(ldc, batch: int, dtype, n_dev: int = 1) -> LStreamState:
 def _lanes_superstep(
     ldc, channel_type, iterations, cn_mode, batch, modulation, quota,
     k, n_outer, frame_tile, message_dtype, interpret, watermark,
+    quant_scale,
     key, x_value, refill, st: LStreamState,
 ):
     """Lane-major :func:`_superstep`: pool regeneration converts the
@@ -548,7 +549,8 @@ def _lanes_superstep(
                 jnp.where(unused, st.fresh_cw,
                           lanes_of(ch.codeword, jnp.int32)),
                 _edge_prior_pool(ldc.cn_edge_node, llr,
-                                 jnp.dtype(message_dtype), axis=1),
+                                 jnp.dtype(message_dtype), axis=1,
+                                 qscale=quant_scale),
                 jnp.zeros((batch, 128), jnp.int32).at[:, 0].set(1),
             )
 
@@ -568,6 +570,7 @@ def _lanes_superstep(
                 remaining, k=k, cap=iterations, minsum_mode=cn_mode,
                 frame_tile=frame_tile, message_dtype=message_dtype,
                 interpret=interpret, bec_mode=channel_type == "BEC",
+                quant_scale=quant_scale,
             )
         )
         return LStreamState(
@@ -621,6 +624,21 @@ def make_streaming_lanes_step(
     k = chunk_iters or max(4, min(8, iterations // 8))
     n_outer = max(1, -(-iterations // k))
     dtype = jnp.dtype(dec.message_dtype)
+    if dtype == jnp.int8:
+        # same constraints as the batch lanes kernel (bp_decode_lanes):
+        # the integer lattice is only exact for min-sum-family CN forms
+        # and rides the clos transport's native s8 MXU matmuls
+        kind = dec.cn_mode[0] if isinstance(dec.cn_mode, tuple) \
+            else dec.cn_mode
+        if kind not in ("BP_MS", "BP_NMS", "BP_OMS", True):
+            raise ValueError(
+                "int8 streaming requires a min-sum-family CN form "
+                "(BP_MS/BP_NMS/BP_OMS)"
+            )
+        if ldc.transport != "clos":
+            raise ValueError(
+                "int8 lane-major streaming requires the clos transport"
+            )
     if gen_watermark is None:
         gen_watermark = max(1, 3 * batch_per_device // 4)
 
@@ -636,6 +654,7 @@ def make_streaming_lanes_step(
             _lanes_superstep, ldc, channel_type, iterations, cn_mode,
             batch_per_device, modulation, quota, k, n_outer, frame_tile,
             dec.message_dtype, interpret, gen_watermark,
+            dec.quant_scale,
         )
 
     if mesh is None:
@@ -739,6 +758,18 @@ def make_streaming_lanes_multipoint_step(
     k = chunk_iters or max(4, min(8, iterations // 8))
     n_outer = max(1, -(-iterations // k))
     dtype = jnp.dtype(dec.message_dtype)
+    if dtype == jnp.int8:
+        kind = dec.cn_mode[0] if isinstance(dec.cn_mode, tuple) \
+            else dec.cn_mode
+        if kind not in ("BP_MS", "BP_NMS", "BP_OMS", True):
+            raise ValueError(
+                "int8 streaming requires a min-sum-family CN form "
+                "(BP_MS/BP_NMS/BP_OMS)"
+            )
+        if ldc.transport != "clos":
+            raise ValueError(
+                "int8 lane-major streaming requires the clos transport"
+            )
     if gen_watermark is None:
         gen_watermark = max(1, 3 * batch_per_device // 4)
     n_points = mesh.shape[POINT_AXIS]
@@ -762,6 +793,7 @@ def make_streaming_lanes_multipoint_step(
             "BP_MS" if channel_type == "BEC" else dec.cn_mode,
             batch_per_device, modulation, quota, k, n_outer, ft_l,
             dec.message_dtype, interpret, gen_watermark,
+            dec.quant_scale,
         )
         state, acc = body(
             jax.random.fold_in(jax.random.fold_in(key, p_idx), f_idx),

@@ -364,8 +364,6 @@ class Simulator:
         # fast path — per-stream reload makes ET strictly cheaper than
         # fixed-iteration decoding (vs. the batch decoder's whole-batch
         # while_loop, gated by its slowest frame)
-        from ..ops.pallas.layout import PallasDeviceCode as _PallasDeviceCode_
-
         stream_eligible = (
             simulation_params.streaming
             and decoder_params.early_term
@@ -382,20 +380,6 @@ class Simulator:
             and channel_params.type != "BEC"
             and not decoder_params.layered
         )
-        if (
-            stream_eligible
-            and use_pallas
-            and decoder_params.message_dtype == "int8"
-            and not isinstance(self.dcode, _PallasDeviceCode_)
-        ):
-            # int8 streams on the edge-major kernel (MXU transport); the
-            # lane-major streaming kernel is f32/bf16 — int8 batch decode
-            # still runs fused, only the streaming ET fast path is dropped
-            self._record_fallback(
-                "int8 lane-major -> batch stepping (in-kernel streaming "
-                "is f32/bf16)"
-            )
-            stream_eligible = False
         if stream_eligible and simulation_params.error_log_file is not None:
             # forensic logging needs the per-frame decisions of a whole
             # batch, which the streaming compaction pools don't surface —

@@ -477,10 +477,10 @@ class TestFallbackSignalling:
     def test_int8_on_lanes_route_runs_natively(self, code, monkeypatch):
         """int8 messages on the lane-major route run the integer-lattice
         kernel natively (round-4: the clos transport rides s8 MXU
-        matmuls) — no raise, no dtype downgrade; only the streaming ET
-        fast path drops to batch stepping, recorded in provenance (the
-        reference keeps its speed/accuracy trades available in the main
-        path, gpu/ldpc/ldpc.cpp:232-241)."""
+        matmuls) — no raise, no dtype downgrade, and the in-kernel
+        streaming ET fast path engages too (the reference keeps its
+        speed/accuracy trades available in the main path,
+        gpu/ldpc/ldpc.cpp:232-241)."""
         import dataclasses
 
         import libldpc_tpu.sim.driver as drv
@@ -509,9 +509,8 @@ class TestFallbackSignalling:
         assert sim.dcode.transport == "clos"
         assert sim.dec.message_dtype == "int8"
         assert "dtype=int8" in sim.decode_path
-        assert not sim._streaming
-        assert "fallback[int8 lane-major -> batch stepping" \
-            in sim.decode_path
+        assert sim._streaming
+        assert "fallback" not in sim.decode_path
 
     def test_forensics_disables_streaming_with_provenance(self, code,
                                                           tmp_path):

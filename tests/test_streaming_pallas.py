@@ -149,6 +149,57 @@ class TestDrainEquivalence:
         assert int(res.frames[0]) == 80
         assert res.avg_iter[0] > 0
 
+    def test_driver_streams_int8_on_lanes_route(self, setup):
+        """The Simulator keeps streaming ET enabled for int8 messages on
+        the LANE-MAJOR route too (round 4) and lands the exact quota —
+        the driver-surface counterpart of
+        test_int8_drain_matches_batch_int8_kernel."""
+        import dataclasses
+        from unittest import mock
+
+        import libldpc_tpu.ops.pallas.decode_lanes as dl
+        import libldpc_tpu.ops.streaming_pallas as sp
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.ops.pallas import layout as pallas_layout
+        from libldpc_tpu.ops.pallas.lanes_layout import LanesDeviceCode
+        from libldpc_tpu.utils.params import (
+            ChannelParams, SimulationParams,
+        )
+
+        code, _ = setup
+
+        orig = dl.bp_stream_chunk_lanes
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        orig_tpd = pallas_layout.to_pallas_device
+        with mock.patch.object(drv, "FUSED_EDGE_SPACE_LIMIT", 64), \
+             mock.patch.object(
+                 pallas_layout, "to_pallas_device",
+                 lambda c, **kw: dataclasses.replace(
+                     orig_tpd(c, **kw), mxu_blocks_fwd=None)), \
+             mock.patch.object(dl, "bp_stream_chunk_lanes", interp), \
+             mock.patch.object(sp, "bp_stream_chunk_lanes", interp,
+                               create=True):
+            sim = drv.Simulator(
+                code,
+                DecoderParams(iterations=6, early_term=True, type="BP_MS",
+                              message_dtype="int8"),
+                ChannelParams(type="AWGN", seed=3, x_range=(2.0, 2.1, 0.5)),
+                SimulationParams(batch_size=32, max_frames=80, fec=10**9),
+                use_pallas=True,
+                verbose=False,
+            )
+            assert isinstance(sim.dcode, LanesDeviceCode)
+            assert sim.dcode.transport == "clos"
+            assert sim._streaming
+            assert "dtype=int8" in sim.decode_path
+            res = sim.start()
+        assert int(res.frames[0]) == 80
+        assert res.avg_iter[0] > 0
+
     def test_int8_requires_minsum_family(self, setup):
         code, pdc = setup
         if pdc.mxu_blocks_fwd is None:
@@ -381,6 +432,112 @@ class TestLanesStreaming:
             if int(acc.n_active) == 0:
                 break
         np.testing.assert_array_equal(totals, want)
+
+    def test_int8_drain_matches_batch_int8_kernel(self, lsetup):
+        """int8 integer-lattice min-sum streams on the lanes kernel
+        (round 4): drained counts must match the batch int8 lanes decoder
+        exactly.  The streaming pool carries raw-LLR f32 priors; the
+        kernel scales them to lattice units in its VN stage
+        (``scale_prior``), byte-matching the batch wrapper's pre-scaled
+        entry."""
+        import jax.numpy as jnp
+        from libldpc_tpu.ops.pallas.decode_lanes import bp_decode_lanes
+        from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_lanes_step,
+        )
+
+        code, _ = lsetup
+        ldc = to_lanes_device(code, transport="clos")
+        B = 16
+        iters = 9
+        ch = simulate_channel(
+            ldc.sorted_dc, "AWGN", jax.random.PRNGKey(3), B,
+            np.float32(-1.0),
+        )
+        out = bp_decode_lanes(
+            ldc, ch.llr, iterations=iters, early_term=True,
+            minsum_mode="BP_MS", message_dtype="int8", interpret=True,
+            frame_tile=8,
+        )
+        bit_pos = np.asarray(ldc.sorted_dc.bit_pos)
+        errs = (
+            np.asarray(out.hard)[bit_pos]
+            != np.asarray(ch.codeword)[bit_pos]
+        ).sum(axis=0)
+        want = np.array(
+            [errs.sum(), (errs > 0).sum(), B,
+             np.asarray(out.iterations).sum()], dtype=np.int64,
+        )
+        init_fn, step_fn = make_streaming_lanes_step(
+            ldc, "AWGN",
+            DecoderParams(iterations=iters, type="BP_MS",
+                          message_dtype="int8"),
+            B, chunk_iters=4, interpret=True, frame_tile=8,
+        )
+        state = init_fn()
+        # preload the pool in lane space (raw-LLR f32) and mark every
+        # lane in-flight
+        real = np.zeros((ldc.nc_pad, 1), np.float32)
+        real[np.asarray(ldc.lane_of_vn)] = 1.0
+        llr_l = (np.asarray(
+            jnp.take(ch.llr, ldc.vn_of_lane, axis=0, mode="fill",
+                     fill_value=0.0)) * real).T
+        cw_l = (np.asarray(
+            jnp.take(ch.codeword.astype(jnp.float32), ldc.vn_of_lane,
+                     axis=0, mode="fill", fill_value=0.0)) * real).T
+        state = state._replace(
+            llr_in=jnp.asarray(llr_l, jnp.float32),
+            codeword=jnp.asarray(cw_l).astype(jnp.int32),
+            done=jnp.zeros((B, 128), jnp.int32),
+        )
+        assert state.lv2c.dtype == jnp.int8
+        totals = np.zeros(4, dtype=np.int64)
+        for step in range(60):
+            state, acc = step_fn(
+                state, jax.random.PRNGKey(step), np.float32(-1.0),
+                jnp.asarray(False),
+            )
+            totals += np.array([
+                int(acc.bit_errors), int(acc.frame_errors),
+                int(acc.frames), int(acc.iter_sum),
+            ])
+            if int(acc.n_active) == 0:
+                break
+        np.testing.assert_array_equal(totals, want)
+
+    def test_int8_self_refills_exact_quota(self, lsetup):
+        """int8 lanes streaming with its own channel generation: exact
+        frame quota and plausible error statistics (self-refill pools
+        quantize fresh edge priors with the run's quant_scale)."""
+        import jax.numpy as jnp
+        from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_lanes_step,
+        )
+
+        code, _ = lsetup
+        ldc = to_lanes_device(code, transport="clos")
+        B = 16
+        quota = 56  # not a multiple of B: exercises the in-kernel cap
+        init_fn, step_fn = make_streaming_lanes_step(
+            ldc, "AWGN",
+            DecoderParams(iterations=8, type="BP_MS",
+                          message_dtype="int8"),
+            B, chunk_iters=4, max_frames=quota, interpret=True,
+            frame_tile=8,
+        )
+        state = init_fn()
+        frames = 0
+        for step in range(80):
+            state, acc = step_fn(
+                state, jax.random.PRNGKey(step), np.float32(2.0),
+                jnp.asarray(True),
+            )
+            frames += int(acc.frames)
+            if frames >= quota and int(acc.n_active) == 0:
+                break
+        assert frames == quota
 
     def test_bec_drain_matches_batch_bec_kernel(self, lsetup):
         """BEC streams on the lanes kernel (sign-encoded min-sum ride):
