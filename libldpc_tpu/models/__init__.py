@@ -4,6 +4,7 @@ from .construct import (
     expand_qc,
     girth,
     make_benchmark_code,
+    make_qc_benchmark_code,
     make_peg_code,
     make_regular_code,
     systematic_generator,
@@ -19,6 +20,7 @@ __all__ = [
     "gf2",
     "io",
     "make_benchmark_code",
+    "make_qc_benchmark_code",
     "make_peg_code",
     "make_regular_code",
     "systematic_generator",

@@ -132,6 +132,12 @@ class LDPCCode:
     )
     G: Optional[np.ndarray] = None  # dense uint8 [kc, nc]
     layers: Optional[list[np.ndarray]] = None  # CN index lists, layered sched
+    #: quasi-cyclic structure, when known: ``(Z, base_matrix)`` with
+    #: ``base_matrix[mb, nb]`` of shifts (-1 = zero block) — set by
+    #: :func:`libldpc_tpu.models.construct.expand_qc`, consumed by the
+    #: structure-aware ``"qc"`` lane-major transport
+    #: (:func:`libldpc_tpu.ops.pallas.lanes_layout.to_lanes_device`)
+    qc: Optional[tuple[int, np.ndarray]] = None
 
     # ---------------------------------------------------------------- loading
 

@@ -158,6 +158,7 @@ def expand_qc(base_matrix: np.ndarray, Z: int) -> LDPCCode:
         cols=cols[order].astype(np.int32),
         nc=nb * Z,
         mc=mb * Z,
+        qc=(Z, B.copy()),
     )
 
 
@@ -338,6 +339,48 @@ def girth(code: LDPCCode, cap: int = 16) -> int:
                             best = cyc
             queue = nxt
     return int(best)
+
+
+def make_qc_benchmark_code(
+    nc: int, Z: int, dv: int = 3, dc: int = 6, seed: int = 0,
+    with_G: bool = False,
+) -> LDPCCode:
+    """A (dv, dc)-regular quasi-cyclic benchmark code: a balanced base
+    graph lifted by ``Z`` with pseudo-random circulant shifts — the QC
+    counterpart of :func:`make_benchmark_code`, used to measure the
+    structure-aware ``"qc"`` lane-major transport.
+
+    The base puts column ``j``'s ``dv`` cells at rows
+    ``(j*dv + t) % mb`` (t = 0..dv-1): distinct per column, and every row
+    carries exactly ``dc`` cells when ``gcd(dv, mb) == 1`` divides evenly
+    (asserted).  Requires ``nc % Z == 0`` and ``(nc // Z) * dv % dc == 0``.
+    """
+    if nc % Z:
+        raise ValueError(f"nc={nc} not a multiple of Z={Z}")
+    nb = nc // Z
+    if nb * dv % dc:
+        raise ValueError(f"(nc/Z)*dv = {nb * dv} not a multiple of dc={dc}")
+    mb = nb * dv // dc
+    if dv > mb:
+        raise ValueError(f"dv={dv} > mb={mb}: base too small for distinct "
+                         "rows per column")
+    rng = np.random.default_rng(seed)
+    B = np.full((mb, nb), -1, dtype=np.int64)
+    for j in range(nb):
+        for t in range(dv):
+            r = (j * dv + t) % mb
+            if B[r, j] >= 0:
+                raise ValueError("base construction collision; pick nb/mb "
+                                 "with gcd(dv, mb) = 1")
+            B[r, j] = int(rng.integers(0, Z))
+    counts = (B >= 0).sum(axis=1)
+    assert (counts == dc).all(), counts
+    code = expand_qc(B, Z)
+    if with_G:
+        G = systematic_generator(code)
+        if G is not None:
+            code.G = G
+    return code
 
 
 def make_benchmark_code(

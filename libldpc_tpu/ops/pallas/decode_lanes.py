@@ -73,6 +73,7 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
     mask_word = ldc.n_words  # real-edge mask lives in the last plane word
     compute = jnp.float32
     clos = ldc.transport == "clos"
+    qc = ldc.transport == "qc"
     quantized = dtype == jnp.int8
     if quantized:
         # int8 quantized min-sum on the lane-major kernel — the same
@@ -183,8 +184,57 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
             )
         return jnp.concatenate(parts, axis=1)
 
+    def roll_seg(seg, k, Zq):
+        """Cyclic roll of one ``[ft, Zq]`` circulant segment by ``k``
+        lanes.  Tile-granular distances are dtype-agnostic concatenations;
+        others ride ``pltpu.roll`` — 32-bit only, so sub-32-bit messages
+        round-trip through f32 (exact: bf16 values and lattice integers
+        are both f32-representable)."""
+        k = k % Zq
+        if k == 0:
+            return seg
+        if k % 128 == 0:
+            return jnp.concatenate(
+                [seg[:, Zq - k :], seg[:, : Zq - k]], axis=1
+            )
+        if seg.dtype.itemsize < 4:
+            return pltpu.roll(
+                seg.astype(jnp.float32), k, axis=1
+            ).astype(seg.dtype)
+        return pltpu.roll(seg, k, axis=1)
+
+    def qc_transport(v, reverse):
+        """Structure-aware QC edge permutation: one ``qc_z``-lane cyclic
+        roll per base edge (see lanes_layout._derive_qc_segments) — no
+        switching network, no matmuls.  Forward (CN->VN): VN segment at
+        ``Av`` = CN segment at ``Ac`` rolled by ``s``; reverse rolls by
+        ``-s``.  Lanes past the real edge space carry the PAD constant
+        (read only through force_pad / class-sliced updates)."""
+        Zq = ldc.qc_z
+        segs = ldc.qc_segments
+        if reverse:
+            parts_by_start = sorted(
+                (ac, av, (-s) % Zq) for av, ac, s in segs
+            )
+        else:
+            parts_by_start = sorted(
+                (av, ac, s) for av, ac, s in segs
+            )
+        parts = []
+        for _out_start, in_start, s in parts_by_start:
+            parts.append(
+                roll_seg(v[:, in_start : in_start + Zq], s, Zq)
+            )
+        tail = N - len(segs) * Zq
+        if tail:
+            parts.append(jnp.full((v.shape[0], tail), pad_store, compute)
+                         .astype(v.dtype))
+        return jnp.concatenate(parts, axis=1)
+
     def transport(p1_ref, p3_ref, w_ref, v, reverse):
         """CN-space <-> VN-space edge permutation."""
+        if qc:
+            return qc_transport(v, reverse)
         if not clos:
             return mid_stages(w_ref, v, reverse)
         if reverse:
@@ -799,9 +849,10 @@ def bp_decode_lanes(
     Mosaic's roll cannot exchange int8 lanes).
     """
     dtype = jnp.dtype(message_dtype)
-    if dtype in (jnp.bfloat16, jnp.int8) and ldc.transport != "clos":
+    if dtype in (jnp.bfloat16, jnp.int8) and ldc.transport not in (
+            "clos", "qc"):
         raise ValueError(
-            f"{message_dtype} lane-major messages require the clos "
+            f"{message_dtype} lane-major messages require the clos or qc "
             "transport (intra-lane sub-32-bit rolls are unsupported by "
             "Mosaic); build the layout with "
             'to_lanes_device(code, transport="clos")'
@@ -981,9 +1032,9 @@ def bec_decode_lanes(
     from ..channel import BEC_ERASURE
 
     dtype = jnp.dtype(message_dtype)
-    if dtype == jnp.bfloat16 and ldc.transport != "clos":
+    if dtype == jnp.bfloat16 and ldc.transport not in ("clos", "qc"):
         raise ValueError(
-            "bfloat16 lane-major messages require the clos transport"
+            "bfloat16 lane-major messages require the clos or qc transport"
         )
     nc, B = symbols_in.shape
     if frame_tile == 0:
@@ -1083,9 +1134,10 @@ def bp_stream_chunk_lanes(
     ``quant_scale``), and the kernel scales the prior in its VN stage —
     posteriors byte-match a batch-kernel decode of the same frames."""
     dtype = jnp.dtype(message_dtype)
-    if dtype in (jnp.bfloat16, jnp.int8) and ldc.transport != "clos":
+    if dtype in (jnp.bfloat16, jnp.int8) and ldc.transport not in (
+            "clos", "qc"):
         raise ValueError(
-            f"{message_dtype} lane-major messages require the clos "
+            f"{message_dtype} lane-major messages require the clos or qc "
             "transport"
         )
     if dtype == jnp.int8:

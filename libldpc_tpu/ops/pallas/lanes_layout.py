@@ -92,6 +92,12 @@ class LanesDeviceCode:
     #: real-edge mask word (empty when built without layers); the layered
     #: analogue of the edge-major layout's ``layer_planes``
     layer_words: tuple[tuple[int, int], ...] = ()
+    #: ``"qc"`` transport: circulant lifting size (multiple of 128) and the
+    #: per-base-edge segments ``(vn_start, cn_start, shift)`` — the whole
+    #: CN-space <-> VN-space permutation factors into one ``qc_z``-lane
+    #: cyclic roll per base edge (no switching network, no matmuls)
+    qc_z: int = 0
+    qc_segments: tuple[tuple[int, int, int], ...] = ()
     # arrays
     planes: jnp.ndarray = None  # int32 [n_words + 1, n_pad]; last word bit 0
     #                             is the real-edge (CN-space) mask
@@ -112,7 +118,7 @@ class LanesDeviceCode:
         ), (
             self.n_pad, self.nc_pad, self.benes_dists, self.benes_words,
             self.n_words, self.cn_blocks, self.vn_blocks, self.vn_node_base,
-            self.transport, self.layer_words,
+            self.transport, self.layer_words, self.qc_z, self.qc_segments,
         )
 
     @classmethod
@@ -120,13 +126,15 @@ class LanesDeviceCode:
         (sorted_dc, planes, lane_of_vn, vn_of_lane, clos_p1,
          clos_p3, cn_edge_node) = children
         (n_pad, nc_pad, benes_dists, benes_words, n_words, cn_blocks,
-         vn_blocks, vn_node_base, transport, layer_words) = aux
+         vn_blocks, vn_node_base, transport, layer_words, qc_z,
+         qc_segments) = aux
         return cls(
             sorted_dc=sorted_dc, n_pad=n_pad, nc_pad=nc_pad,
             benes_dists=benes_dists, benes_words=benes_words,
             n_words=n_words, cn_blocks=cn_blocks, vn_blocks=vn_blocks,
             vn_node_base=vn_node_base, transport=transport,
-            layer_words=layer_words, planes=planes,
+            layer_words=layer_words, qc_z=qc_z, qc_segments=qc_segments,
+            planes=planes,
             lane_of_vn=lane_of_vn, vn_of_lane=vn_of_lane,
             clos_p1=clos_p1, clos_p3=clos_p3, cn_edge_node=cn_edge_node,
         )
@@ -169,6 +177,70 @@ class LanesDeviceCode:
         return self.sorted_dc.shorten
 
 
+def _derive_qc_segments(code, Z, rows, cols, vn_slot, cn_slot,
+                        cn_end, vn_end, sdc):
+    """Factor the lane permutation of a quasi-cyclic code into per-base-edge
+    cyclic rolls.
+
+    For a circulant block (base row ``r``, base col ``c``, shift ``s``),
+    check ``r*Z + k`` connects to variable ``c*Z + (k+s) % Z`` (the
+    802.11n/5G-NR convention of :func:`...models.construct.expand_qc`).
+    The degree-class layout keeps equal-degree nodes in original order
+    (stable sorts), so the ``Z`` lifts of one base node occupy ``Z``
+    consecutive lanes, every class is a whole number of circulants
+    (``Z % 128 == 0`` ⇒ no fake nodes), and each base edge's CN-space and
+    VN-space slots are two aligned ``Z``-lane segments related by a
+    cyclic roll of ``s``: VN slot ``Av + (k+s) % Z`` holds the edge at
+    CN slot ``Ac + k``.
+
+    Returns ``(Z, ((Av, Ac, s), ...))`` or raises ``ValueError`` when the
+    structure does not hold in the layout (e.g. multi-circulant cells or
+    an edge order that breaks lift contiguity)."""
+    nnz = rows.size
+    if nnz % Z or cn_end != nnz or vn_end != nnz:
+        raise ValueError(
+            "qc transport: degree classes are not whole circulants "
+            f"(nnz={nnz}, Z={Z}, cn_end={cn_end}, vn_end={vn_end})"
+        )
+    nb = code.nc // Z
+    be = (rows // Z) * nb + (cols // Z)  # base-edge id per edge
+    order = np.argsort(be, kind="stable")
+    segments = []
+    for g in range(nnz // Z):
+        grp = order[g * Z : (g + 1) * Z]
+        if be[grp[0]] != be[grp[-1]]:
+            raise ValueError(
+                "qc transport: a base cell does not hold exactly one "
+                "circulant (multi-diagonal cells are not qc-alignable)"
+            )
+        vs = vn_slot[grp]
+        cs = cn_slot[grp]
+        av = int(vs.min())
+        ac = int(cs.min())
+        if av % 128 or ac % 128:
+            raise ValueError("qc transport: segment start not lane-aligned")
+        i = vs - av
+        k = cs - ac
+        if i.max() >= Z or k.max() >= Z:
+            raise ValueError(
+                "qc transport: lifts of a base edge are not contiguous "
+                "in the lane layout"
+            )
+        s = int((i[0] - k[0]) % Z)
+        if not (((k + s) % Z) == i).all():
+            raise ValueError(
+                "qc transport: intra-block permutation is not a single "
+                "cyclic shift"
+            )
+        segments.append((av, ac, s))
+    # both spaces must be tiled contiguously by the segments
+    if sorted(av for av, _, _ in segments) != list(range(0, nnz, Z)):
+        raise ValueError("qc transport: VN segments do not tile the space")
+    if sorted(ac for _, ac, _ in segments) != list(range(0, nnz, Z)):
+        raise ValueError("qc transport: CN segments do not tile the space")
+    return int(Z), tuple(segments)
+
+
 def to_lanes_device(
     code: LDPCCode, transport: str = "benes", with_layers: bool = False,
 ) -> LanesDeviceCode:
@@ -177,9 +249,31 @@ def to_lanes_device(
     ``with_layers`` additionally bit-packs per-layer CN-edge membership
     planes (from the code's layerfile, GPU-stack capability
     ``gpu/ldpc/ldpc.cpp:111-138``) into ``planes`` for the layered
-    schedule of :func:`.decode_lanes.bp_decode_lanes`."""
-    if transport not in ("benes", "clos"):
+    schedule of :func:`.decode_lanes.bp_decode_lanes`.
+
+    ``transport="qc"`` — structure-aware transport for quasi-cyclic codes
+    (``code.qc`` set, lifting size ``Z % 128 == 0``): every degree class
+    is a whole number of circulant blocks, so the CN-space <-> VN-space
+    permutation factors into exactly one ``Z``-lane cyclic roll per base
+    edge — no switching network, no one-hot matmuls, no fake nodes, and
+    the edge space needs only 128-alignment (not the Beneš power of two).
+    Raises ``ValueError`` when the code has no recoverable QC structure in
+    the lane layout (callers fall back to ``benes``/``clos``)."""
+    if transport not in ("benes", "clos", "qc"):
         raise ValueError(f"unknown transport {transport!r}")
+    qc_meta = getattr(code, "qc", None)
+    if transport == "qc":
+        if qc_meta is None:
+            raise ValueError(
+                "qc transport requires QC structure metadata on the code "
+                "(LDPCCode.qc, set by models.construct.expand_qc)"
+            )
+        if qc_meta[0] % 128:
+            raise ValueError(
+                f"qc transport requires a lifting size Z that is a "
+                f"multiple of 128 lanes (got Z={qc_meta[0]}); use the "
+                f"benes/clos transports for other Z"
+            )
     sdc = to_sorted_device(code)
     rows = code.rows.astype(np.int64)
     cols = code.cols.astype(np.int64)
@@ -249,9 +343,13 @@ def to_lanes_device(
     vn_of_lane = np.zeros(nc_pad, dtype=np.int32)
     vn_of_lane[lane_of_vn] = np.arange(code.nc, dtype=np.int32)
 
-    # --- permutation over the common padded pow2 edge space ---
+    # --- permutation over the common padded edge space -----------------
+    # qc: 128-aligned only (no network, so no Beneš power-of-two need)
     n0 = max(cn_end, vn_end, 2)
-    N = 1 << int(np.ceil(np.log2(n0)))
+    if transport == "qc":
+        N = _ceil128(n0)
+    else:
+        N = 1 << int(np.ceil(np.log2(n0)))
     perm = np.full(N, -1, dtype=np.int64)
     perm[vn_slot] = cn_slot  # VN slot s receives the edge at CN slot perm[s]
     # pair the remaining (fake/free) slots in order: fake VN slots receive
@@ -264,7 +362,16 @@ def to_lanes_device(
     perm[free_vn] = free_cn
 
     clos_p1 = clos_p3 = None
-    if transport == "clos":
+    qc_z = 0
+    qc_segments: tuple = ()
+    if transport == "qc":
+        qc_z, qc_segments = _derive_qc_segments(
+            code, qc_meta[0], rows, cols, vn_slot, cn_slot,
+            cn_end, vn_end, sdc,
+        )
+        stage_dists: list[int] = []
+        stage_swap = np.zeros((0, N), dtype=bool)
+    elif transport == "clos":
         from .clos import build_clos
 
         cnet = build_clos(perm)
@@ -328,6 +435,8 @@ def to_lanes_device(
         vn_node_base=tuple(vn_node_base),
         transport=transport,
         layer_words=tuple(layer_words),
+        qc_z=qc_z,
+        qc_segments=qc_segments,
         planes=jnp.asarray(planes),
         lane_of_vn=jnp.asarray(lane_of_vn),
         vn_of_lane=jnp.asarray(vn_of_lane),

@@ -635,9 +635,10 @@ def make_streaming_lanes_step(
                 "int8 streaming requires a min-sum-family CN form "
                 "(BP_MS/BP_NMS/BP_OMS)"
             )
-        if ldc.transport != "clos":
+        if ldc.transport not in ("clos", "qc"):
             raise ValueError(
-                "int8 lane-major streaming requires the clos transport"
+                "int8 lane-major streaming requires the clos or qc "
+                "transport"
             )
     if gen_watermark is None:
         gen_watermark = max(1, 3 * batch_per_device // 4)
@@ -766,9 +767,10 @@ def make_streaming_lanes_multipoint_step(
                 "int8 streaming requires a min-sum-family CN form "
                 "(BP_MS/BP_NMS/BP_OMS)"
             )
-        if ldc.transport != "clos":
+        if ldc.transport not in ("clos", "qc"):
             raise ValueError(
-                "int8 lane-major streaming requires the clos transport"
+                "int8 lane-major streaming requires the clos or qc "
+                "transport"
             )
     if gen_watermark is None:
         gen_watermark = max(1, 3 * batch_per_device // 4)

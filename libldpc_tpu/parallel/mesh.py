@@ -106,9 +106,10 @@ def _sim_and_count(
                 early_term=dec.early_term,
                 # bf16 is EXACT for the BEC sign/zero algebra (validated
                 # bit-identical vs the XLA peeling decoder) and measured
-                # ~3x faster than f32/Benes — always use it on clos
+                # ~3x faster than f32/Benes — always use it on clos/qc
                 message_dtype=(
-                    "bfloat16" if dcode.transport == "clos" else "float32"
+                    "bfloat16" if dcode.transport in ("clos", "qc")
+                    else "float32"
                 ),
             )
         elif isinstance(dcode, SortedDeviceCode):
@@ -154,7 +155,8 @@ def _sim_and_count(
                     layered=dec.layered,
                     message_dtype=(
                         dec.message_dtype
-                        if dcode.transport == "clos" else "float32"
+                        if dcode.transport in ("clos", "qc")
+                        else "float32"
                     ),
                     quant_scale=dec.quant_scale,
                 )

@@ -172,15 +172,32 @@ class Simulator:
         )
         # the degree-class-sorted layout is the fast path for BP, BEC and
         # layered decoding (fused Pallas kernel over it when use_pallas)
-        if bec_fused:
+        def _lanes_layout(generic_transport, with_layers=False):
+            """Lane-major layout with the structure-aware qc transport
+            when the code's QC structure survives into the lane layout
+            (one cyclic roll per base edge — no switching network, no
+            matmuls; see lanes_layout._derive_qc_segments), else the
+            requested generic transport."""
             from ..ops.pallas.lanes_layout import to_lanes_device
 
-            # always Clos + bf16 for fused BEC: the sign/zero algebra is
-            # EXACT in bf16 (no accuracy trade, unlike BP), and measured
-            # 2.8-3.3x the XLA peeling path where the f32/Benes variant is
-            # SLOWER than XLA (benchmarks/res_tp_bec.txt: the peeling
-            # algebra is too cheap to amortise VPU roll stages)
-            self.dcode = to_lanes_device(code, transport="clos")
+            qc_meta = getattr(code, "qc", None)
+            if qc_meta is not None and qc_meta[0] % 128 == 0:
+                try:
+                    return to_lanes_device(code, transport="qc",
+                                           with_layers=with_layers)
+                except ValueError:
+                    pass  # not qc-alignable: generic transport below
+            return to_lanes_device(code, transport=generic_transport,
+                                   with_layers=with_layers)
+
+        if bec_fused:
+            # always Clos + bf16 for fused BEC (qc when the code is
+            # QC-alignable): the sign/zero algebra is EXACT in bf16 (no
+            # accuracy trade, unlike BP), and measured 2.8-3.3x the XLA
+            # peeling path where the f32/Benes variant is SLOWER than XLA
+            # (benchmarks/res_tp_bec.txt: the peeling algebra is too cheap
+            # to amortise VPU roll stages)
+            self.dcode = _lanes_layout("clos")
         elif decoder_params.layered and not (
             use_pallas and channel_params.type != "BEC"
         ):
@@ -193,9 +210,10 @@ class Simulator:
             self.dcode = to_pallas_device(
                 code, with_layers=decoder_params.layered, with_clos="auto"
             )
-            if (
-                self.dcode.n_pad > FUSED_EDGE_SPACE_LIMIT
-                and self.dcode.mxu_blocks_fwd is None
+            _qc_meta = getattr(code, "qc", None)
+            if self.dcode.n_pad > FUSED_EDGE_SPACE_LIMIT and (
+                self.dcode.mxu_blocks_fwd is None
+                or (_qc_meta is not None and _qc_meta[0] % 128 == 0)
             ):
                 # Mosaic compile time scales with the vector tile count and
                 # becomes pathological for [edges, frames] Benes kernels on
@@ -210,23 +228,19 @@ class Simulator:
                 # grid-stride loops (gpu/device/kernel.cpp:237-293) —
                 # carrying layer planes when the layered schedule was
                 # requested (kernel_layered in decode_lanes).
-                from ..ops.pallas.lanes_layout import to_lanes_device
-
                 # clos transport unlocks bf16 AND int8 messages (the
                 # integer-lattice min-sum rides native s8 MXU matmuls —
                 # available on unstructured codes since round 4) and
                 # replaces the dominant intra-lane Benes rolls with MXU
                 # matmuls + tile moves; f32 stays on Benes (the f32
                 # HIGHEST-precision matmul form does not compile on
-                # current Mosaic for lane-major shapes)
-                self.dcode = to_lanes_device(
-                    code,
-                    transport=(
-                        "clos"
-                        if decoder_params.message_dtype in ("bfloat16",
-                                                            "int8")
-                        else "benes"
-                    ),
+                # current Mosaic for lane-major shapes).  QC-alignable
+                # codes take the structure-aware qc transport instead
+                # (every dtype, no fill wall).
+                self.dcode = _lanes_layout(
+                    "clos"
+                    if decoder_params.message_dtype in ("bfloat16", "int8")
+                    else "benes",
                     with_layers=decoder_params.layered,
                 )
         else:

@@ -862,3 +862,191 @@ class TestSpillMode:
         np.testing.assert_array_equal(
             np.asarray(out_l.iterations), np.asarray(out_s.iterations)
         )
+
+
+class TestQCTransport:
+    """Structure-aware QC transport: the CN<->VN permutation factors into
+    one Z-lane cyclic roll per base edge (lanes_layout._derive_qc_segments,
+    round 4).  Equivalence is checked against both the XLA sorted decoder
+    and the generic clos/benes lanes kernels."""
+
+    @pytest.fixture(scope="class")
+    def qc_setup(self):
+        from libldpc_tpu.models import expand_qc
+
+        rng = np.random.default_rng(11)
+        # full 3x6 base (dv=3, dc=6), Z=128 -> n=768, nnz=2304
+        base = rng.integers(0, 128, size=(3, 6))
+        code = expand_qc(base, 128)
+        ldc = to_lanes_device(code, transport="qc")
+        rng2 = np.random.default_rng(5)
+        B = 16
+        sigma2 = 10 ** (-0.5 / 10)
+        y = 1.0 + rng2.normal(size=(code.nc, B)) * np.sqrt(sigma2)
+        llr = (2.0 * y / sigma2).astype(np.float32)
+        llr_s = jnp.asarray(llr[np.asarray(ldc.sorted_dc.vn_perm)])
+        return code, ldc, llr_s
+
+    def test_layout_invariants(self, qc_setup):
+        code, ldc, _ = qc_setup
+        assert ldc.transport == "qc"
+        assert ldc.qc_z == 128
+        # no switching network, no matmul planes
+        assert ldc.benes_dists == ()
+        assert ldc.clos_p1 is None and ldc.clos_p3 is None
+        # one segment per base edge, tiling both spaces exactly
+        assert len(ldc.qc_segments) == code.nnz // 128
+        assert ldc.n_pad == code.nnz  # 128-aligned, not pow2-padded
+        assert sorted(s[0] for s in ldc.qc_segments) == list(
+            range(0, code.nnz, 128))
+        assert sorted(s[1] for s in ldc.qc_segments) == list(
+            range(0, code.nnz, 128))
+
+    def test_f32_matches_sorted_bitexact(self, qc_setup):
+        code, ldc, llr_s = qc_setup
+        out_q = bp_decode_lanes(
+            ldc, llr_s, iterations=8, early_term=True, interpret=True
+        )
+        out_s = bp_decode_sorted(
+            ldc.sorted_dc, llr_s, iterations=8, early_term=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_q.hard), np.asarray(out_s.hard))
+        np.testing.assert_array_equal(
+            np.asarray(out_q.iterations), np.asarray(out_s.iterations))
+
+    @pytest.mark.parametrize("dtype,mode", [
+        ("bfloat16", "BP"), ("int8", "BP_MS")])
+    def test_sub32_dtypes_match_clos(self, qc_setup, dtype, mode):
+        """Same values through an exact transport: qc must equal clos
+        byte-for-byte in both reduced-precision dtypes."""
+        code, ldc, llr_s = qc_setup
+        ldc_c = to_lanes_device(code, transport="clos")
+        kw = dict(iterations=8, early_term=True, minsum_mode=mode,
+                  message_dtype=dtype, interpret=True)
+        out_q = bp_decode_lanes(ldc, llr_s, **kw)
+        out_c = bp_decode_lanes(ldc_c, llr_s, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(out_q.hard), np.asarray(out_c.hard))
+        np.testing.assert_array_equal(
+            np.asarray(out_q.iterations), np.asarray(out_c.iterations))
+
+    def test_bec_matches_sorted(self, qc_setup):
+        from libldpc_tpu.ops.bec_sorted import bec_decode_sorted
+        from libldpc_tpu.ops.channel import simulate_channel
+        from libldpc_tpu.ops.pallas.decode_lanes import bec_decode_lanes
+
+        code, ldc, _ = qc_setup
+        ch = simulate_channel(
+            ldc.sorted_dc, "BEC", jax.random.PRNGKey(2), 16,
+            np.float32(0.35),
+        )
+        out_q = bec_decode_lanes(
+            ldc, ch.llr, ch.codeword, iterations=7, early_term=True,
+            message_dtype="bfloat16", interpret=True, frame_tile=8,
+        )
+        out_s = bec_decode_sorted(
+            ldc.sorted_dc, ch.llr, ch.codeword, iterations=7,
+            early_term=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_q.hard), np.asarray(out_s.hard))
+        np.testing.assert_array_equal(
+            np.asarray(out_q.iterations), np.asarray(out_s.iterations))
+
+    def test_streaming_drain_matches_batch(self, qc_setup):
+        from libldpc_tpu.ops.channel import simulate_channel
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_lanes_step,
+        )
+        from libldpc_tpu.utils.params import DecoderParams
+
+        code, ldc, _ = qc_setup
+        B = 16
+        iters = 7
+        ch = simulate_channel(
+            ldc.sorted_dc, "AWGN", jax.random.PRNGKey(9), B,
+            np.float32(0.5),
+        )
+        out = bp_decode_sorted(
+            ldc.sorted_dc, ch.llr, iterations=iters, early_term=True
+        )
+        bit_pos = np.asarray(ldc.sorted_dc.bit_pos)
+        errs = (
+            np.asarray(out.hard)[bit_pos]
+            != np.asarray(ch.codeword)[bit_pos]
+        ).sum(axis=0)
+        want = np.array(
+            [errs.sum(), (errs > 0).sum(), B,
+             np.asarray(out.iterations).sum()], dtype=np.int64,
+        )
+        init_fn, step_fn = make_streaming_lanes_step(
+            ldc, "AWGN", DecoderParams(iterations=iters), B,
+            chunk_iters=4, interpret=True, frame_tile=8,
+        )
+        state = init_fn()
+        real = np.zeros((ldc.nc_pad, 1), np.float32)
+        real[np.asarray(ldc.lane_of_vn)] = 1.0
+        llr_l = (np.asarray(
+            jnp.take(ch.llr, ldc.vn_of_lane, axis=0, mode="fill",
+                     fill_value=0.0)) * real).T
+        cw_l = (np.asarray(
+            jnp.take(ch.codeword.astype(jnp.float32), ldc.vn_of_lane,
+                     axis=0, mode="fill", fill_value=0.0)) * real).T
+        state = state._replace(
+            llr_in=jnp.asarray(llr_l, jnp.float32),
+            codeword=jnp.asarray(cw_l).astype(jnp.int32),
+            done=jnp.zeros((B, 128), jnp.int32),
+        )
+        totals = np.zeros(4, dtype=np.int64)
+        for step in range(60):
+            state, acc = step_fn(
+                state, jax.random.PRNGKey(step), np.float32(0.5),
+                jnp.asarray(False),
+            )
+            totals += np.array([
+                int(acc.bit_errors), int(acc.frame_errors),
+                int(acc.frames), int(acc.iter_sum),
+            ])
+            if int(acc.n_active) == 0:
+                break
+        np.testing.assert_array_equal(totals, want)
+
+    def test_rejects_codes_without_structure(self):
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=False)
+        with pytest.raises(ValueError, match="requires QC structure"):
+            to_lanes_device(code, transport="qc")
+
+    def test_rejects_misaligned_lifting(self):
+        from libldpc_tpu.models import expand_qc
+
+        code = expand_qc(np.array([[0, 1, 2, 3]]), 64)
+        with pytest.raises(ValueError, match="multiple of 128"):
+            to_lanes_device(code, transport="qc")
+
+    def test_driver_routes_qc(self, monkeypatch):
+        """A QC-alignable code on the lane-major route takes the qc
+        transport; provenance says so."""
+        from libldpc_tpu.models import expand_qc, systematic_generator
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.utils.params import (
+            ChannelParams, DecoderParams, SimulationParams,
+        )
+
+        rng = np.random.default_rng(3)
+        base = rng.integers(0, 128, size=(3, 6))
+        code = expand_qc(base, 128)
+        code.G = systematic_generator(code)
+        monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
+        sim = drv.Simulator(
+            code,
+            DecoderParams(iterations=8),
+            ChannelParams(seed=1, x_range=(1.0, 2.0, 1.0)),
+            SimulationParams(batch_size=32, fec=3, max_frames=128),
+            use_pallas=True,
+            verbose=False,
+        )
+        from libldpc_tpu.ops.pallas.lanes_layout import LanesDeviceCode
+        assert isinstance(sim.dcode, LanesDeviceCode)
+        assert sim.dcode.transport == "qc"
+        assert "transport=qc" in sim.decode_path
