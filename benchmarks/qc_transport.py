@@ -33,7 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="8192:512,32768:2048,65536:4096",
+    ap.add_argument("--configs",
+                    default="8192:512,32768:2048,65536:4096,131072:8192",
                     help="comma list of n:Z")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=32)

@@ -79,6 +79,13 @@ FUSED_EDGE_SPACE_LIMIT = 4096
 #: Module-level so tests can lower it to exercise the routing.
 LANES_EDGE_SPACE_LIMIT = 262144
 
+#: The structure-aware qc transport carries no switching network and no
+#: one-hot matmul planes, so its VMEM wall sits further out: n = 131072
+#: (3,6)-regular QC (n_pad = 393216) compiles and decodes at 323 us/frame
+#: while n_pad = 786432 fails both kernel forms (measured 2026-08-19 on
+#: v5e, benchmarks/res_qc_transport.txt).
+QC_LANES_EDGE_SPACE_LIMIT = 393216
+
 #: Clos-transport fill wall within the lane extent above: at
 #: n_pad = 65536 the clos/bf16 variant compiles at 49152 padded real
 #: edges (n = 16384 (3,6)) and crashes the remote compiler at 55296
@@ -263,16 +270,21 @@ class Simulator:
         # envelope edge — with the reroute recorded in the provenance
         from ..ops.pallas.lanes_layout import LanesDeviceCode as _LDC
 
+        _lanes_limit = (
+            QC_LANES_EDGE_SPACE_LIMIT
+            if isinstance(self.dcode, _LDC) and self.dcode.transport == "qc"
+            else LANES_EDGE_SPACE_LIMIT
+        )
         if (
             isinstance(self.dcode, _LDC)
-            and self.dcode.n_pad > LANES_EDGE_SPACE_LIMIT
+            and self.dcode.n_pad > _lanes_limit
         ):
             self._record_fallback(
                 f"lanes n_pad {self.dcode.n_pad} > envelope "
-                f"{LANES_EDGE_SPACE_LIMIT} -> xla sorted decoder",
+                f"{_lanes_limit} -> xla sorted decoder",
                 f"padded edge space {self.dcode.n_pad} exceeds the "
                 f"lane-major kernel's measured compile envelope "
-                f"({LANES_EDGE_SPACE_LIMIT}); running the XLA sorted "
+                f"({_lanes_limit}); running the XLA sorted "
                 f"decoder instead",
             )
             use_pallas = False
