@@ -3,6 +3,7 @@ from .construct import (
     count_4cycles,
     expand_qc,
     girth,
+    detect_qc,
     make_benchmark_code,
     make_qc_benchmark_code,
     make_peg_code,
@@ -19,6 +20,7 @@ __all__ = [
     "girth",
     "gf2",
     "io",
+    "detect_qc",
     "make_benchmark_code",
     "make_qc_benchmark_code",
     "make_peg_code",

@@ -341,6 +341,53 @@ def girth(code: LDPCCode, cap: int = 16) -> int:
     return int(best)
 
 
+def detect_qc(code: LDPCCode, Z: int) -> np.ndarray:
+    """Verify that ``code``'s H is quasi-cyclic with lifting size ``Z``
+    (every ``Z×Z`` block is zero or a single cyclically-shifted identity)
+    and stamp ``code.qc = (Z, base)``; returns the recovered base matrix.
+
+    Codefile/alist formats carry no lifting structure, so a file-loaded
+    QC code needs this to reach the structure-aware ``"qc"`` lane-major
+    transport (the CLI exposes it as ``--qc-z``).  Raises ``ValueError``
+    when H is not QC at this ``Z``.
+    """
+    if code.nc % Z or code.mc % Z:
+        raise ValueError(
+            f"nc={code.nc} / mc={code.mc} not multiples of Z={Z}")
+    mb, nb = code.mc // Z, code.nc // Z
+    rows = code.rows.astype(np.int64)
+    cols = code.cols.astype(np.int64)
+    base = np.full((mb, nb), -1, dtype=np.int64)
+    be = (rows // Z) * nb + (cols // Z)
+    order = np.argsort(be, kind="stable")
+    pos = 0
+    while pos < rows.size:
+        b = be[order[pos]]
+        end = pos
+        while end < rows.size and be[order[end]] == b:
+            end += 1
+        grp = order[pos:end]
+        if grp.size != Z:
+            raise ValueError(
+                f"base cell ({b // nb}, {b % nb}) has {grp.size} edges, "
+                f"not Z={Z}: H is not QC at this lifting size")
+        k = rows[grp] % Z
+        i = cols[grp] % Z
+        if np.bincount(k, minlength=Z).max() != 1:
+            raise ValueError(
+                f"base cell ({b // nb}, {b % nb}) is not a permutation "
+                "block")
+        s = int((i[0] - k[0]) % Z)
+        if not (((k + s) % Z) == i).all():
+            raise ValueError(
+                f"base cell ({b // nb}, {b % nb}) is not a single "
+                "cyclic-shift circulant")
+        base[b // nb, b % nb] = s
+        pos = end
+    code.qc = (int(Z), base)
+    return base
+
+
 def make_qc_benchmark_code(
     nc: int, Z: int, dv: int = 3, dc: int = 6, seed: int = 0,
     with_G: bool = False,

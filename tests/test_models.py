@@ -171,6 +171,67 @@ class TestQCExpansion:
         out = bp_decode_jit(d, llr, iterations=30)
         assert (~np.asarray(out.hard)).all()  # all-zero cw recovered
 
+    def test_expand_qc_stamps_metadata(self):
+        from libldpc_tpu.models import expand_qc
+
+        base = np.array([[0, 3, 1, -1], [5, -1, 2, 7]])
+        code = expand_qc(base, 8)
+        assert code.qc is not None
+        assert code.qc[0] == 8
+        assert np.array_equal(code.qc[1], base)
+
+    def test_detect_qc_recovers_structure(self):
+        """A file-loaded QC code has no metadata; detect_qc must verify H
+        and recover the exact base (the CLI's --qc-z path)."""
+        from libldpc_tpu.models import detect_qc, expand_qc
+
+        rng = np.random.default_rng(4)
+        base = rng.integers(-1, 16, size=(4, 8))
+        code = expand_qc(base, 16)
+        code.qc = None  # simulate a file load
+        got = detect_qc(code, 16)
+        assert np.array_equal(got, base)
+        assert code.qc[0] == 16
+
+    def test_detect_qc_rejects_non_qc(self):
+        from libldpc_tpu.models import detect_qc, make_benchmark_code
+
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7)
+        with pytest.raises(ValueError):
+            detect_qc(code, 8)
+        # wrong Z on a real QC code
+        from libldpc_tpu.models import expand_qc
+
+        qc = expand_qc(np.array([[0, 3, 1, 2]]), 8)
+        qc.qc = None
+        with pytest.raises(ValueError):
+            detect_qc(qc, 4)
+
+    def test_cli_qc_z_flag(self, tmp_path):
+        """--qc-z verifies H and unlocks the qc metadata from the CLI
+        (the codefile format carries no lifting structure)."""
+        from libldpc_tpu import cli
+        from libldpc_tpu.models import expand_qc
+
+        rng = np.random.default_rng(2)
+        base = rng.integers(0, 8, size=(2, 4))
+        code = expand_qc(base, 8)
+        pc = tmp_path / "qc_h.txt"
+        code.save(str(pc))
+        out = tmp_path / "res.txt"
+        rc = cli.main([
+            str(pc), str(out), "4", "4.1", "1", "-i", "8",
+            "--batch-size", "16", "--max-frames", "32",
+            "--frame-error-count", "2", "--qc-z", "8",
+        ])
+        assert rc == 0 and out.exists()
+        with pytest.raises(ValueError):
+            cli.main([
+                str(pc), str(out), "4", "4.1", "1", "-i", "8",
+                "--batch-size", "16", "--max-frames", "32",
+                "--frame-error-count", "2", "--qc-z", "4",
+            ])
+
 
 class TestNativeRuntime:
     def test_native_parser_matches_python(self, tmp_path):
