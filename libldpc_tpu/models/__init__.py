@@ -6,6 +6,7 @@ from .construct import (
     detect_qc,
     make_benchmark_code,
     make_qc_benchmark_code,
+    qc_natural_layers,
     make_peg_code,
     make_regular_code,
     systematic_generator,
@@ -23,6 +24,7 @@ __all__ = [
     "detect_qc",
     "make_benchmark_code",
     "make_qc_benchmark_code",
+    "qc_natural_layers",
     "make_peg_code",
     "make_regular_code",
     "systematic_generator",

@@ -341,6 +341,25 @@ def girth(code: LDPCCode, cap: int = 16) -> int:
     return int(best)
 
 
+def qc_natural_layers(code: LDPCCode) -> list:
+    """The natural layered-decoding schedule of a QC code: one layer per
+    base row — ``Z`` structurally-parallel checks that touch each
+    variable at most once (single-circulant cells), the grouping layered
+    hardware decoders use.  Sets and returns ``code.layers`` (consumed by
+    the layered schedule exactly like a layerfile,
+    ``gpu/ldpc/ldpc.cpp:111-138``).  Requires ``code.qc``
+    (:func:`expand_qc` or :func:`detect_qc`)."""
+    if code.qc is None:
+        raise ValueError(
+            "qc_natural_layers requires QC metadata (expand_qc/detect_qc)")
+    Z = code.qc[0]
+    code.layers = [
+        np.arange(r * Z, (r + 1) * Z, dtype=np.int32)
+        for r in range(code.mc // Z)
+    ]
+    return code.layers
+
+
 def detect_qc(code: LDPCCode, Z: int) -> np.ndarray:
     """Verify that ``code``'s H is quasi-cyclic with lifting size ``Z``
     (every ``Z×Z`` block is zero or a single cyclically-shifted identity)

@@ -1050,3 +1050,36 @@ class TestQCTransport:
         assert isinstance(sim.dcode, LanesDeviceCode)
         assert sim.dcode.transport == "qc"
         assert "transport=qc" in sim.decode_path
+
+    def test_layered_natural_layers_on_qc_transport(self):
+        """QC natural layers (one per base row) through the qc transport's
+        layered kernel: identical decisions/iterations to the XLA layered
+        decoder on the same schedule."""
+        from libldpc_tpu.models import expand_qc, qc_natural_layers
+        from libldpc_tpu.ops.sorted import to_sorted_device
+
+        rng = np.random.default_rng(21)
+        base = rng.integers(0, 128, size=(3, 6))
+        code = expand_qc(base, 128)
+        layers = qc_natural_layers(code)
+        assert len(layers) == 3 and all(len(l) == 128 for l in layers)
+        ldc = to_lanes_device(code, transport="qc", with_layers=True)
+        assert ldc.transport == "qc" and len(ldc.layer_words) == 3
+        rng2 = np.random.default_rng(6)
+        B = 16
+        sigma2 = 10 ** (-0.5 / 10)
+        y = 1.0 + rng2.normal(size=(code.nc, B)) * np.sqrt(sigma2)
+        llr = (2.0 * y / sigma2).astype(np.float32)
+        llr_s = jnp.asarray(llr[np.asarray(ldc.sorted_dc.vn_perm)])
+        out_q = bp_decode_lanes(
+            ldc, llr_s, iterations=8, early_term=True, layered=True,
+            frame_tile=8, interpret=True,
+        )
+        sdc = to_sorted_device(code, with_layers=True)
+        out_s = bp_decode_sorted(
+            sdc, llr_s, iterations=8, early_term=True, layered=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_q.hard), np.asarray(out_s.hard))
+        np.testing.assert_array_equal(
+            np.asarray(out_q.iterations), np.asarray(out_s.iterations))
