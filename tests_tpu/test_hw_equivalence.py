@@ -492,3 +492,76 @@ def test_stream_kernels_match_batch_decoder_on_chip():
     assert abs(int(got_e[1]) - int(want[1])) <= 2, (got_e, want)
     assert abs(int(got_e[3]) - int(want[3])) <= max(8, want[3] // 1000), (
         got_e, want)
+
+
+@requires_tpu
+@pytest.mark.parametrize("early_term", [False, True])
+def test_qc_lanes_matches_sorted_on_chip(early_term):
+    """Compiled structure-aware QC transport (one Z-lane cyclic roll per
+    base edge, round 4) vs the XLA sorted decoder on hardware, f32
+    bit-exact — the Mosaic twin of
+    tests/test_lanes.py::TestQCTransport::test_f32_matches_sorted_bitexact
+    at a deployed-code-class size (n=8192, Z=512)."""
+    from libldpc_tpu.models import make_qc_benchmark_code
+    from libldpc_tpu.ops.pallas.decode_lanes import bp_decode_lanes
+    from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+    from libldpc_tpu.ops.sorted import bp_decode_sorted
+
+    code = make_qc_benchmark_code(8192, 512, dv=3, dc=6, seed=3)
+    ldc = to_lanes_device(code, transport="qc")
+    assert ldc.transport == "qc" and ldc.qc_z == 512
+    B = 64
+    llr = _awgn_llrs(code, B, snr_db=1.2, seed=23)
+    vn_perm = np.asarray(jax.device_get(ldc.sorted_dc.vn_perm))
+    llr_s = jnp.asarray(llr[vn_perm])
+
+    out_q = bp_decode_lanes(
+        ldc, llr_s, iterations=16, early_term=early_term
+    )
+    out_s = jax.jit(
+        lambda l: bp_decode_sorted(
+            ldc.sorted_dc, l, iterations=16, early_term=early_term
+        )
+    )(llr_s)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_q.hard)),
+        np.asarray(jax.device_get(out_s.hard)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_q.iterations)),
+        np.asarray(jax.device_get(out_s.iterations)),
+    )
+
+
+@requires_tpu
+@pytest.mark.parametrize("dtype,mode", [
+    ("bfloat16", "BP"), ("int8", "BP_MS")])
+def test_qc_sub32_matches_clos_on_chip(dtype, mode):
+    """Compiled QC transport vs the generic Clos transport at reduced
+    message precision: both move exact byte patterns, so hard decisions
+    and iteration counts must agree bit-for-bit on hardware too."""
+    from libldpc_tpu.models import make_qc_benchmark_code
+    from libldpc_tpu.ops.pallas.decode_lanes import bp_decode_lanes
+    from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+
+    code = make_qc_benchmark_code(1536, 256, dv=3, dc=6, seed=5)
+    ldc_q = to_lanes_device(code, transport="qc")
+    ldc_c = to_lanes_device(code, transport="clos")
+    assert ldc_q.transport == "qc" and ldc_c.transport == "clos"
+    B = 64
+    llr = _awgn_llrs(code, B, snr_db=0.5, seed=29)
+    vn_perm = np.asarray(jax.device_get(ldc_q.sorted_dc.vn_perm))
+    llr_s = jnp.asarray(llr[vn_perm])
+
+    kw = dict(iterations=12, early_term=True, minsum_mode=mode,
+              message_dtype=dtype)
+    out_q = bp_decode_lanes(ldc_q, llr_s, **kw)
+    out_c = bp_decode_lanes(ldc_c, llr_s, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_q.hard)),
+        np.asarray(jax.device_get(out_c.hard)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_q.iterations)),
+        np.asarray(jax.device_get(out_c.iterations)),
+    )
