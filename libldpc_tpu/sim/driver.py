@@ -86,6 +86,18 @@ LANES_EDGE_SPACE_LIMIT = 262144
 #: v5e, benchmarks/res_qc_transport.txt).
 QC_LANES_EDGE_SPACE_LIMIT = 393216
 
+#: The qc transport's sub-32-bit (bfloat16/int8) kernel forms wall
+#: earlier than f32: n_pad = 196608 (n = 65536 (3,6)-regular QC)
+#: compiles and decodes for every dtype, while n_pad = 294912 and
+#: 393216 crash the remote compiler for bf16/int8 where f32 still
+#: runs bit-exactly (measured 2026-08-20 on v5e,
+#: benchmarks/res_qc_transport.txt).  Between the two walls the driver
+#: keeps the structure-aware transport and widens messages to f32
+#: (still 5-9x the XLA decoder there) instead of crashing; fused BEC
+#: (whose sign algebra rides the bf16 form) reroutes to the XLA
+#: peeling decoder.
+QC_LANES_SUB32_EDGE_SPACE_LIMIT = 196608
+
 #: Clos-transport fill wall within the lane extent above: at
 #: n_pad = 65536 the clos/bf16 variant compiles at 49152 padded real
 #: edges (n = 16384 (3,6)) and crashes the remote compiler at 55296
@@ -293,6 +305,50 @@ class Simulator:
             self.dcode = to_sorted_device(
                 code, with_layers=decoder_params.layered
             )
+        elif (
+            isinstance(self.dcode, _LDC)
+            and self.dcode.transport == "qc"
+            and self.dcode.n_pad > QC_LANES_SUB32_EDGE_SPACE_LIMIT
+            and (
+                bec_fused
+                or decoder_params.message_dtype in ("bfloat16", "int8")
+            )
+        ):
+            # the qc transport's bf16/int8 kernel forms wall earlier than
+            # f32 (see QC_LANES_SUB32_EDGE_SPACE_LIMIT): between the two
+            # walls, widen messages to f32 on the same structure-aware
+            # transport (still 5-9x XLA, benchmarks/res_qc_transport.txt);
+            # fused BEC — exact only in the bf16 sign algebra — reroutes
+            # to the XLA peeling decoder.
+            if bec_fused:
+                self._record_fallback(
+                    f"qc n_pad {self.dcode.n_pad} > sub-32-bit envelope "
+                    f"{QC_LANES_SUB32_EDGE_SPACE_LIMIT} -> xla peeling "
+                    f"decoder",
+                    f"padded edge space {self.dcode.n_pad} exceeds the qc "
+                    f"transport's bf16 compile envelope "
+                    f"({QC_LANES_SUB32_EDGE_SPACE_LIMIT}); running the "
+                    f"XLA peeling decoder instead",
+                )
+                use_pallas = False
+                from ..ops.sorted import to_sorted_device
+
+                self.dcode = to_sorted_device(code)
+            else:
+                import dataclasses as _dc
+
+                self._record_fallback(
+                    f"qc n_pad {self.dcode.n_pad} > sub-32-bit envelope "
+                    f"{QC_LANES_SUB32_EDGE_SPACE_LIMIT} -> f32 qc lanes",
+                    f"padded edge space {self.dcode.n_pad} exceeds the qc "
+                    f"transport's bf16/int8 compile envelope "
+                    f"({QC_LANES_SUB32_EDGE_SPACE_LIMIT}); widening "
+                    f"messages to float32 on the same transport",
+                )
+                decoder_params = _dc.replace(
+                    decoder_params, message_dtype="float32"
+                )
+                self.dec = decoder_params
         elif isinstance(self.dcode, _LDC) and self.dcode.transport == "clos":
             # the Clos transport's wall is tighter than Benes': at
             # n_pad 65536 it compiles at <= 49152 padded real edges

@@ -345,6 +345,68 @@ class TestDriverRouting:
         assert isinstance(sim_bec.dcode, SortedDeviceCode)
         assert "xla peeling" in sim_bec.decode_path
 
+    def test_past_qc_sub32_wall_widens_to_f32(self, monkeypatch):
+        """bf16/int8 on the qc transport past
+        QC_LANES_SUB32_EDGE_SPACE_LIMIT (the measured bf16/int8 qc
+        compile wall, benchmarks/res_qc_transport.txt) widen messages to
+        f32 on the SAME structure-aware transport — still fused, still
+        5-9x XLA there — with the dtype change in the provenance; fused
+        BEC (exact only in the bf16 sign algebra) reroutes to the XLA
+        peeling decoder."""
+        from libldpc_tpu.models import expand_qc
+
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.ops.pallas.lanes_layout import LanesDeviceCode
+        from libldpc_tpu.ops.sorted import SortedDeviceCode
+        from libldpc_tpu.utils.params import (
+            ChannelParams, DecoderParams, SimulationParams,
+        )
+
+        monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
+        monkeypatch.setattr(drv, "QC_LANES_SUB32_EDGE_SPACE_LIMIT", 128)
+        rng = np.random.default_rng(11)
+        code = expand_qc(rng.integers(0, 128, size=(3, 6)), 128)
+        ch = ChannelParams(type="AWGN", seed=3, x_range=(2.0, 2.1, 0.5))
+        sp = SimulationParams(batch_size=32, max_frames=64, fec=10**9)
+
+        for dtype, mode in (("bfloat16", "BP"), ("int8", "BP_MS")):
+            with pytest.warns(UserWarning, match="compile envelope"):
+                sim = drv.Simulator(
+                    code,
+                    DecoderParams(iterations=6, type=mode,
+                                  message_dtype=dtype),
+                    ch, sp, use_pallas=True, verbose=False,
+                )
+            assert isinstance(sim.dcode, LanesDeviceCode)
+            assert sim.dcode.transport == "qc"
+            assert sim.dec.message_dtype == "float32"
+            assert "dtype=float32" in sim.decode_path
+            assert "f32 qc lanes" in sim.decode_path
+
+        # f32 within the wider f32 envelope: untouched, no fallback
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            sim_f = drv.Simulator(
+                code,
+                DecoderParams(iterations=6),
+                ch, sp, use_pallas=True, verbose=False,
+            )
+        assert sim_f.dcode.transport == "qc"
+        assert "fallback" not in sim_f.decode_path
+
+        with pytest.warns(UserWarning, match="peeling decoder"):
+            sim_bec = drv.Simulator(
+                code,
+                DecoderParams(iterations=6),
+                ChannelParams(type="BEC", seed=3,
+                              x_range=(0.3, 0.31, 0.5)),
+                sp, use_pallas=True, verbose=False,
+            )
+        assert isinstance(sim_bec.dcode, SortedDeviceCode)
+        assert "xla peeling" in sim_bec.decode_path
+
 
 class TestLanesDecoder:
     @pytest.mark.parametrize("early_term", [True, False])
