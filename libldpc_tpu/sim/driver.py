@@ -67,17 +67,21 @@ FUSED_EDGE_SPACE_LIMIT = 4096
 #: with a dataflow edge connecting two Beneš transport chains, not the
 #: lane extent (benchmarks/probe_lane_wall*.py bisected it); above
 #: ``decode_lanes.SPILL_FREE_LIMIT`` the kernels materialise every
-#: cross-chain value through VMEM spill refs, and both n_pad = 131072
-#: (n = 32768 (3,6)-regular) and n_pad = 262144 (n = 65536) compile and
-#: decode bit-identically to the XLA sorted decoder (measured 2026-08-19
-#: on v5e, benchmarks/res_tp_bl_scale.txt).  The remaining wall is the
-#: chip's 128M VMEM itself (262144 measures a 127.6M scoped stack at the
-#: 128M limit) — the same "any blocklength that fits device memory"
-#: boundary as the reference GPU kernels (gpu/device/kernel.cpp:237-293).
-#: Beyond it the driver falls back to the XLA sorted decoder (still
-#: any-n) and records the reroute in the results-file provenance.
-#: Module-level so tests can lower it to exercise the routing.
-LANES_EDGE_SPACE_LIMIT = 262144
+#: cross-chain value through VMEM spill refs, and n_pad = 131072
+#: (n = 32768 (3,6)-regular) compiles and decodes bit-identically to
+#: the XLA sorted decoder (re-measured 2026-08-20 on v5e,
+#: benchmarks/res_tp_bl_scale.txt).  n_pad = 262144 (n = 65536) sits AT
+#: the chip's 128M VMEM wall: a 127.6M scoped stack was measured to
+#: compile during round-4 bring-up, but the production toolchain crashes
+#: on it today (f32, frame tiles 8 and 4 — failure rows in
+#: res_tp_bl_scale.txt), so the guarded envelope stays at the last size
+#: that compiles reproducibly.  Beyond it the driver falls back to the
+#: XLA sorted decoder (still any-n, and for QC-alignable codes the
+#: structure-aware transport extends fused decoding to n_pad = 393216
+#: first — see QC_LANES_EDGE_SPACE_LIMIT) with the reroute recorded in
+#: the results-file provenance.  Module-level so tests can lower it to
+#: exercise the routing.
+LANES_EDGE_SPACE_LIMIT = 131072
 
 #: The structure-aware qc transport carries no switching network and no
 #: one-hot matmul planes, so its VMEM wall sits further out: n = 131072
