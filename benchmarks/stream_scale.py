@@ -3,10 +3,14 @@
 The driver's default path for early-terminating sweeps is streaming
 compaction; round 3 measured the lane-major in-kernel version at 2.4-3.1x
 the XLA streaming path at n = 8192.  Round 4's spill form extends the
-fused kernel to n_pad = 262144 — this harness measures whether the
-streaming advantage survives at n = 32768 / 65536 (batch-mode f32/Benes
-measures only 0.54-0.85x XLA per pass, so streaming is where the fused
-routing must earn its keep).
+fused kernel to n_pad = 131072 (the guarded envelope — n_pad = 262144
+compiled once during round-4 bring-up but crashes the production
+toolchain, see sim/driver.py:LANES_EDGE_SPACE_LIMIT and the failure rows
+in res_tp_bl_scale.txt) — this harness measures whether the streaming
+advantage survives at n = 32768 (batch-mode f32/Benes measures only
+0.53-0.70x XLA per pass, so streaming is where the fused routing must
+earn its keep).  n = 65536 (n_pad 262144) rows hit the guarded XLA
+fallback by design.
 
 Per n: sustained frames/s over a fixed frame quota at an SNR with a
 realistic avg_iter, for (a) the XLA streaming step and (b) the lane-major

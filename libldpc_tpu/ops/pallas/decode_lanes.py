@@ -975,9 +975,12 @@ def _batch_call(ldc, kernel, llr_pad, B, ft, dtype, interpret,
              pltpu.VMEM((ft, ldc.nc_pad), jnp.float32)] if spill else []
         ),
         compiler_params=pltpu.CompilerParams(
-            # spill mode runs close to the v5e's 128M physical VMEM at
-            # n_pad = 262144 (measured 119.6M scoped stack); the default
-            # 100M headroom is only needed when XLA co-schedules other
+            # spill mode needs the full 128M physical VMEM near the
+            # envelope edge (n_pad = 131072 measured; 262144 compiled once
+            # at a 127.6M scoped stack during round-4 bring-up but crashes
+            # the production toolchain — see
+            # sim/driver.py:LANES_EDGE_SPACE_LIMIT); the default 100M
+            # headroom is only needed when XLA co-schedules other
             # kernels, which the fused decoder never leaves room for
             vmem_limit_bytes=(128 if spill else 100) * 1024 * 1024,
         ),
@@ -1265,9 +1268,12 @@ def bp_stream_chunk_lanes(
              pltpu.VMEM((ft, ldc.nc_pad), jnp.float32)] if spill else []
         ),
         compiler_params=pltpu.CompilerParams(
-            # spill mode runs close to the v5e's 128M physical VMEM at
-            # n_pad = 262144 (measured 119.6M scoped stack); the default
-            # 100M headroom is only needed when XLA co-schedules other
+            # spill mode needs the full 128M physical VMEM near the
+            # envelope edge (n_pad = 131072 measured; 262144 compiled once
+            # at a 127.6M scoped stack during round-4 bring-up but crashes
+            # the production toolchain — see
+            # sim/driver.py:LANES_EDGE_SPACE_LIMIT); the default 100M
+            # headroom is only needed when XLA co-schedules other
             # kernels, which the fused decoder never leaves room for
             vmem_limit_bytes=(128 if spill else 100) * 1024 * 1024,
         ),

@@ -109,6 +109,294 @@ QC_LANES_SUB32_EDGE_SPACE_LIMIT = 196608
 #: (measured 2026-08-19, benchmarks/res_tp_bl_scale.txt).
 CLOS_LANES_FILL_LIMIT = 49152
 
+#: Measured FIXED-ITERATION (no early termination) throughput of the
+#: f32/Benes lane-major kernel relative to the XLA sorted decoder on one
+#: v5e chip — the perf-aware routing table behind
+#: :func:`_select_layout`'s reroute.  Sources: n = 4096/8192 from
+#: benchmarks/res_tp_bl_pallas.txt vs res_tp_bl_tpu.txt (batch 4096, BP,
+#: 32 iters); n = 16384/32768 from benchmarks/res_tp_bl_scale.txt (batch
+#: 256, fixed 32 iters, bit-exact check).  The kernel never beats XLA at
+#: fixed iterations (~0.9x small, 0.53-0.70x large), so requesting
+#: ``use_pallas`` for a fixed-iteration f32 job on an unstructured large
+#: code would construct a measured-slower path: the driver reroutes those
+#: to XLA (warn + provenance).  With early termination the picture
+#: flips — the in-kernel streaming form measured 2.4-3.1x the XLA
+#: streaming path at n = 8192 (round 3) and per-frame-tile in-kernel ET
+#: beats the XLA decoder's whole-batch while_loop — so ET jobs stay on
+#: the fused kernel.
+LANES_F32_BENES_FIXED_ITER_VS_XLA = {
+    4096: 0.90,
+    8192: 0.95,
+    16384: 0.53,
+    32768: 0.70,
+}
+
+
+def _select_layout(code, decoder_params, channel_params, use_pallas,
+                   record_fallback):
+    """Device-layout + kernel-family selection shared by the simulation
+    driver and the one-shot :meth:`libldpc_tpu.api.LDPC.decode` fast path.
+
+    Applies, in order: the fused-BEC ride, the edge-major/lane-major
+    kernel family choice with the structure-aware qc transport for
+    QC-alignable codes, every measured compile-envelope fallback
+    (``LANES_EDGE_SPACE_LIMIT`` / ``QC_LANES_*`` / ``CLOS_LANES_FILL_LIMIT``)
+    and the measured perf-aware reroute
+    (``LANES_F32_BENES_FIXED_ITER_VS_XLA``).  Every reroute goes through
+    ``record_fallback(reason, warn_msg)``.
+
+    Returns ``(dcode, use_pallas, decoder_params, bec_fused)`` —
+    ``decoder_params`` may differ from the input (message dtype widened
+    past a sub-32-bit envelope).
+    """
+    #: BEC runs fused on the lane-major kernel (min-sum over the sign
+    #: encoding — see ops/pallas/decode_lanes.bec_decode_lanes;
+    #: measured motivation: the XLA peeling path reached only ~5.5% of
+    #: VPU peak, benchmarks/res_tp_bec.txt) — except in the layered or
+    #: stale-byte bug-compat modes, which stay on the XLA decoder.
+    bec_fused = (
+        use_pallas
+        and channel_params.type == "BEC"
+        and not decoder_params.layered
+        and not decoder_params.bec_ref_bug_compat
+    )
+
+    # the degree-class-sorted layout is the fast path for BP, BEC and
+    # layered decoding (fused Pallas kernel over it when use_pallas)
+    def _lanes_layout(generic_transport, with_layers=False):
+        """Lane-major layout with the structure-aware qc transport
+        when the code's QC structure survives into the lane layout
+        (one cyclic roll per base edge — no switching network, no
+        matmuls; see lanes_layout._derive_qc_segments), else the
+        requested generic transport."""
+        from ..ops.pallas.lanes_layout import to_lanes_device
+
+        qc_meta = getattr(code, "qc", None)
+        if qc_meta is not None and qc_meta[0] % 128 == 0:
+            try:
+                return to_lanes_device(code, transport="qc",
+                                       with_layers=with_layers)
+            except ValueError:
+                pass  # not qc-alignable: generic transport below
+        return to_lanes_device(code, transport=generic_transport,
+                               with_layers=with_layers)
+
+    if bec_fused:
+        # always Clos + bf16 for fused BEC (qc when the code is
+        # QC-alignable): the sign/zero algebra is EXACT in bf16 (no
+        # accuracy trade, unlike BP), and measured 2.8-3.3x the XLA
+        # peeling path where the f32/Benes variant is SLOWER than XLA
+        # (benchmarks/res_tp_bec.txt: the peeling algebra is too cheap
+        # to amortise VPU roll stages)
+        dcode = _lanes_layout("clos")
+    elif decoder_params.layered and not (
+        use_pallas and channel_params.type != "BEC"
+    ):
+        from ..ops.sorted import to_sorted_device
+
+        dcode = to_sorted_device(code, with_layers=True)
+    elif use_pallas and channel_params.type != "BEC":
+        from ..ops.pallas.layout import to_pallas_device
+
+        dcode = to_pallas_device(
+            code, with_layers=decoder_params.layered, with_clos="auto"
+        )
+        _qc_meta = getattr(code, "qc", None)
+        if dcode.n_pad > FUSED_EDGE_SPACE_LIMIT and (
+            dcode.mxu_blocks_fwd is None
+            or (_qc_meta is not None and _qc_meta[0] % 128 == 0)
+        ):
+            # Mosaic compile time scales with the vector tile count and
+            # becomes pathological for [edges, frames] Benes kernels on
+            # edge spaces this large (see ops/pallas/decode_fused.py).
+            # Block-local (structured/QC) codes run the MXU-permute
+            # kernel instead (n=8192 QC: 2.45x the XLA path, ~6 min
+            # first compile, seconds warm); unstructured large codes
+            # switch to the lane-major fused kernel
+            # (ops/pallas/decode_lanes.py: frames on sublanes, 16x
+            # fewer vector tiles, n=8192 compiles in ~16 s) — the
+            # capability analogue of the reference GPU kernels' any-n
+            # grid-stride loops (gpu/device/kernel.cpp:237-293) —
+            # carrying layer planes when the layered schedule was
+            # requested (kernel_layered in decode_lanes).
+            # clos transport unlocks bf16 AND int8 messages (the
+            # integer-lattice min-sum rides native s8 MXU matmuls —
+            # available on unstructured codes since round 4) and
+            # replaces the dominant intra-lane Benes rolls with MXU
+            # matmuls + tile moves; f32 stays on Benes (the f32
+            # HIGHEST-precision matmul form does not compile on
+            # current Mosaic for lane-major shapes).  QC-alignable
+            # codes take the structure-aware qc transport instead
+            # (every dtype, no fill wall).
+            dcode = _lanes_layout(
+                "clos"
+                if decoder_params.message_dtype in ("bfloat16", "int8")
+                else "benes",
+                with_layers=decoder_params.layered,
+            )
+    else:
+        if use_pallas and channel_params.type == "BEC":
+            # only the layered / stale-byte-compat BEC modes reroute
+            # to the XLA peeling decoder
+            record_fallback(
+                "BEC layered/bug-compat mode -> xla peeling decoder",
+                "fused BEC decoding supports neither the layered "
+                "schedule nor the stale-byte bug-compat mode; running "
+                "the XLA peeling decoder instead",
+            )
+        use_pallas = False
+        from ..ops.sorted import to_sorted_device
+
+        dcode = to_sorted_device(code)
+    # lane-major kernel envelope: padded edge spaces past the toolchain
+    # wall (see LANES_EDGE_SPACE_LIMIT) fall back to the XLA sorted
+    # decoder — still any-n, ~3x slower than the fused kernel at the
+    # envelope edge — with the reroute recorded in the provenance
+    from ..ops.pallas.lanes_layout import LanesDeviceCode as _LDC
+
+    _lanes_limit = (
+        QC_LANES_EDGE_SPACE_LIMIT
+        if isinstance(dcode, _LDC) and dcode.transport == "qc"
+        else LANES_EDGE_SPACE_LIMIT
+    )
+    if (
+        isinstance(dcode, _LDC)
+        and dcode.n_pad > _lanes_limit
+    ):
+        record_fallback(
+            f"lanes n_pad {dcode.n_pad} > envelope "
+            f"{_lanes_limit} -> xla sorted decoder",
+            f"padded edge space {dcode.n_pad} exceeds the "
+            f"lane-major kernel's measured compile envelope "
+            f"({_lanes_limit}); running the XLA sorted "
+            f"decoder instead",
+        )
+        use_pallas = False
+        from ..ops.sorted import to_sorted_device
+
+        dcode = to_sorted_device(
+            code, with_layers=decoder_params.layered
+        )
+    elif (
+        isinstance(dcode, _LDC)
+        and dcode.transport == "qc"
+        and dcode.n_pad > QC_LANES_SUB32_EDGE_SPACE_LIMIT
+        and (
+            bec_fused
+            or decoder_params.message_dtype in ("bfloat16", "int8")
+        )
+    ):
+        # the qc transport's bf16/int8 kernel forms wall earlier than
+        # f32 (see QC_LANES_SUB32_EDGE_SPACE_LIMIT): between the two
+        # walls, widen messages to f32 on the same structure-aware
+        # transport (still 5-9x XLA, benchmarks/res_qc_transport.txt);
+        # fused BEC — exact only in the bf16 sign algebra — reroutes
+        # to the XLA peeling decoder.
+        if bec_fused:
+            record_fallback(
+                f"qc n_pad {dcode.n_pad} > sub-32-bit envelope "
+                f"{QC_LANES_SUB32_EDGE_SPACE_LIMIT} -> xla peeling "
+                f"decoder",
+                f"padded edge space {dcode.n_pad} exceeds the qc "
+                f"transport's bf16 compile envelope "
+                f"({QC_LANES_SUB32_EDGE_SPACE_LIMIT}); running the "
+                f"XLA peeling decoder instead",
+            )
+            use_pallas = False
+            bec_fused = False
+            from ..ops.sorted import to_sorted_device
+
+            dcode = to_sorted_device(code)
+        else:
+            import dataclasses as _dc
+
+            record_fallback(
+                f"qc n_pad {dcode.n_pad} > sub-32-bit envelope "
+                f"{QC_LANES_SUB32_EDGE_SPACE_LIMIT} -> f32 qc lanes",
+                f"padded edge space {dcode.n_pad} exceeds the qc "
+                f"transport's bf16/int8 compile envelope "
+                f"({QC_LANES_SUB32_EDGE_SPACE_LIMIT}); widening "
+                f"messages to float32 on the same transport",
+            )
+            decoder_params = _dc.replace(
+                decoder_params, message_dtype="float32"
+            )
+    elif isinstance(dcode, _LDC) and dcode.transport == "clos":
+        # the Clos transport's wall is tighter than Benes': at
+        # n_pad 65536 it compiles at <= 49152 padded real edges
+        # (n = 16384 (3,6)) but crashes the remote compiler at 55296
+        # (n = 18432) while f32/Benes runs bit-exactly through 64512
+        # (benchmarks/res_tp_bl_scale.txt).  Past the fill wall,
+        # non-BEC decoding drops to the f32/Benes lanes kernel (still
+        # fused, ~XLA-parity per pass but 3-4x XLA with in-kernel
+        # streaming ET); fused BEC — where f32/Benes measured SLOWER
+        # than XLA — reroutes to the XLA peeling decoder.
+        cb = dcode.cn_blocks[-1]
+        vb = dcode.vn_blocks[-1]
+        fill = max(cb[0] + cb[1] * cb[2], vb[0] + vb[1] * vb[2])
+        if fill > CLOS_LANES_FILL_LIMIT:
+            import dataclasses as _dc
+
+            if channel_params.type == "BEC":
+                record_fallback(
+                    f"clos fill {fill} > envelope "
+                    f"{CLOS_LANES_FILL_LIMIT} -> xla peeling decoder",
+                    f"padded real edge count {fill} exceeds the Clos "
+                    f"transport's compile envelope "
+                    f"({CLOS_LANES_FILL_LIMIT}); running the XLA "
+                    f"peeling decoder instead",
+                )
+                use_pallas = False
+                bec_fused = False
+                from ..ops.sorted import to_sorted_device
+
+                dcode = to_sorted_device(code)
+            else:
+                record_fallback(
+                    f"clos fill {fill} > envelope "
+                    f"{CLOS_LANES_FILL_LIMIT} -> f32/benes lanes",
+                    f"padded real edge count {fill} exceeds the Clos "
+                    f"transport's compile envelope "
+                    f"({CLOS_LANES_FILL_LIMIT}); running the f32/Benes "
+                    f"lane-major kernel instead",
+                )
+                decoder_params = _dc.replace(
+                    decoder_params, message_dtype="float32"
+                )
+                from ..ops.pallas.lanes_layout import to_lanes_device
+
+                dcode = to_lanes_device(
+                    code,
+                    transport="benes",
+                    with_layers=decoder_params.layered,
+                )
+    # perf-aware routing: the f32/Benes lane-major kernel never beats the
+    # XLA sorted decoder at FIXED iterations (measured 0.53-0.95x — see
+    # LANES_F32_BENES_FIXED_ITER_VS_XLA), so constructing it for a
+    # no-early-termination job would hand the user a measured slowdown
+    # for asking for the fast path.  Early-terminating jobs stay fused:
+    # per-frame-tile in-kernel ET / in-kernel streaming are where the
+    # lane-major kernel wins (2.4-3.1x XLA streaming at n = 8192).
+    if (
+        isinstance(dcode, _LDC)
+        and dcode.transport == "benes"
+        and not decoder_params.early_term
+    ):
+        record_fallback(
+            "fixed-iteration f32/benes lanes measured slower than xla "
+            "-> xla sorted decoder",
+            "the f32/Benes lane-major kernel is measured slower than the "
+            "XLA sorted decoder at fixed iterations (0.53-0.95x, "
+            "benchmarks/res_tp_bl_scale.txt) — without early termination "
+            "there is nothing for the fused kernel to win back; running "
+            "the XLA sorted decoder instead",
+        )
+        use_pallas = False
+        from ..ops.sorted import to_sorted_device
+
+        dcode = to_sorted_device(code, with_layers=decoder_params.layered)
+    return dcode, use_pallas, decoder_params, bec_fused
+
 _CONSOLE_HEADER = (
     "==============================================================="
     "=============================\n"
@@ -182,226 +470,12 @@ class Simulator:
         self.sim = simulation_params
         self.mesh = mesh
         self.verbose = verbose
-        #: BEC runs fused on the lane-major kernel (min-sum over the sign
-        #: encoding — see ops/pallas/decode_lanes.bec_decode_lanes;
-        #: measured motivation: the XLA peeling path reached only ~5.5% of
-        #: VPU peak, benchmarks/res_tp_bec.txt) — except in the layered or
-        #: stale-byte bug-compat modes, which stay on the XLA decoder.
-        bec_fused = (
-            use_pallas
-            and channel_params.type == "BEC"
-            and not decoder_params.layered
-            and not decoder_params.bec_ref_bug_compat
-        )
-        # the degree-class-sorted layout is the fast path for BP, BEC and
-        # layered decoding (fused Pallas kernel over it when use_pallas)
-        def _lanes_layout(generic_transport, with_layers=False):
-            """Lane-major layout with the structure-aware qc transport
-            when the code's QC structure survives into the lane layout
-            (one cyclic roll per base edge — no switching network, no
-            matmuls; see lanes_layout._derive_qc_segments), else the
-            requested generic transport."""
-            from ..ops.pallas.lanes_layout import to_lanes_device
-
-            qc_meta = getattr(code, "qc", None)
-            if qc_meta is not None and qc_meta[0] % 128 == 0:
-                try:
-                    return to_lanes_device(code, transport="qc",
-                                           with_layers=with_layers)
-                except ValueError:
-                    pass  # not qc-alignable: generic transport below
-            return to_lanes_device(code, transport=generic_transport,
-                                   with_layers=with_layers)
-
-        if bec_fused:
-            # always Clos + bf16 for fused BEC (qc when the code is
-            # QC-alignable): the sign/zero algebra is EXACT in bf16 (no
-            # accuracy trade, unlike BP), and measured 2.8-3.3x the XLA
-            # peeling path where the f32/Benes variant is SLOWER than XLA
-            # (benchmarks/res_tp_bec.txt: the peeling algebra is too cheap
-            # to amortise VPU roll stages)
-            self.dcode = _lanes_layout("clos")
-        elif decoder_params.layered and not (
-            use_pallas and channel_params.type != "BEC"
-        ):
-            from ..ops.sorted import to_sorted_device
-
-            self.dcode = to_sorted_device(code, with_layers=True)
-        elif use_pallas and channel_params.type != "BEC":
-            from ..ops.pallas.layout import to_pallas_device
-
-            self.dcode = to_pallas_device(
-                code, with_layers=decoder_params.layered, with_clos="auto"
+        (self.dcode, use_pallas, decoder_params, _bec_fused) = \
+            _select_layout(
+                code, decoder_params, channel_params, use_pallas,
+                self._record_fallback,
             )
-            _qc_meta = getattr(code, "qc", None)
-            if self.dcode.n_pad > FUSED_EDGE_SPACE_LIMIT and (
-                self.dcode.mxu_blocks_fwd is None
-                or (_qc_meta is not None and _qc_meta[0] % 128 == 0)
-            ):
-                # Mosaic compile time scales with the vector tile count and
-                # becomes pathological for [edges, frames] Benes kernels on
-                # edge spaces this large (see ops/pallas/decode_fused.py).
-                # Block-local (structured/QC) codes run the MXU-permute
-                # kernel instead (n=8192 QC: 2.45x the XLA path, ~6 min
-                # first compile, seconds warm); unstructured large codes
-                # switch to the lane-major fused kernel
-                # (ops/pallas/decode_lanes.py: frames on sublanes, 16x
-                # fewer vector tiles, n=8192 compiles in ~16 s) — the
-                # capability analogue of the reference GPU kernels' any-n
-                # grid-stride loops (gpu/device/kernel.cpp:237-293) —
-                # carrying layer planes when the layered schedule was
-                # requested (kernel_layered in decode_lanes).
-                # clos transport unlocks bf16 AND int8 messages (the
-                # integer-lattice min-sum rides native s8 MXU matmuls —
-                # available on unstructured codes since round 4) and
-                # replaces the dominant intra-lane Benes rolls with MXU
-                # matmuls + tile moves; f32 stays on Benes (the f32
-                # HIGHEST-precision matmul form does not compile on
-                # current Mosaic for lane-major shapes).  QC-alignable
-                # codes take the structure-aware qc transport instead
-                # (every dtype, no fill wall).
-                self.dcode = _lanes_layout(
-                    "clos"
-                    if decoder_params.message_dtype in ("bfloat16", "int8")
-                    else "benes",
-                    with_layers=decoder_params.layered,
-                )
-        else:
-            if use_pallas and channel_params.type == "BEC":
-                # only the layered / stale-byte-compat BEC modes reroute
-                # to the XLA peeling decoder
-                self._record_fallback(
-                    "BEC layered/bug-compat mode -> xla peeling decoder",
-                    "fused BEC decoding supports neither the layered "
-                    "schedule nor the stale-byte bug-compat mode; running "
-                    "the XLA peeling decoder instead",
-                )
-            use_pallas = False
-            from ..ops.sorted import to_sorted_device
-
-            self.dcode = to_sorted_device(code)
-        # lane-major kernel envelope: padded edge spaces past the toolchain
-        # wall (see LANES_EDGE_SPACE_LIMIT) fall back to the XLA sorted
-        # decoder — still any-n, ~3x slower than the fused kernel at the
-        # envelope edge — with the reroute recorded in the provenance
-        from ..ops.pallas.lanes_layout import LanesDeviceCode as _LDC
-
-        _lanes_limit = (
-            QC_LANES_EDGE_SPACE_LIMIT
-            if isinstance(self.dcode, _LDC) and self.dcode.transport == "qc"
-            else LANES_EDGE_SPACE_LIMIT
-        )
-        if (
-            isinstance(self.dcode, _LDC)
-            and self.dcode.n_pad > _lanes_limit
-        ):
-            self._record_fallback(
-                f"lanes n_pad {self.dcode.n_pad} > envelope "
-                f"{_lanes_limit} -> xla sorted decoder",
-                f"padded edge space {self.dcode.n_pad} exceeds the "
-                f"lane-major kernel's measured compile envelope "
-                f"({_lanes_limit}); running the XLA sorted "
-                f"decoder instead",
-            )
-            use_pallas = False
-            from ..ops.sorted import to_sorted_device
-
-            self.dcode = to_sorted_device(
-                code, with_layers=decoder_params.layered
-            )
-        elif (
-            isinstance(self.dcode, _LDC)
-            and self.dcode.transport == "qc"
-            and self.dcode.n_pad > QC_LANES_SUB32_EDGE_SPACE_LIMIT
-            and (
-                bec_fused
-                or decoder_params.message_dtype in ("bfloat16", "int8")
-            )
-        ):
-            # the qc transport's bf16/int8 kernel forms wall earlier than
-            # f32 (see QC_LANES_SUB32_EDGE_SPACE_LIMIT): between the two
-            # walls, widen messages to f32 on the same structure-aware
-            # transport (still 5-9x XLA, benchmarks/res_qc_transport.txt);
-            # fused BEC — exact only in the bf16 sign algebra — reroutes
-            # to the XLA peeling decoder.
-            if bec_fused:
-                self._record_fallback(
-                    f"qc n_pad {self.dcode.n_pad} > sub-32-bit envelope "
-                    f"{QC_LANES_SUB32_EDGE_SPACE_LIMIT} -> xla peeling "
-                    f"decoder",
-                    f"padded edge space {self.dcode.n_pad} exceeds the qc "
-                    f"transport's bf16 compile envelope "
-                    f"({QC_LANES_SUB32_EDGE_SPACE_LIMIT}); running the "
-                    f"XLA peeling decoder instead",
-                )
-                use_pallas = False
-                from ..ops.sorted import to_sorted_device
-
-                self.dcode = to_sorted_device(code)
-            else:
-                import dataclasses as _dc
-
-                self._record_fallback(
-                    f"qc n_pad {self.dcode.n_pad} > sub-32-bit envelope "
-                    f"{QC_LANES_SUB32_EDGE_SPACE_LIMIT} -> f32 qc lanes",
-                    f"padded edge space {self.dcode.n_pad} exceeds the qc "
-                    f"transport's bf16/int8 compile envelope "
-                    f"({QC_LANES_SUB32_EDGE_SPACE_LIMIT}); widening "
-                    f"messages to float32 on the same transport",
-                )
-                decoder_params = _dc.replace(
-                    decoder_params, message_dtype="float32"
-                )
-                self.dec = decoder_params
-        elif isinstance(self.dcode, _LDC) and self.dcode.transport == "clos":
-            # the Clos transport's wall is tighter than Benes': at
-            # n_pad 65536 it compiles at <= 49152 padded real edges
-            # (n = 16384 (3,6)) but crashes the remote compiler at 55296
-            # (n = 18432) while f32/Benes runs bit-exactly through 64512
-            # (benchmarks/res_tp_bl_scale.txt).  Past the fill wall,
-            # non-BEC decoding drops to the f32/Benes lanes kernel (still
-            # fused, ~XLA-parity per pass but 3-4x XLA with in-kernel
-            # streaming ET); fused BEC — where f32/Benes measured SLOWER
-            # than XLA — reroutes to the XLA peeling decoder.
-            cb = self.dcode.cn_blocks[-1]
-            vb = self.dcode.vn_blocks[-1]
-            fill = max(cb[0] + cb[1] * cb[2], vb[0] + vb[1] * vb[2])
-            if fill > CLOS_LANES_FILL_LIMIT:
-                import dataclasses as _dc
-
-                if channel_params.type == "BEC":
-                    self._record_fallback(
-                        f"clos fill {fill} > envelope "
-                        f"{CLOS_LANES_FILL_LIMIT} -> xla peeling decoder",
-                        f"padded real edge count {fill} exceeds the Clos "
-                        f"transport's compile envelope "
-                        f"({CLOS_LANES_FILL_LIMIT}); running the XLA "
-                        f"peeling decoder instead",
-                    )
-                    use_pallas = False
-                    from ..ops.sorted import to_sorted_device
-
-                    self.dcode = to_sorted_device(code)
-                else:
-                    self._record_fallback(
-                        f"clos fill {fill} > envelope "
-                        f"{CLOS_LANES_FILL_LIMIT} -> f32/benes lanes",
-                        f"padded real edge count {fill} exceeds the Clos "
-                        f"transport's compile envelope "
-                        f"({CLOS_LANES_FILL_LIMIT}); running the f32/Benes "
-                        f"lane-major kernel instead",
-                    )
-                    decoder_params = _dc.replace(
-                        decoder_params, message_dtype="float32"
-                    )
-                    self.dec = decoder_params
-                    from ..ops.pallas.lanes_layout import to_lanes_device
-
-                    self.dcode = to_lanes_device(
-                        code,
-                        transport="benes",
-                        with_layers=decoder_params.layered,
-                    )
+        self.dec = decoder_params
         n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
         if simulation_params.batch_size % n_dev:
             raise ValueError(
@@ -469,12 +543,16 @@ class Simulator:
         if stream_eligible and simulation_params.error_log_file is not None:
             # forensic logging needs the per-frame decisions of a whole
             # batch, which the streaming compaction pools don't surface —
-            # the ET fast path drops to batch stepping.  Recorded in the
-            # provenance so the mode interaction is visible in the results
-            # file (no warning: asking for forensics implies the trade).
+            # the ET fast path drops to batch stepping.  Warned AND
+            # recorded in the provenance like every other reroute (the
+            # round-3 contract: no reroute is ever console-silent).
             self._record_fallback(
                 "forensic error log -> streaming ET disabled (batch "
-                "stepping)"
+                "stepping)",
+                "forensic error logging (error_log_file) needs whole-batch "
+                "per-frame decisions, which the streaming compaction pools "
+                "don't surface; the streaming ET fast path is disabled for "
+                "this sweep (batch stepping instead)",
             )
         self._streaming = (
             stream_eligible and simulation_params.error_log_file is None
@@ -549,10 +627,11 @@ class Simulator:
 
     def _record_fallback(self, reason: str, warn_msg: str = "") -> None:
         """Single choke point for every capability reroute: emits a
-        ``UserWarning`` (unless ``warn_msg`` is empty — reserved for
-        documented mode interactions the user opted into) and stamps the
-        reason into the results-file provenance via ``decode_path``, so no
-        fallback can ever be silent in either channel."""
+        ``UserWarning`` and stamps the reason into the results-file
+        provenance via ``decode_path``, so no fallback is ever silent in
+        either channel (every production caller passes ``warn_msg``; the
+        empty default exists only for tests that stamp synthetic
+        provenance)."""
         import warnings
 
         if warn_msg:

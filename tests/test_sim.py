@@ -512,15 +512,87 @@ class TestFallbackSignalling:
         assert sim._streaming
         assert "fallback" not in sim.decode_path
 
+    def test_perf_routing_fixed_iter_benes_lanes_to_xla(self, code,
+                                                        monkeypatch):
+        """Perf-aware routing: a fixed-iteration (no-ET) f32 job that
+        would land on the f32/Benes lane-major kernel — measured
+        0.53-0.95x the XLA sorted decoder at fixed iterations
+        (driver.LANES_F32_BENES_FIXED_ITER_VS_XLA) — reroutes to XLA
+        with a warning + provenance stamp.  use_pallas=True must never
+        construct a measured-slower path silently."""
+        import dataclasses
+
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.ops.pallas import layout as pallas_layout
+        from libldpc_tpu.ops.sorted import SortedDeviceCode
+
+        monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
+        orig_tpd = pallas_layout.to_pallas_device
+        monkeypatch.setattr(
+            pallas_layout,
+            "to_pallas_device",
+            lambda c, **kw: dataclasses.replace(
+                orig_tpd(c, **kw), mxu_blocks_fwd=None
+            ),
+        )
+        with pytest.warns(UserWarning, match="measured slower"):
+            sim = drv.Simulator(
+                code,
+                DecoderParams(iterations=8, early_term=False),
+                ChannelParams(seed=1, x_range=(1.0, 2.0, 1.0)),
+                SimulationParams(batch_size=32, fec=3, max_frames=128),
+                use_pallas=True,
+                verbose=False,
+            )
+        assert isinstance(sim.dcode, SortedDeviceCode)
+        assert "fallback[fixed-iteration f32/benes lanes" in sim.decode_path
+        assert "kernel=xla-sorted" in sim.decode_path
+
+    def test_perf_routing_keeps_lanes_with_early_term(self, code,
+                                                      monkeypatch):
+        """The ET counterpart stays fused (in-kernel streaming measured
+        2.4-3.1x XLA streaming at n = 8192) — the reroute is keyed on the
+        measured fixed-iteration regime only."""
+        import dataclasses
+        import warnings
+
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.ops.pallas import layout as pallas_layout
+        from libldpc_tpu.ops.pallas.lanes_layout import LanesDeviceCode
+
+        monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
+        orig_tpd = pallas_layout.to_pallas_device
+        monkeypatch.setattr(
+            pallas_layout,
+            "to_pallas_device",
+            lambda c, **kw: dataclasses.replace(
+                orig_tpd(c, **kw), mxu_blocks_fwd=None
+            ),
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            sim = drv.Simulator(
+                code,
+                DecoderParams(iterations=8, early_term=True),
+                ChannelParams(seed=1, x_range=(1.0, 2.0, 1.0)),
+                SimulationParams(batch_size=32, fec=3, max_frames=128),
+                use_pallas=True,
+                verbose=False,
+            )
+        assert isinstance(sim.dcode, LanesDeviceCode)
+        assert sim.dcode.transport == "benes"
+        assert sim._streaming
+        assert "fallback" not in sim.decode_path
+
     def test_forensics_disables_streaming_with_provenance(self, code,
                                                           tmp_path):
         """Forensic logging drops the streaming ET fast path; the mode
-        interaction is stamped in the provenance (documented trade, no
-        warning)."""
+        interaction warns AND is stamped in the provenance (the
+        every-reroute-warns-and-stamps contract has no exceptions)."""
         import warnings
 
-        with warnings.catch_warnings():
-            warnings.simplefilter("error")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
             sim = Simulator(
                 code,
                 DecoderParams(iterations=8),
@@ -531,6 +603,10 @@ class TestFallbackSignalling:
                 ),
                 verbose=False,
             )
+        assert any(
+            "streaming ET fast path is disabled" in str(w.message)
+            for w in caught
+        )
         assert not sim._streaming
         assert "fallback[forensic error log" in sim.decode_path
         assert "streaming=off" in sim.decode_path
