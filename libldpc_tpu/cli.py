@@ -75,13 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant-scale", type=float, default=0.1875,
                    help="int8 message lattice step in LLR units.")
     p.add_argument("--layer-file", default="", help="Decoding-layer file for the layered schedule.")
-    p.add_argument("--qc-z", type=int, default=0,
+    p.add_argument("--qc-z", default="",
                    help="Declare the code quasi-cyclic with this lifting "
                         "size: verified against H (every ZxZ block a "
                         "zero or single-shift circulant), then the fused "
-                        "decoder rides the structure-aware qc transport "
-                        "(codefiles carry no lifting structure, so it "
-                        "must be declared).")
+                        "decoder rides the structure-aware qc transport. "
+                        "'auto' searches the divisors of gcd(nc, mc) "
+                        "largest-first and finds Z itself (codefiles "
+                        "carry no lifting structure).")
     p.add_argument("--checkpoint", default="", help="Sweep checkpoint file (enables --resume).")
     p.add_argument("--resume", action="store_true", help="Resume from checkpoint.")
     p.add_argument("--error-log", default="", help="Per-error-frame forensic log file.")
@@ -151,7 +152,10 @@ def main(argv=None) -> int:
     if args.qc_z:
         from .models import detect_qc
 
-        detect_qc(code, args.qc_z)  # raises when H is not QC at this Z
+        # raises when H is not QC at this Z (or, for 'auto', at any Z)
+        detect_qc(code, None if args.qc_z == "auto" else int(args.qc_z))
+        if primary and args.qc_z == "auto":
+            print(f"QC structure detected: Z = {code.qc[0]}")
     if primary:
         bar = "=" * 88
         print(bar)

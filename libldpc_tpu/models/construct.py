@@ -360,16 +360,50 @@ def qc_natural_layers(code: LDPCCode) -> list:
     return code.layers
 
 
-def detect_qc(code: LDPCCode, Z: int) -> np.ndarray:
-    """Verify that ``code``'s H is quasi-cyclic with lifting size ``Z``
-    (every ``Z×Z`` block is zero or a single cyclically-shifted identity)
-    and stamp ``code.qc = (Z, base)``; returns the recovered base matrix.
+def detect_qc(code: LDPCCode, Z=None) -> np.ndarray:
+    """Verify that ``code``'s H is quasi-cyclic (every ``Z×Z`` block is
+    zero or a single cyclically-shifted identity) and stamp
+    ``code.qc = (Z, base)``; returns the recovered base matrix (the found
+    lifting size is ``code.qc[0]``).
 
-    Codefile/alist formats carry no lifting structure, so a file-loaded
-    QC code needs this to reach the structure-aware ``"qc"`` lane-major
-    transport (the CLI exposes it as ``--qc-z``).  Raises ``ValueError``
-    when H is not QC at this ``Z``.
+    ``Z=None`` (or ``"auto"``/``0``) searches for the lifting size
+    itself: every divisor ``>= 2`` of ``gcd(nc, mc)`` is tried largest
+    first, so a file-loaded QC code needs no side-channel metadata at all
+    — matching the reference GPU loader, where any loaded code gets full
+    capability from the file alone (``gpu/ldpc/ldpc.cpp:32-83``).  ``Z=1``
+    is excluded (trivially true for every code, and structurally useless).
+    Raises ``ValueError`` when H is not QC at the given ``Z`` / at any
+    candidate.
+
+    Codefile/alist formats carry no lifting structure, so this is how a
+    file-loaded QC code reaches the structure-aware ``"qc"`` lane-major
+    transport (the CLI exposes it as ``--qc-z N`` / ``--qc-z auto``).
     """
+    if Z in (None, 0, "auto"):
+        import math
+
+        g = math.gcd(code.nc, code.mc)
+        divisors = set()
+        d = 1
+        while d * d <= g:
+            if g % d == 0:
+                divisors.update((d, g // d))
+            d += 1
+        for cand in sorted(divisors, reverse=True):
+            if cand < 2:
+                continue
+            try:
+                return detect_qc(code, cand)
+            except ValueError:
+                continue
+        raise ValueError(
+            f"no QC structure found: H is not quasi-cyclic at any "
+            f"lifting size >= 2 dividing gcd(nc={code.nc}, mc={code.mc})"
+            f" = {g}"
+        )
+    Z = int(Z)
+    if Z < 1:
+        raise ValueError(f"lifting size must be positive (got Z={Z})")
     if code.nc % Z or code.mc % Z:
         raise ValueError(
             f"nc={code.nc} / mc={code.mc} not multiples of Z={Z}")

@@ -232,6 +232,57 @@ class TestQCExpansion:
                 "--frame-error-count", "2", "--qc-z", "4",
             ])
 
+    def test_detect_qc_auto_finds_z(self):
+        """Z=None/auto searches divisors of gcd(nc, mc) largest-first and
+        recovers the lifting size with no side-channel metadata (matching
+        the reference loader's file-only capability,
+        gpu/ldpc/ldpc.cpp:32-83)."""
+        from libldpc_tpu.models import detect_qc, expand_qc
+
+        rng = np.random.default_rng(11)
+        base = rng.integers(-1, 24, size=(5, 10))
+        base[0, 0] = 3  # ensure at least one circulant
+        code = expand_qc(base, 24)
+        code.qc = None  # simulate a file load
+        got = detect_qc(code)  # no Z given
+        assert code.qc[0] == 24
+        assert np.array_equal(got, base)
+        # the "auto" spelling and 0 behave identically
+        code.qc = None
+        detect_qc(code, "auto")
+        assert code.qc[0] == 24
+        code.qc = None
+        detect_qc(code, 0)
+        assert code.qc[0] == 24
+
+    def test_detect_qc_auto_rejects_non_qc(self):
+        """Non-QC codes raise (Z=1 is never reported — trivially true for
+        every code and structurally useless)."""
+        from libldpc_tpu.models import detect_qc, make_benchmark_code
+
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7)
+        with pytest.raises(ValueError, match="no QC structure"):
+            detect_qc(code)
+
+    def test_cli_qc_z_auto(self, tmp_path, capsys):
+        """--qc-z auto wires the search through the CLI."""
+        from libldpc_tpu import cli
+        from libldpc_tpu.models import expand_qc
+
+        rng = np.random.default_rng(2)
+        base = rng.integers(0, 8, size=(2, 4))
+        code = expand_qc(base, 8)
+        pc = tmp_path / "qc_h.txt"
+        code.save(str(pc))
+        out = tmp_path / "res.txt"
+        rc = cli.main([
+            str(pc), str(out), "4", "4.1", "1", "-i", "8",
+            "--batch-size", "16", "--max-frames", "32",
+            "--frame-error-count", "2", "--qc-z", "auto",
+        ])
+        assert rc == 0 and out.exists()
+        assert "QC structure detected: Z = 8" in capsys.readouterr().out
+
 
 class TestNativeRuntime:
     def test_native_parser_matches_python(self, tmp_path):
