@@ -119,6 +119,10 @@ class LDPC:
         early_term: bool = True,
         iters: int = 50,
         dec_type: str = "BP",
+        usePallas: bool = False,
+        messageDtype: str = "float32",
+        layered: bool = False,
+        quantScale: float = 0.1875,
     ):
         """Decode transmitted-position LLRs.
 
@@ -126,6 +130,18 @@ class LDPC:
         positions enter the decoder with LLR 0 and are stripped from the
         output, exactly like the C ABI ``decode`` (``src/shared.cpp:47-65``).
         Returns ``(llr_out, iterations)`` with shapes matching the input.
+
+        ``usePallas`` / ``messageDtype`` / ``layered`` / ``quantScale``
+        reach the same fused decode paths as ``simulate`` — routed through
+        the driver's layout selection (:func:`...sim.driver._select_layout`),
+        including every measured compile-envelope and perf-aware fallback
+        (each reroute warns).  The reference's one-shot ``decode`` is
+        pinned to its basic CPU decoder (``src/shared.cpp:47-65``); here a
+        user who measured the fused kernels in ``simulate`` gets the same
+        speed on raw LLRs.  Note the fused kernels pad the batch to a
+        multiple of 256 frames internally — one-shot single frames are
+        dominated by that padding, so the fast path pays off for batched
+        decode calls.
         """
         import jax
         import jax.numpy as jnp
@@ -140,6 +156,17 @@ class LDPC:
             )
         full = np.zeros((self.code.nc, llr_in.shape[0]), dtype=np.float32)
         full[self.code.bit_pos] = llr_in.T
+
+        if usePallas or layered:
+            llr_out, iterations = self._decode_fast(
+                full, early_term, iters, dec_type, usePallas,
+                messageDtype, layered, quantScale,
+            )
+            llr_out = llr_out[self.code.bit_pos].T
+            if single:
+                return llr_out[0], int(iterations[0])
+            return llr_out, iterations
+
         global _decode_sorted_jit
         if _decode_sorted_jit is None:
             with _decode_sorted_jit_lock:
@@ -166,6 +193,99 @@ class LDPC:
         if single:
             return llr_out[0], int(iterations[0])
         return llr_out, iterations
+
+    def _decode_fast(self, full, early_term, iters, dec_type, use_pallas,
+                     message_dtype, layered, quant_scale):
+        """Fused-path one-shot decode: driver layout selection + kernel
+        dispatch (the decode twin of the simulate dispatch in
+        ``parallel/mesh.py``).  Returns ``(llr_out_full [nc, B] in the
+        code's original labelling, iterations [B])``."""
+        import warnings
+
+        import jax.numpy as jnp
+
+        from .ops.pallas.lanes_layout import LanesDeviceCode
+        from .ops.pallas.layout import PallasDeviceCode
+        from .sim.driver import _select_layout
+        from .utils.params import ChannelParams, DecoderParams
+
+        self.dcode  # ensure _vn_inv/_vn_perm exist
+        dparams = DecoderParams(
+            early_term=early_term, iterations=iters, type=dec_type,
+            message_dtype=message_dtype, layered=layered,
+            quant_scale=quant_scale,
+        )
+        key = (use_pallas, message_dtype, layered, early_term)
+        cache = getattr(self, "_fast_dcode_cache", None)
+        if cache is None:
+            cache = self._fast_dcode_cache = {}
+        if key not in cache:
+            def record(reason, warn_msg=""):
+                if warn_msg:
+                    warnings.warn(warn_msg, stacklevel=4)
+
+            cache[key] = _select_layout(
+                self.code, dparams, ChannelParams(type="AWGN"),
+                use_pallas, record,
+            )[:3]
+        dcode, use_pallas_eff, dparams_eff = cache[key]
+        dparams = DecoderParams(
+            early_term=early_term, iterations=iters, type=dec_type,
+            message_dtype=dparams_eff.message_dtype, layered=layered,
+            quant_scale=quant_scale,
+        )
+
+        B = full.shape[1]
+        # fused kernels tile frames (lane-major: frame tiles of 8/32;
+        # edge-major: 128-lane frame axis) — pad the batch to a multiple
+        # of 256, which every tile size divides; padded frames decode
+        # junk zeros and are stripped below
+        pad_to = -(-B // 256) * 256 if use_pallas_eff else B
+        llr_s = np.zeros((self.code.nc, pad_to), np.float32)
+        llr_s[:, :B] = full[self._vn_perm]
+        llr_s = jnp.asarray(llr_s)
+
+        if isinstance(dcode, LanesDeviceCode):
+            from .ops.pallas.decode_lanes import bp_decode_lanes
+
+            out = bp_decode_lanes(
+                dcode, llr_s,
+                iterations=iters, early_term=early_term,
+                minsum_mode=dparams.cn_mode, layered=dparams.layered,
+                message_dtype=(
+                    dparams.message_dtype
+                    if dcode.transport in ("clos", "qc") else "float32"
+                ),
+                quant_scale=quant_scale,
+            )
+        elif isinstance(dcode, PallasDeviceCode):
+            from .ops.pallas.decode_fused import bp_decode_pallas
+
+            perm = dparams.permute
+            if perm == "auto":
+                if dcode.mxu_blocks_fwd is not None:
+                    perm = "mxu"
+                elif dcode.clos_p1 is not None:
+                    perm = "clos"
+                else:
+                    perm = "benes"
+            out = bp_decode_pallas(
+                dcode, llr_s,
+                iterations=iters, early_term=early_term,
+                minsum_mode=dparams.cn_mode, layered=dparams.layered,
+                message_dtype=dparams.message_dtype, permute=perm,
+                quant_scale=quant_scale,
+            )
+        else:
+            from .ops.sorted import bp_decode_sorted
+
+            out = bp_decode_sorted(
+                dcode, llr_s,
+                iterations=iters, early_term=early_term,
+                minsum_mode=dparams.cn_mode, layered=dparams.layered,
+            )
+        llr_out = np.asarray(out.llr_out)[self._vn_inv, :B]
+        return llr_out, np.asarray(out.iterations)[:B]
 
     def rank(self) -> int:
         """GF(2) rank of H (``pyLDPC/ldpc.py:194-200``)."""

@@ -69,6 +69,60 @@ class TestEncodeDecode:
         out_ms, _ = ldpc.decode(llr, iters=5, dec_type="BP_MS")
         assert not np.allclose(out_bp, out_ms)
 
+    def test_decode_use_pallas_matches_sorted(self, ldpc, monkeypatch):
+        """usePallas reaches the fused decode path through the driver's
+        layout selection; outputs match the sorted decoder (the f32/Benes
+        lane-major kernel is bit-exact vs XLA — res_tp_bl_scale.txt)."""
+        import functools
+        from unittest import mock
+
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.ops.pallas import decode_lanes as dl
+        from libldpc_tpu.ops.pallas import layout as pallas_layout
+
+        monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
+        import dataclasses
+
+        orig_tpd = pallas_layout.to_pallas_device
+        monkeypatch.setattr(
+            pallas_layout,
+            "to_pallas_device",
+            lambda c, **kw: dataclasses.replace(
+                orig_tpd(c, **kw), mxu_blocks_fwd=None
+            ),
+        )
+        rng = np.random.default_rng(5)
+        llr = rng.normal(size=(4, ldpc.nct)).astype(np.float32) * 2
+        ref_out, ref_iters = ldpc.decode(llr, iters=8)
+        interp = functools.partial(dl.bp_decode_lanes, interpret=True)
+        with mock.patch.object(dl, "bp_decode_lanes", interp):
+            out, iters = ldpc.decode(llr, iters=8, usePallas=True)
+        assert out.shape == ref_out.shape
+        np.testing.assert_array_equal(iters, ref_iters)
+        np.testing.assert_array_equal(out <= 0, ref_out <= 0)
+        np.testing.assert_allclose(out, ref_out, rtol=1e-5, atol=1e-4)
+
+    def test_decode_layered_kwarg(self):
+        """layered=True runs the serial schedule on the one-shot surface
+        (converges in fewer iterations than flooding at a workable SNR,
+        the layered schedule's defining property)."""
+        from libldpc_tpu.models import make_qc_benchmark_code, qc_natural_layers
+
+        code = make_qc_benchmark_code(24 * 16, Z=16, seed=3, with_G=True)
+        qc_natural_layers(code)
+        l = LDPC(code=code)
+        rng = np.random.default_rng(8)
+        tx = np.zeros(l.nct)  # all-zero codeword
+        snr = 3.0
+        sigma2 = 10 ** (-snr / 10)
+        y = (1 - 2.0 * tx)[None, :] + rng.normal(
+            size=(16, l.nct)) * np.sqrt(sigma2)
+        llr = (2 * y / sigma2).astype(np.float32)
+        out_f, it_f = l.decode(llr, iters=32)
+        out_l, it_l = l.decode(llr, iters=32, layered=True)
+        assert out_l.shape == out_f.shape
+        assert it_l.sum() < it_f.sum()  # layered converges faster
+
     def test_rank_and_syndrome(self, ldpc):
         r = ldpc.rank()
         assert 0 < r <= ldpc.m
