@@ -1,21 +1,26 @@
-"""Deployed-class QC code through every round-4 marquee path.
+"""Deployed-class QC codes through every marquee path.
 
 Deployed LDPC codes (802.11n / 802.16e / 5G-NR / DVB) are quasi-cyclic
 protographs — the code family the structure-aware ``"qc"`` lane-major
-transport (one Z-lane cyclic roll per base edge) and the free natural
-layered schedule (``models.construct.qc_natural_layers``) exist for.
-This harness measures one such code end to end on one chip:
+transport (one cyclic roll per base edge) and the free natural layered
+schedule (``models.construct.qc_natural_layers``) exist for.  This
+harness measures them end to end on one chip:
 
+* the REAL bundled IEEE 802.11n rate-1/2 codes (round 5):
+  n = 1296 (Z=54 — below the qc transport's 2x inflation cap, rides the
+  generic transports by design) and n = 1944 (Z=81 — the arbitrary-Z
+  embedded-roll transport, Zq=128),
 * an 802.11n-style rate-1/2 protograph (6x12 base, dual-diagonal
-  parity part) lifted at Z=128 (n=1536) and Z=512 (n=6144),
+  parity part) lifted at Z=128 (n=1536) and Z=512 (n=6144) — the
+  synthetic 128-multiple ladder kept for round-4 comparability,
 * the QC lane-major kernel at f32 (bit-exact vs the XLA sorted
   decoder), bf16, and int8 (integer-lattice min-sum), fixed 32
   iterations — the serving-throughput ladder,
-* flooding vs the natural layered schedule, same dtype, with the
-  mean-iterations-to-convergence measured at the same SNR: the layered
-  schedule's classic ~2x convergence advantage is the deployment
-  reason it exists (reference capability: layerfiles,
-  ``gpu/ldpc/ldpc.cpp:111-138``).
+* flooding vs the natural layered schedule: mean iterations to
+  convergence AND the early-termination WALL-CLOCK (us/frame with ET)
+  for both schedules — the number that decides whether the layered
+  schedule's ~2x convergence advantage survives its per-iteration cost
+  (reference capability: layerfiles, ``gpu/ldpc/ldpc.cpp:111-138``).
 
 Writes ``res_qc_deployed.txt``.
 """
@@ -42,7 +47,10 @@ BASE = [
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--z-list", default="128,512")
+    ap.add_argument("--z-list", default="128,512",
+                    help="synthetic-protograph lifting sizes ('' to skip)")
+    ap.add_argument("--wifi-list", default="1296,1944",
+                    help="bundled 802.11n codeword lengths ('' to skip)")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--best", type=int, default=3)
@@ -70,7 +78,7 @@ def main():
     except Exception:
         pass
 
-    from libldpc_tpu.models import expand_qc, qc_natural_layers
+    from libldpc_tpu.models import expand_qc, qc_natural_layers, wifi_code
     from libldpc_tpu.ops.pallas.decode_lanes import bp_decode_lanes
     from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
     from libldpc_tpu.ops.sorted import bp_decode_sorted, to_sorted_device
@@ -90,9 +98,16 @@ def main():
 
     read_f = lambda o: float(jnp.sum(o.llr_out.astype(jnp.float32)))
 
-    for Z in [int(v) for v in args.z_list.split(",")]:
-        code = expand_qc(np.asarray(BASE, dtype=np.int64), Z)
-        qc_natural_layers(code)
+    specs = [("synthetic", int(v)) for v in args.z_list.split(",") if v]
+    specs += [("wifi", int(v)) for v in args.wifi_list.split(",") if v]
+    for kind, param in specs:
+        if kind == "synthetic":
+            Z = param
+            code = expand_qc(np.asarray(BASE, dtype=np.int64), Z)
+            qc_natural_layers(code)
+        else:
+            code = wifi_code(param, with_G=False, with_layers=True)
+            Z = code.qc[0]
         n = code.nc
         rng = np.random.default_rng(Z)
         sigma2 = 10.0 ** (-args.snr_db / 10.0)
@@ -115,21 +130,40 @@ def main():
                     f"{dt_x/B*1e6:.2f} {B/dt_x:.0f} "
                     f"{B/dt_x*code.nct/1e6:.1f} - -")
 
-        ldc = to_lanes_device(code, transport="qc", with_layers=True)
-        assert ldc.transport == "qc", ldc.transport
+        # driver-style transport selection: qc when in-envelope (any Z
+        # since round 5), else the generic transports (Z=54's 2.37x lane
+        # inflation is past the 2x cap by design — benes for f32, clos
+        # for bf16/int8)
+        try:
+            ldc = to_lanes_device(code, transport="qc", with_layers=True)
+            ldc_f32 = ldc_sub = ldc
+            tname_f32 = tname_sub = "qc"
+        except ValueError:
+            ldc_f32 = to_lanes_device(code, transport="benes",
+                                      with_layers=True)
+            ldc_sub = to_lanes_device(code, transport="clos",
+                                      with_layers=True)
+            tname_f32, tname_sub = "benes", "clos"
+
+        def pick(dtype):
+            if dtype == "float32":
+                return ldc_f32, tname_f32
+            return ldc_sub, tname_sub
 
         # --- serving-throughput ladder: fixed iterations, flooding ------
         variants = [
-            ("qc_flooding", "float32", "BP", False),
-            ("qc_flooding", "bfloat16", "BP", False),
-            ("qc_flooding", "int8", "BP_MS", False),
-            ("qc_layered", "bfloat16", "BP", True),
-            ("qc_layered", "int8", "BP_MS", True),
+            ("flooding", "float32", "BP", False),
+            ("flooding", "bfloat16", "BP", False),
+            ("flooding", "int8", "BP_MS", False),
+            ("layered", "bfloat16", "BP", True),
+            ("layered", "int8", "BP_MS", True),
         ]
-        for tag, dtype, mode, layered in variants:
+        for sched, dtype, mode, layered in variants:
+            ldc_v, tname = pick(dtype)
+            tag = f"{tname}_{sched}"
             try:
                 fn = functools.partial(
-                    bp_decode_lanes, ldc, llr_s, iterations=args.iters,
+                    bp_decode_lanes, ldc_v, llr_s, iterations=args.iters,
                     early_term=False, message_dtype=dtype,
                     minsum_mode=mode, layered=layered,
                     interpret=args.interpret)
@@ -153,34 +187,61 @@ def main():
                 rows.append(f"{Z} {n} {tag} {dtype} {args.iters} - - - "
                             f"FAIL:{msg} -")
 
-        # --- convergence: flooding vs natural layered, same dtype -------
-        # mean iterations to convergence at the same SNR; the layered
-        # schedule uses fresher CN messages within an iteration and
-        # classically converges in ~half the iterations.
-        for layered in (False, True):
-            out = bp_decode_lanes(
-                ldc, llr_s, iterations=args.iters, early_term=True,
-                message_dtype="bfloat16", layered=layered,
-                interpret=args.interpret)
-            it = np.asarray(jax.device_get(out.iterations), np.float64)
-            ok = np.asarray(jax.device_get(out.is_codeword))
-            mean_it = float(it[ok].mean()) if ok.any() else float("nan")
-            tag = "layered" if layered else "flooding"
-            print(f"Z={Z:4d} convergence {tag:9s} mean_iter(converged) = "
-                  f"{mean_it:.2f}  (converged {ok.mean():.3f})", flush=True)
-            rows.append(f"{Z} {n} convergence_{tag} bfloat16 ET "
+        # --- convergence AND wall-clock: flooding vs natural layered ----
+        # mean iterations to convergence at the same SNR, plus the
+        # EARLY-TERMINATION us/frame — the deployment-relevant number:
+        # the layered schedule converges in ~2x fewer iterations, and
+        # this row shows whether that survives its per-iteration cost.
+        for dtype, mode in (("bfloat16", "BP"), ("int8", "BP_MS")):
+            ldc_v, tname = pick(dtype)
+            for layered in (False, True):
+                tag = "layered" if layered else "flooding"
+                try:
+                    fn = functools.partial(
+                        bp_decode_lanes, ldc_v, llr_s,
+                        iterations=args.iters, early_term=True,
+                        message_dtype=dtype, minsum_mode=mode,
+                        layered=layered, interpret=args.interpret)
+                    tc, dt, out = timed(fn, read_f)
+                    dt = min([dt] + [timed(fn, read_f)[1]
+                                     for _ in range(args.best - 1)])
+                    it = np.asarray(jax.device_get(out.iterations),
+                                    np.float64)
+                    ok = np.asarray(jax.device_get(out.is_codeword))
+                    mean_it = (float(it[ok].mean()) if ok.any()
+                               else float("nan"))
+                    fps = B / dt
+                    print(f"Z={Z:4d} {tname}_{tag}_et/{dtype:9s} "
+                          f"{dt/B*1e6:8.2f} us/frame {fps:9.0f} frames/s "
+                          f"mean_iter={mean_it:.2f} "
+                          f"converged={ok.mean():.3f}", flush=True)
+                    rows.append(
+                        f"{Z} {n} {tname}_{tag}_et {dtype} ET "
+                        f"{dt/B*1e6:.2f} {fps:.0f} "
+                        f"{fps*code.nct/1e6:.1f} "
                         f"mean_iter={mean_it:.2f} "
-                        f"converged={ok.mean():.3f} - - -")
+                        f"converged={ok.mean():.3f}")
+                except Exception as e:  # noqa: BLE001 — record the wall
+                    msg = str(e).split("\n")[0][:110].replace(" ", "_")
+                    print(f"Z={Z:4d} {tag}_et/{dtype} FAILED: {msg}",
+                          flush=True)
+                    rows.append(f"{Z} {n} {tname}_{tag}_et {dtype} ET - "
+                                f"- - FAIL:{msg} -")
 
     path = os.path.join(args.outdir, "res_qc_deployed.txt")
     with open(path, "w") as f:
         f.write(
-            "# deployed-class QC protograph (802.11n-style rate-1/2, 6x12 "
-            "base) through the round-4 paths\n"
+            "# deployed-class QC codes: REAL bundled 802.11n rate-1/2 "
+            "(n=1296 Z=54, n=1944 Z=81 — arbitrary-Z qc transport, round "
+            "5) + synthetic 802.11n-style protograph (6x12 base, Z=128/"
+            "512)\n"
             f"# batch {B}, {args.iters} iters fixed (ladder) / ET "
-            f"(convergence), AWGN {args.snr_db} dB, one v5e chip\n"
-            "# columns: Z n variant dtype iters us/frame frames/s Mbits/s "
-            "check note\n" + "\n".join(rows) + "\n")
+            f"(convergence + wall-clock), AWGN {args.snr_db} dB, one v5e "
+            "chip\n"
+            "# ladder columns: Z n variant dtype iters us/frame frames/s "
+            "Mbits/s check note\n"
+            "# *_et columns:   Z n variant dtype ET us/frame frames/s "
+            "Mbits/s mean_iter converged\n" + "\n".join(rows) + "\n")
     print(f"wrote {path}")
 
 

@@ -204,27 +204,52 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         return pltpu.roll(seg, k, axis=1)
 
     def qc_transport(v, reverse):
-        """Structure-aware QC edge permutation: one ``qc_z``-lane cyclic
-        roll per base edge (see lanes_layout._derive_qc_segments) — no
-        switching network, no matmuls.  Forward (CN->VN): VN segment at
-        ``Av`` = CN segment at ``Ac`` rolled by ``s``; reverse rolls by
-        ``-s``.  Lanes past the real edge space carry the PAD constant
-        (read only through force_pad / class-sliced updates)."""
-        Zq = ldc.qc_z
+        """Structure-aware QC edge permutation: one cyclic roll per base
+        edge (see lanes_layout._derive_qc_segments) — no switching
+        network, no matmuls.  Forward (CN->VN): VN segment at ``Av`` =
+        CN segment at ``Ac`` rolled by ``s``; reverse rolls by ``-s``.
+
+        Arbitrary lifting sizes: each circulant occupies ``Zq``
+        (128-aligned) lanes with the ``Z`` real lifts on lanes
+        ``[0, Z)``.  ``Z == Zq`` is a single lane rotation; otherwise the
+        embedded ``Z``-cyclic shift is two static rotations + one
+        iota-select — ``out[i] = in[(i - s) mod Z]`` splits into
+        ``roll(s)`` for lanes ``[s, Z)`` and ``roll(s - Z)`` for lanes
+        ``[0, s)`` (both read real input lanes only, so fake lanes never
+        leak), with lanes ``[Z, Zq)`` pinned to PAD.  Lanes past the real
+        edge space carry the PAD constant (read only through force_pad /
+        class-sliced updates)."""
+        Z = ldc.qc_z
+        Zq = ldc.qc_zq
         segs = ldc.qc_segments
         if reverse:
             parts_by_start = sorted(
-                (ac, av, (-s) % Zq) for av, ac, s in segs
+                (ac, av, (Z - s) % Z) for av, ac, s in segs
             )
         else:
             parts_by_start = sorted(
                 (av, ac, s) for av, ac, s in segs
             )
         parts = []
-        for _out_start, in_start, s in parts_by_start:
-            parts.append(
-                roll_seg(v[:, in_start : in_start + Zq], s, Zq)
-            )
+        if Z == Zq:
+            for _out_start, in_start, s in parts_by_start:
+                parts.append(
+                    roll_seg(v[:, in_start : in_start + Zq], s, Zq)
+                )
+        else:
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, Zq), 1)
+            pad_c = jnp.asarray(pad_store, compute)
+            for _out_start, in_start, s in parts_by_start:
+                seg = v[:, in_start : in_start + Zq].astype(compute)
+                a = pltpu.roll(seg, s, axis=1) if s else seg
+                if s:
+                    b = pltpu.roll(seg, (s - Z) % Zq, axis=1)
+                    out = jnp.where(iota < s, b, a)
+                else:
+                    out = a
+                out = jnp.where(iota < Z, out, pad_c)
+                parts.append(to_store(out) if quantized
+                             else out.astype(v.dtype))
         tail = N - len(segs) * Zq
         if tail:
             parts.append(jnp.full((v.shape[0], tail), pad_store, compute)
@@ -410,7 +435,15 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         real = jnp.zeros((1, nc_pad), jnp.bool_)
         for (count, _d), nb in zip(ldc.sorted_dc.vn_classes,
                                    ldc.vn_node_base):
-            real = real | ((iota >= nb) & (iota < nb + count))
+            if qc and ldc.qc_z != ldc.qc_zq:
+                # circulant-granular layout: real node lanes are the
+                # first Z of every Zq-lane circulant block (see
+                # lanes_layout._class_lanes)
+                for j in range(count // ldc.qc_z):
+                    s0 = nb + j * ldc.qc_zq
+                    real = real | ((iota >= s0) & (iota < s0 + ldc.qc_z))
+            else:
+                real = real | ((iota >= nb) & (iota < nb + count))
         unres = jnp.sum(
             jnp.where(real & (llr_out == 0.0), 1, 0), axis=1, keepdims=True
         )

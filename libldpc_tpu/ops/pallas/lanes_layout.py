@@ -92,11 +92,17 @@ class LanesDeviceCode:
     #: real-edge mask word (empty when built without layers); the layered
     #: analogue of the edge-major layout's ``layer_planes``
     layer_words: tuple[tuple[int, int], ...] = ()
-    #: ``"qc"`` transport: circulant lifting size (multiple of 128) and the
-    #: per-base-edge segments ``(vn_start, cn_start, shift)`` — the whole
-    #: CN-space <-> VN-space permutation factors into one ``qc_z``-lane
-    #: cyclic roll per base edge (no switching network, no matmuls)
+    #: ``"qc"`` transport: circulant lifting size ``Z`` (any value) and
+    #: the per-base-edge segments ``(vn_start, cn_start, shift)`` — the
+    #: whole CN-space <-> VN-space permutation factors into one cyclic
+    #: roll per base edge (no switching network, no matmuls).  Each
+    #: circulant occupies ``qc_zq = ceil(Z/128)*128`` lanes: the first
+    #: ``Z`` are real, the rest are fake (pinned to PAD).  When
+    #: ``Z == qc_zq`` the roll is a single lane rotation; otherwise the
+    #: embedded ``Z``-cyclic shift costs two static rolls + one
+    #: iota-select per segment (see decode_lanes.qc_transport).
     qc_z: int = 0
+    qc_zq: int = 0
     qc_segments: tuple[tuple[int, int, int], ...] = ()
     # arrays
     planes: jnp.ndarray = None  # int32 [n_words + 1, n_pad]; last word bit 0
@@ -118,7 +124,8 @@ class LanesDeviceCode:
         ), (
             self.n_pad, self.nc_pad, self.benes_dists, self.benes_words,
             self.n_words, self.cn_blocks, self.vn_blocks, self.vn_node_base,
-            self.transport, self.layer_words, self.qc_z, self.qc_segments,
+            self.transport, self.layer_words, self.qc_z, self.qc_zq,
+            self.qc_segments,
         )
 
     @classmethod
@@ -126,14 +133,15 @@ class LanesDeviceCode:
         (sorted_dc, planes, lane_of_vn, vn_of_lane, clos_p1,
          clos_p3, cn_edge_node) = children
         (n_pad, nc_pad, benes_dists, benes_words, n_words, cn_blocks,
-         vn_blocks, vn_node_base, transport, layer_words, qc_z,
+         vn_blocks, vn_node_base, transport, layer_words, qc_z, qc_zq,
          qc_segments) = aux
         return cls(
             sorted_dc=sorted_dc, n_pad=n_pad, nc_pad=nc_pad,
             benes_dists=benes_dists, benes_words=benes_words,
             n_words=n_words, cn_blocks=cn_blocks, vn_blocks=vn_blocks,
             vn_node_base=vn_node_base, transport=transport,
-            layer_words=layer_words, qc_z=qc_z, qc_segments=qc_segments,
+            layer_words=layer_words, qc_z=qc_z, qc_zq=qc_zq,
+            qc_segments=qc_segments,
             planes=planes,
             lane_of_vn=lane_of_vn, vn_of_lane=vn_of_lane,
             clos_p1=clos_p1, clos_p3=clos_p3, cn_edge_node=cn_edge_node,
@@ -177,68 +185,82 @@ class LanesDeviceCode:
         return self.sorted_dc.shorten
 
 
-def _derive_qc_segments(code, Z, rows, cols, vn_slot, cn_slot,
-                        cn_end, vn_end, sdc):
+def _derive_qc_segments(code, Z, Zq, rows, cols, vn_slot, cn_slot,
+                        cn_end, vn_end):
     """Factor the lane permutation of a quasi-cyclic code into per-base-edge
-    cyclic rolls.
+    cyclic rolls — for ANY lifting size ``Z``.
 
-    For a circulant block (base row ``r``, base col ``c``, shift ``s``),
-    check ``r*Z + k`` connects to variable ``c*Z + (k+s) % Z`` (the
-    802.11n/5G-NR convention of :func:`...models.construct.expand_qc`).
-    The degree-class layout keeps equal-degree nodes in original order
-    (stable sorts), so the ``Z`` lifts of one base node occupy ``Z``
-    consecutive lanes, every class is a whole number of circulants
-    (``Z % 128 == 0`` ⇒ no fake nodes), and each base edge's CN-space and
-    VN-space slots are two aligned ``Z``-lane segments related by a
-    cyclic roll of ``s``: VN slot ``Av + (k+s) % Z`` holds the edge at
-    CN slot ``Ac + k``.
+    For a circulant diagonal (base row ``r``, base col ``c``, shift
+    ``s``), check ``r*Z + k`` connects to variable ``c*Z + (k+s) % Z``
+    (the 802.11n/802.16e/5G-NR convention of
+    :func:`...models.construct.expand_qc`).  The circulant-granular
+    layout (see :func:`to_lanes_device`) places the ``Z`` lifts of each
+    base node on the first ``Z`` lanes of a ``Zq = ceil(Z/128)*128``-lane
+    block, so each diagonal's CN-space and VN-space slots are two
+    ``Zq``-aligned segments related by an embedded ``Z``-cyclic roll of
+    ``s``: VN slot ``Av + (k+s) % Z`` holds the edge at CN slot
+    ``Ac + k``.  Grouping is by ``(base row, base col, diagonal)``, so a
+    multi-diagonal base cell yields one segment per diagonal — provided
+    the edge file order keeps each diagonal's lifts in a single
+    position-block (single-diagonal cells in row/col-sorted order always
+    do; wrapping multi-diagonal cells generally do not and raise).
 
-    Returns ``(Z, ((Av, Ac, s), ...))`` or raises ``ValueError`` when the
-    structure does not hold in the layout (e.g. multi-circulant cells or
-    an edge order that breaks lift contiguity)."""
+    Returns ``((Av, Ac, s), ...)`` or raises ``ValueError`` when the
+    structure does not hold in the layout."""
     nnz = rows.size
-    if nnz % Z or cn_end != nnz or vn_end != nnz:
+    if nnz % Z:
         raise ValueError(
-            "qc transport: degree classes are not whole circulants "
-            f"(nnz={nnz}, Z={Z}, cn_end={cn_end}, vn_end={vn_end})"
+            f"qc transport: nnz={nnz} is not a multiple of Z={Z}"
         )
     nb = code.nc // Z
-    be = (rows // Z) * nb + (cols // Z)  # base-edge id per edge
+    k_lift = rows % Z
+    i_lift = cols % Z
+    diag = (i_lift - k_lift) % Z
+    # group by (base row, base col, diagonal): each group is one circulant
+    be = ((rows // Z) * nb + (cols // Z)) * Z + diag
     order = np.argsort(be, kind="stable")
+    be_sorted = be[order]
+    bounds = np.flatnonzero(np.diff(be_sorted)) + 1
+    groups = np.split(order, bounds)
     segments = []
-    for g in range(nnz // Z):
-        grp = order[g * Z : (g + 1) * Z]
-        if be[grp[0]] != be[grp[-1]]:
+    for grp in groups:
+        if grp.size != Z:
             raise ValueError(
-                "qc transport: a base cell does not hold exactly one "
-                "circulant (multi-diagonal cells are not qc-alignable)"
+                "qc transport: a circulant diagonal has "
+                f"{grp.size} edges, not Z={Z}"
             )
-        vs = vn_slot[grp]
-        cs = cn_slot[grp]
-        av = int(vs.min())
-        ac = int(cs.min())
+        k = k_lift[grp]
+        i = i_lift[grp]
+        # CN slots must be Ac + k for one Zq-aligned Ac (all lifts of the
+        # diagonal in a single position block of the lane layout)
+        ac_all = cn_slot[grp] - k
+        av_all = vn_slot[grp] - i
+        ac = int(ac_all[0])
+        av = int(av_all[0])
+        if (ac_all != ac).any() or (av_all != av).any():
+            raise ValueError(
+                "qc transport: a diagonal's lifts are not contiguous in "
+                "the lane layout (file edge order splits the circulant "
+                "across position blocks)"
+            )
         if av % 128 or ac % 128:
             raise ValueError("qc transport: segment start not lane-aligned")
-        i = vs - av
-        k = cs - ac
-        if i.max() >= Z or k.max() >= Z:
-            raise ValueError(
-                "qc transport: lifts of a base edge are not contiguous "
-                "in the lane layout"
-            )
-        s = int((i[0] - k[0]) % Z)
-        if not (((k + s) % Z) == i).all():
-            raise ValueError(
-                "qc transport: intra-block permutation is not a single "
-                "cyclic shift"
-            )
+        s = int(diag[grp[0]])
         segments.append((av, ac, s))
-    # both spaces must be tiled contiguously by the segments
-    if sorted(av for av, _, _ in segments) != list(range(0, nnz, Z)):
-        raise ValueError("qc transport: VN segments do not tile the space")
-    if sorted(ac for _, ac, _ in segments) != list(range(0, nnz, Z)):
+    # both slot spaces must be tiled contiguously by the Zq-wide segment
+    # blocks (the kernel reassembles the space by concatenating segment
+    # outputs in output order — see decode_lanes.qc_transport)
+    span = len(segments) * Zq
+    if sorted(ac for _, ac, _ in segments) != list(range(0, span, Zq)):
         raise ValueError("qc transport: CN segments do not tile the space")
-    return int(Z), tuple(segments)
+    if sorted(av for av, _, _ in segments) != list(range(0, span, Zq)):
+        raise ValueError("qc transport: VN segments do not tile the space")
+    if span != cn_end or span != vn_end:
+        raise ValueError(
+            f"qc transport: segment span {span} does not cover the slot "
+            f"spaces (cn_end={cn_end}, vn_end={vn_end})"
+        )
+    return tuple(segments)
 
 
 def to_lanes_device(
@@ -252,27 +274,43 @@ def to_lanes_device(
     schedule of :func:`.decode_lanes.bp_decode_lanes`.
 
     ``transport="qc"`` — structure-aware transport for quasi-cyclic codes
-    (``code.qc`` set, lifting size ``Z % 128 == 0``): every degree class
-    is a whole number of circulant blocks, so the CN-space <-> VN-space
-    permutation factors into exactly one ``Z``-lane cyclic roll per base
-    edge — no switching network, no one-hot matmuls, no fake nodes, and
-    the edge space needs only 128-alignment (not the Beneš power of two).
-    Raises ``ValueError`` when the code has no recoverable QC structure in
-    the lane layout (callers fall back to ``benes``/``clos``)."""
+    (``code.qc`` set by ``expand_qc``/``detect_qc``, ANY lifting size
+    ``Z``): every degree class is a whole number of circulant blocks laid
+    out at circulant granularity — each circulant's ``Z`` lifts on the
+    first ``Z`` lanes of a ``Zq = ceil(Z/128)*128``-lane block — so the
+    CN-space <-> VN-space permutation factors into exactly one embedded
+    ``Z``-cyclic roll per base edge: no switching network, no one-hot
+    matmuls, and the edge space needs only 128-alignment (not the Beneš
+    power of two).  When ``Z % 128 == 0`` there are no fake lanes and the
+    roll is a single lane rotation (the round-4 form); otherwise
+    ``Zq - Z`` fake lanes per circulant are pinned to PAD and the roll
+    costs two rotations + one select.  Deployed standards need this:
+    802.11n lifts Z ∈ {27, 54, 81}, 802.16e Z ∈ {24..96}, and 48 of
+    5G-NR's 51 lifting sizes are not 128-multiples
+    (``gpu/ldpc/ldpc.cpp:32-83`` — the reference decodes any loaded code
+    at full speed).  Lane inflation ``Zq/Z`` is capped at 2 (beyond it
+    the generic transports are the better trade — e.g. Z=27 would waste
+    4.7x the lanes); raises ``ValueError`` when the code has no
+    recoverable QC structure in the lane layout or the inflation exceeds
+    the cap (callers fall back to ``benes``/``clos``)."""
     if transport not in ("benes", "clos", "qc"):
         raise ValueError(f"unknown transport {transport!r}")
     qc_meta = getattr(code, "qc", None)
+    qc_z = qc_zq = 0
     if transport == "qc":
         if qc_meta is None:
             raise ValueError(
                 "qc transport requires QC structure metadata on the code "
                 "(LDPCCode.qc, set by models.construct.expand_qc)"
             )
-        if qc_meta[0] % 128:
+        qc_z = int(qc_meta[0])
+        qc_zq = _ceil128(qc_z)
+        if qc_zq > 2 * qc_z:
             raise ValueError(
-                f"qc transport requires a lifting size Z that is a "
-                f"multiple of 128 lanes (got Z={qc_meta[0]}); use the "
-                f"benes/clos transports for other Z"
+                f"qc transport lane inflation {qc_zq}/{qc_z} = "
+                f"{qc_zq / qc_z:.2f}x exceeds the 2x cap (Z < 64 wastes "
+                f"more than half of every circulant block); use the "
+                f"benes/clos transports for small lifting sizes"
             )
     sdc = to_sorted_device(code)
     rows = code.rows.astype(np.int64)
@@ -301,6 +339,24 @@ def to_lanes_device(
     col_starts = np.concatenate([[0], np.cumsum(np.sort(vn_deg))[:-1]])
     pos_in_col[order_by_col] = np.arange(nnz) - col_starts[srt_cols]
 
+    def _class_lanes(count, i_in_class, where):
+        """Padded lane count and per-node lane offset within one degree
+        class.  Generic transports pad the whole class to 128; the qc
+        transport pads at CIRCULANT granularity — lift ``k`` of the
+        class's ``j``-th base node sits at lane ``j*Zq + k``, keeping
+        every circulant's lifts on the first ``Z`` lanes of a Zq-aligned
+        block (the structure _derive_qc_segments factors into rolls)."""
+        if transport != "qc":
+            return _ceil128(count), i_in_class
+        if count % qc_z:
+            raise ValueError(
+                f"qc transport: a degree class has {count} {where} nodes "
+                f"— not a whole number of Z={qc_z} lifts (H is not QC in "
+                f"the lane layout)"
+            )
+        cp = (count // qc_z) * qc_zq
+        return cp, (i_in_class // qc_z) * qc_zq + (i_in_class % qc_z)
+
     # --- CN space: position-major class blocks, counts padded to 128 ---
     cn_blocks = []
     base_e = 0
@@ -308,11 +364,11 @@ def to_lanes_device(
     cn_slot = np.empty(nnz, dtype=np.int64)
     cn_real = []  # (block_base, count_real, count_pad, degree)
     for count, degree in sdc.cn_classes:
-        cp = _ceil128(count)
-        cn_blocks.append((base_e, cp, degree))
         sel = (cn_inv[rows] >= base_n) & (cn_inv[rows] < base_n + count)
         i_in_class = cn_inv[rows][sel] - base_n
-        cn_slot[sel] = base_e + pos_in_row[sel] * cp + i_in_class
+        cp, node_off = _class_lanes(count, i_in_class, "check")
+        cn_blocks.append((base_e, cp, degree))
+        cn_slot[sel] = base_e + pos_in_row[sel] * cp + node_off
         cn_real.append((base_e, count, cp, degree))
         base_e += cp * degree
         base_n += count
@@ -327,13 +383,15 @@ def to_lanes_device(
     vn_slot = np.empty(nnz, dtype=np.int64)
     lane_of_vn = np.empty(code.nc, dtype=np.int32)
     for count, degree in sdc.vn_classes:
-        cp = _ceil128(count)
-        vn_blocks.append((base_e, cp, degree))
-        vn_node_base.append(base_lane)
         sel = (vn_inv[cols] >= base_n) & (vn_inv[cols] < base_n + count)
         i_in_class = vn_inv[cols][sel] - base_n
-        vn_slot[sel] = base_e + pos_in_col[sel] * cp + i_in_class
-        lane_of_vn[base_n : base_n + count] = base_lane + np.arange(count)
+        cp, node_off = _class_lanes(count, i_in_class, "variable")
+        vn_blocks.append((base_e, cp, degree))
+        vn_node_base.append(base_lane)
+        vn_slot[sel] = base_e + pos_in_col[sel] * cp + node_off
+        node_ids = np.arange(count)
+        _, node_lane = _class_lanes(count, node_ids, "variable")
+        lane_of_vn[base_n : base_n + count] = base_lane + node_lane
         base_e += cp * degree
         base_n += count
         base_lane += cp
@@ -362,12 +420,11 @@ def to_lanes_device(
     perm[free_vn] = free_cn
 
     clos_p1 = clos_p3 = None
-    qc_z = 0
     qc_segments: tuple = ()
     if transport == "qc":
-        qc_z, qc_segments = _derive_qc_segments(
-            code, qc_meta[0], rows, cols, vn_slot, cn_slot,
-            cn_end, vn_end, sdc,
+        qc_segments = _derive_qc_segments(
+            code, qc_z, qc_zq, rows, cols, vn_slot, cn_slot,
+            cn_end, vn_end,
         )
         stage_dists: list[int] = []
         stage_swap = np.zeros((0, N), dtype=bool)
@@ -436,6 +493,7 @@ def to_lanes_device(
         transport=transport,
         layer_words=tuple(layer_words),
         qc_z=qc_z,
+        qc_zq=qc_zq,
         qc_segments=qc_segments,
         planes=jnp.asarray(planes),
         lane_of_vn=jnp.asarray(lane_of_vn),

@@ -172,8 +172,11 @@ def _select_layout(code, decoder_params, channel_params, use_pallas,
         from ..ops.pallas.lanes_layout import to_lanes_device
 
         qc_meta = getattr(code, "qc", None)
-        if qc_meta is not None and qc_meta[0] % 128 == 0:
+        if qc_meta is not None:
             try:
+                # any lifting size: Z % 128 == 0 rides single rolls, other
+                # Z the embedded two-roll form (Z < 64 raises on the 2x
+                # lane-inflation cap and falls through)
                 return to_lanes_device(code, transport="qc",
                                        with_layers=with_layers)
             except ValueError:
@@ -202,9 +205,12 @@ def _select_layout(code, decoder_params, channel_params, use_pallas,
             code, with_layers=decoder_params.layered, with_clos="auto"
         )
         _qc_meta = getattr(code, "qc", None)
+        # Z >= 64: within the qc transport's 2x lane-inflation cap
+        # (lanes_layout.to_lanes_device), so the structure-aware lanes
+        # route beats the edge-major MXU kernel for any QC code
         if dcode.n_pad > FUSED_EDGE_SPACE_LIMIT and (
             dcode.mxu_blocks_fwd is None
-            or (_qc_meta is not None and _qc_meta[0] % 128 == 0)
+            or (_qc_meta is not None and _qc_meta[0] >= 64)
         ):
             # Mosaic compile time scales with the vector tile count and
             # becomes pathological for [edges, frames] Benes kernels on

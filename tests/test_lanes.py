@@ -932,14 +932,18 @@ class TestQCTransport:
     round 4).  Equivalence is checked against both the XLA sorted decoder
     and the generic clos/benes lanes kernels."""
 
-    @pytest.fixture(scope="class")
-    def qc_setup(self):
+    @pytest.fixture(scope="class", params=[128, 81], ids=["Z128", "Z81"])
+    def qc_setup(self, request):
+        """Z=128: single-roll form (Z % 128 == 0, no fake lanes).
+        Z=81: the 802.11n lifting size — embedded two-roll form with
+        47 fake lanes per circulant (round 5, arbitrary-Z support)."""
         from libldpc_tpu.models import expand_qc
 
+        Z = request.param
         rng = np.random.default_rng(11)
-        # full 3x6 base (dv=3, dc=6), Z=128 -> n=768, nnz=2304
-        base = rng.integers(0, 128, size=(3, 6))
-        code = expand_qc(base, 128)
+        # full 3x6 base (dv=3, dc=6)
+        base = rng.integers(0, Z, size=(3, 6))
+        code = expand_qc(base, Z)
         ldc = to_lanes_device(code, transport="qc")
         rng2 = np.random.default_rng(5)
         B = 16
@@ -951,18 +955,29 @@ class TestQCTransport:
 
     def test_layout_invariants(self, qc_setup):
         code, ldc, _ = qc_setup
+        Z, Zq = ldc.qc_z, ldc.qc_zq
         assert ldc.transport == "qc"
-        assert ldc.qc_z == 128
+        assert Z == code.qc[0]
+        assert Zq == -(-Z // 128) * 128
         # no switching network, no matmul planes
         assert ldc.benes_dists == ()
         assert ldc.clos_p1 is None and ldc.clos_p3 is None
-        # one segment per base edge, tiling both spaces exactly
-        assert len(ldc.qc_segments) == code.nnz // 128
-        assert ldc.n_pad == code.nnz  # 128-aligned, not pow2-padded
+        # one segment per base edge, tiling both spaces exactly at Zq
+        # (circulant-block) granularity
+        n_seg = code.nnz // Z
+        assert len(ldc.qc_segments) == n_seg
+        assert ldc.n_pad == n_seg * Zq  # 128-aligned, not pow2-padded
         assert sorted(s[0] for s in ldc.qc_segments) == list(
-            range(0, code.nnz, 128))
+            range(0, n_seg * Zq, Zq))
         assert sorted(s[1] for s in ldc.qc_segments) == list(
-            range(0, code.nnz, 128))
+            range(0, n_seg * Zq, Zq))
+        # lane map: lift k of base node j sits at lane j*Zq + k within
+        # its class block; every real lane maps back to its node
+        lane_of_vn = np.asarray(ldc.lane_of_vn)
+        vn_of_lane = np.asarray(ldc.vn_of_lane)
+        assert len(set(lane_of_vn.tolist())) == code.nc
+        np.testing.assert_array_equal(
+            vn_of_lane[lane_of_vn], np.arange(code.nc))
 
     def test_f32_matches_sorted_bitexact(self, qc_setup):
         code, ldc, llr_s = qc_setup
@@ -1079,12 +1094,19 @@ class TestQCTransport:
         with pytest.raises(ValueError, match="requires QC structure"):
             to_lanes_device(code, transport="qc")
 
-    def test_rejects_misaligned_lifting(self):
+    def test_rejects_small_lifting_inflation(self):
+        """Z < 64 would waste more than half of every circulant block —
+        the 2x lane-inflation cap rejects it (the generic transports are
+        the better trade there); Z = 64 sits exactly at the cap and
+        builds."""
         from libldpc_tpu.models import expand_qc
 
-        code = expand_qc(np.array([[0, 1, 2, 3]]), 64)
-        with pytest.raises(ValueError, match="multiple of 128"):
+        code = expand_qc(np.array([[0, 1, 2, 3], [3, 2, 1, 0]]), 32)
+        with pytest.raises(ValueError, match="inflation"):
             to_lanes_device(code, transport="qc")
+        code64 = expand_qc(np.array([[0, 1, 2, 3], [3, 2, 1, 0]]), 64)
+        ldc = to_lanes_device(code64, transport="qc")
+        assert ldc.qc_z == 64 and ldc.qc_zq == 128
 
     def test_driver_routes_qc(self, monkeypatch):
         """A QC-alignable code on the lane-major route takes the qc

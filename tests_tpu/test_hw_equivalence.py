@@ -565,3 +565,114 @@ def test_qc_sub32_matches_clos_on_chip(dtype, mode):
         np.asarray(jax.device_get(out_q.iterations)),
         np.asarray(jax.device_get(out_c.iterations)),
     )
+
+
+@requires_tpu
+@pytest.mark.parametrize("early_term", [False, True])
+def test_wifi_z81_qc_lanes_matches_sorted_on_chip(early_term):
+    """Round 5: the REAL 802.11n n=1944 Z=81 code on the arbitrary-Z qc
+    transport (embedded two-roll form, Zq=128 > Z=81 — fake lanes inside
+    every circulant) vs the XLA sorted decoder on hardware, f32
+    bit-exact.  Z=81 is not a 128-multiple: round 4 could not run this
+    code on the structure-aware transport at all."""
+    from libldpc_tpu.models import wifi_code
+    from libldpc_tpu.ops.pallas.decode_lanes import bp_decode_lanes
+    from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+    from libldpc_tpu.ops.sorted import bp_decode_sorted
+
+    code = wifi_code(1944, with_G=False)
+    ldc = to_lanes_device(code, transport="qc")
+    assert ldc.transport == "qc" and ldc.qc_z == 81 and ldc.qc_zq == 128
+    B = 64
+    llr = _awgn_llrs(code, B, snr_db=1.2, seed=37)
+    vn_perm = np.asarray(jax.device_get(ldc.sorted_dc.vn_perm))
+    llr_s = jnp.asarray(llr[vn_perm])
+
+    out_q = bp_decode_lanes(
+        ldc, llr_s, iterations=16, early_term=early_term
+    )
+    out_s = jax.jit(
+        lambda l: bp_decode_sorted(
+            ldc.sorted_dc, l, iterations=16, early_term=early_term
+        )
+    )(llr_s)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_q.hard)),
+        np.asarray(jax.device_get(out_s.hard)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_q.iterations)),
+        np.asarray(jax.device_get(out_s.iterations)),
+    )
+
+
+@requires_tpu
+@pytest.mark.parametrize("dtype,mode", [
+    ("bfloat16", "BP"), ("int8", "BP_MS")])
+def test_wifi_z81_sub32_matches_clos_on_chip(dtype, mode):
+    """802.11n Z=81 at reduced message precision: qc (embedded rolls) vs
+    the generic Clos transport — exact byte movement either way, so hard
+    decisions and iteration counts must agree bit-for-bit on chip."""
+    from libldpc_tpu.models import wifi_code
+    from libldpc_tpu.ops.pallas.decode_lanes import bp_decode_lanes
+    from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+
+    code = wifi_code(1944, with_G=False)
+    ldc_q = to_lanes_device(code, transport="qc")
+    ldc_c = to_lanes_device(code, transport="clos")
+    assert ldc_q.transport == "qc" and ldc_c.transport == "clos"
+    B = 64
+    llr = _awgn_llrs(code, B, snr_db=1.0, seed=41)
+    vn_perm = np.asarray(jax.device_get(ldc_q.sorted_dc.vn_perm))
+    llr_s = jnp.asarray(llr[vn_perm])
+
+    kw = dict(iterations=12, early_term=True, minsum_mode=mode,
+              message_dtype=dtype)
+    out_q = bp_decode_lanes(ldc_q, llr_s, **kw)
+    out_c = bp_decode_lanes(ldc_c, llr_s, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_q.hard)),
+        np.asarray(jax.device_get(out_c.hard)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_q.iterations)),
+        np.asarray(jax.device_get(out_c.iterations)),
+    )
+
+
+@requires_tpu
+def test_wifi_z81_layered_matches_sorted_on_chip():
+    """802.11n Z=81 on the layered schedule (natural per-base-row layers)
+    through the arbitrary-Z qc transport vs the XLA layered decoder —
+    identical hard decisions and per-layer freeze/iteration semantics on
+    hardware."""
+    from libldpc_tpu.models import wifi_code
+    from libldpc_tpu.ops.pallas.decode_lanes import bp_decode_lanes
+    from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+    from libldpc_tpu.ops.sorted import bp_decode_sorted, to_sorted_device
+
+    code = wifi_code(1944, with_G=False)
+    ldc = to_lanes_device(code, transport="qc", with_layers=True)
+    assert ldc.transport == "qc" and len(ldc.layer_words) == 12
+    sdc_l = to_sorted_device(code, with_layers=True)
+    B = 64
+    llr = _awgn_llrs(code, B, snr_db=1.2, seed=43)
+    vn_perm = np.asarray(jax.device_get(ldc.sorted_dc.vn_perm))
+    llr_s = jnp.asarray(llr[vn_perm])
+
+    out_q = bp_decode_lanes(
+        ldc, llr_s, iterations=12, early_term=True, layered=True
+    )
+    out_s = jax.jit(
+        lambda l: bp_decode_sorted(
+            sdc_l, l, iterations=12, early_term=True, layered=True
+        )
+    )(llr_s)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_q.hard)),
+        np.asarray(jax.device_get(out_s.hard)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_q.iterations)),
+        np.asarray(jax.device_get(out_s.iterations)),
+    )
