@@ -64,7 +64,7 @@ SPILL_FREE_LIMIT = 65536
 def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                  ft, dtype, stream=False, cap=0, layered=False,
                  bec_mode=False, spill=False, qscale=0.1875,
-                 scale_prior=False):
+                 scale_prior=False, layered_fast=False):
     N = ldc.n_pad
     nc_pad = ldc.nc_pad
     tanh = cn_ops.is_tanh_mode(minsum_mode)
@@ -739,6 +739,196 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         out_iters_ref[:] = iters_ref[:]
         out_iscw_ref[:] = iscw_ref[:]
 
+    def kernel_layered_qc(*refs):
+        """Fast layered engine for QC natural layers (round 5).
+
+        The exact ``kernel_layered`` recomputes the FULL edge space per
+        layer (cn_exclusion + two transports + vn_stage over all
+        classes), costing ~n_layers x a flooding pass per iteration —
+        measured 2.6-5x flooding (benchmarks/res_qc_deployed.txt, round
+        4).  This engine is the app-update formulation hardware layered
+        decoders use: the node posterior (APP) is persistent state, and
+        layer ``r`` touches ONLY its own circulant blocks —
+
+        * ``Lv2c[e] = clip(app[v(e)] - Lc2v_stale[e])`` gathered by one
+          embedded cyclic roll per segment,
+        * CN exclusion across the layer's d aligned ``[ft, Zq]`` blocks,
+        * ``app[v] += roll_fwd(Lc2v_new - Lc2v_stale)`` scattered back.
+
+        Per-layer cost is proportional to the LAYER's edges, so a full
+        iteration costs ~one flooding pass (2 rolls per edge + CN work)
+        regardless of layer count.  Differences from the exact kernel,
+        by design (documented in docs/DESIGN.md): the posterior
+        accumulates incrementally in f32 (wide-accumulator hardware
+        style — for int8 messages the app is NOT requantised between
+        layers), and early termination is evaluated once per full
+        iteration (the reference CPU decoder's granularity,
+        src/decoding/decoder.cpp:66-72) instead of per layer.
+        Equivalence is pinned by tests against a NumPy golden of this
+        exact recursion (tests/golden.py:layered_qc_golden) plus FER
+        parity vs the full-recompute schedule.
+        """
+        (w_ref, llr_ref, out_llr_ref, out_iters_ref, out_iscw_ref,
+         lc2v_ref, done_ref, iters_ref, iscw_ref, app_ref) = refs
+        Z = ldc.qc_z
+        Zq = ldc.qc_zq
+        iota_z = jax.lax.broadcasted_iota(jnp.int32, (1, Zq), 1)
+
+        def eroll(seg32, s, fill):
+            """Embedded Z-cyclic roll by ``s`` over a [ft, Zq] f32 block;
+            lanes >= Z get ``fill``."""
+            s = s % Z
+            if s == 0:
+                out = seg32
+            else:
+                a = pltpu.roll(seg32, s, axis=1)
+                b = pltpu.roll(seg32, (s - Z) % Zq, axis=1)
+                out = jnp.where(iota_z < s, b, a)
+            if Z == Zq:
+                return out
+            return jnp.where(iota_z < Z, out, fill)
+
+        def to_msg(x):
+            """Clip/round an f32 value into the message dtype's domain
+            (staying in f32 for compute — values are exactly
+            representable)."""
+            if quantized:
+                return jnp.clip(jnp.round(x), -127.0, 127.0)
+            if dtype == jnp.bfloat16:
+                return x.astype(jnp.bfloat16).astype(compute)
+            return x
+
+        def excl_list(M):
+            """CN exclusion over the layer's d aligned [ft, Zq] blocks
+            (same op set as cn_exclusion, one degree group)."""
+            d = len(M)
+            if d == 1:
+                return [jnp.full_like(M[0], PAD_LLR)]
+            if phi:
+                S = [1.0 - 2.0 * jnp.signbit(m).astype(compute) for m in M]
+                A = [cn_ops.phi(jnp.abs(m)) for m in M]
+                fs, fa = [S[0]], [A[0]]
+                bs, ba = [S[d - 1]], [A[d - 1]]
+                for j in range(1, d):
+                    fs.append(fs[-1] * S[j])
+                    fa.append(fa[-1] + A[j])
+                    bs.append(bs[-1] * S[d - 1 - j])
+                    ba.append(ba[-1] + A[d - 1 - j])
+                out = [bs[d - 2] * cn_ops.phi_out(ba[d - 2])]
+                for j in range(1, d - 1):
+                    out.append(
+                        fs[j - 1] * bs[d - 2 - j]
+                        * cn_ops.phi_out(fa[j - 1] + ba[d - 2 - j])
+                    )
+                out.append(fs[d - 2] * cn_ops.phi_out(fa[d - 2]))
+                return out
+            Mi = [cn_ops.tanh_pre(m) for m in M] if tanh else M
+            fwd = [Mi[0]]
+            bwd = [Mi[d - 1]]
+            for j in range(1, d):
+                if tanh:
+                    fwd.append(fwd[-1] * Mi[j])
+                    bwd.append(bwd[-1] * Mi[d - 1 - j])
+                else:
+                    fwd.append(op(fwd[-1], Mi[j]))
+                    bwd.append(op(bwd[-1], Mi[d - 1 - j]))
+            out = [bwd[d - 2]]
+            for j in range(1, d - 1):
+                out.append(
+                    fwd[j - 1] * bwd[d - 2 - j]
+                    if tanh
+                    else op(fwd[j - 1], bwd[d - 2 - j])
+                )
+            out.append(fwd[d - 2])
+            if tanh:
+                out = [cn_ops.tanh_post(o) for o in out]
+            return out
+
+        app_ref[:] = llr_ref[:].astype(jnp.float32) * prior_mul
+        lc2v_ref[:] = jnp.zeros((ft, N), dtype)
+        done_ref[:] = jnp.zeros((ft, 128), jnp.int32)
+        iters_ref[:] = jnp.zeros((ft, 128), jnp.int32)
+        iscw_ref[:] = jnp.zeros((ft, 128), jnp.int32)
+
+        def syndrome_qc():
+            """Violation count from the app state: one reverse roll per
+            segment, parity per check circulant (fake lanes read the
+            positive fill -> bit 0)."""
+            viol = jnp.zeros((ft, 1), jnp.int32)
+            for segs in ldc.qc_layers:
+                bits = None
+                for ac, nbc, s in segs:
+                    acn = eroll(app_ref[:, nbc : nbc + Zq], Z - s, PAD_LLR)
+                    b = (acn <= 0).astype(jnp.int32)
+                    bits = b if bits is None else bits + b
+                odd = jnp.bitwise_and(bits, 1)
+                viol = viol + jnp.sum(odd, axis=1, keepdims=True)
+            return jnp.where(viol == 0, 1, 0)
+
+        def body(it, carry):
+            def iteration():
+                done_i = done_ref[:, 0:1]
+                keep = done_i > 0  # [ft, 1] broadcasts over lanes
+                for segs in ldc.qc_layers:
+                    lv = []
+                    stale = []
+                    for ac, nbc, s in segs:
+                        acn = eroll(
+                            app_ref[:, nbc : nbc + Zq], Z - s, PAD_LLR
+                        )
+                        st = lc2v_ref[:, ac : ac + Zq].astype(compute)
+                        lv.append(to_msg(acn - st))
+                        stale.append(st)
+                    outs = excl_list(lv)
+                    for (ac, nbc, s), o, st in zip(segs, outs, stale):
+                        o = cn_ops.cn_postprocess(o, minsum_mode)
+                        if quantized:
+                            o = jnp.clip(jnp.round(o), -127.0, 127.0)
+                        elif dtype == jnp.bfloat16:
+                            o = o.astype(jnp.bfloat16).astype(compute)
+                        delta = eroll(o - st, s, 0.0)
+                        blk = app_ref[:, nbc : nbc + Zq]
+                        app_ref[:, nbc : nbc + Zq] = jnp.where(
+                            keep, blk, blk + delta
+                        )
+                        lc2v_ref[:, ac : ac + Zq] = select_rows(
+                            keep, lc2v_ref[:, ac : ac + Zq],
+                            to_store(o),
+                        )
+                if early_term:
+                    is_cw = syndrome_qc()
+                    newly = (1 - done_i) * is_cw
+                    iters_ref[:, 0:1] = (
+                        iters_ref[:, 0:1] + (1 - done_i) * (1 - newly)
+                    )
+                    done_ref[:, 0:1] = done_i + newly
+                    iscw_ref[:, 0:1] = (
+                        done_i * iscw_ref[:, 0:1] + (1 - done_i) * is_cw
+                    )
+                else:
+                    @pl.when(it == iterations - 1)
+                    def _():
+                        iscw_ref[:, 0:1] = syndrome_qc()
+
+            if early_term:
+                active = jnp.sum(done_ref[:, 0:1]) < ft
+
+                @pl.when(active)
+                def _():
+                    iteration()
+            else:
+                iteration()
+            return carry
+
+        jax.lax.fori_loop(0, iterations, body, 0)
+        if not early_term:
+            iters_ref[:, 0:1] = jnp.full((ft, 1), iterations, jnp.int32)
+        out_llr_ref[:] = app_ref[:]
+        out_iters_ref[:] = iters_ref[:]
+        out_iscw_ref[:] = iscw_ref[:]
+
+    if layered_fast:
+        return kernel_layered_qc
     if layered:
         return kernel_layered
 
@@ -928,13 +1118,19 @@ def bp_decode_lanes(
         llr_pad = llr_pad * (1.0 / quant_scale)
 
     use_layered = layered and len(ldc.layer_words) > 1
-    spill = ldc.n_pad > SPILL_FREE_LIMIT
+    # fast layered engine (round 5): app-update formulation when the
+    # layout carries natural-QC layer metadata — per-layer cost is the
+    # layer's own edges, not the full space (see kernel_layered_qc);
+    # no full-space transport chains, so no spill form needed
+    use_fast = use_layered and bool(ldc.qc_layers)
+    spill = ldc.n_pad > SPILL_FREE_LIMIT and not use_fast
     kernel = _make_kernel(ldc, iterations, early_term, minsum_mode, ft,
                           dtype, layered=use_layered, spill=spill,
-                          qscale=quant_scale)
+                          qscale=quant_scale, layered_fast=use_fast)
     llr_out, iters, iscw = _batch_call(
         ldc, kernel, llr_pad, B, ft, dtype, interpret,
-        extra_state=use_layered, spill=spill,
+        extra_state=use_layered and not use_fast, spill=spill,
+        app_state=use_fast,
     )
 
     llr_out = jnp.take(llr_out.T, ldc.lane_of_vn, axis=0)  # [nc, B]
@@ -949,12 +1145,13 @@ def bp_decode_lanes(
 
 
 def _batch_call(ldc, kernel, llr_pad, B, ft, dtype, interpret,
-                extra_state=False, spill=False):
+                extra_state=False, spill=False, app_state=False):
     """Shared ``pallas_call`` plumbing for the batch decode wrappers
     (BP and BEC): standard specs over the frame-tile grid, the permutation
     operands of the layout's transport, and the kernel's scratch set
     (+ one more ``[ft, n_pad]`` state buffer when ``extra_state``, for the
-    layered schedule's persisted Lc2v)."""
+    layered schedule's persisted Lc2v; + an ``[ft, nc_pad]`` f32 APP
+    buffer when ``app_state``, for the fast layered engine's posterior)."""
     W = ldc.planes.shape[0]
     clos = ldc.transport == "clos"
     nb = ldc.n_pad // 128
@@ -1000,6 +1197,9 @@ def _batch_call(ldc, kernel, llr_pad, B, ft, dtype, interpret,
         ] + (
             # persisted Lc2v state for the layered schedule
             [pltpu.VMEM((ft, ldc.n_pad), dtype)] if extra_state else []
+        ) + (
+            # persistent APP posterior for the fast layered engine
+            [pltpu.VMEM((ft, ldc.nc_pad), jnp.float32)] if app_state else []
         ) + (
             # spill refs for giant edge spaces (see SPILL_FREE_LIMIT):
             # CN extrinsics, transported posterior, node posterior

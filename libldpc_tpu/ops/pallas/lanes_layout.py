@@ -104,6 +104,16 @@ class LanesDeviceCode:
     qc_z: int = 0
     qc_zq: int = 0
     qc_segments: tuple[tuple[int, int, int], ...] = ()
+    #: Fast layered engine metadata (round 5): one tuple per decoding
+    #: layer (= base row, the natural QC schedule), each a tuple of
+    #: ``(ac, col_node_lane, s)`` segments — the CN-space edge block, the
+    #: node-lane base of the column circulant in the ``nc_pad`` space,
+    #: and the circulant shift.  Present only when the layout was built
+    #: ``with_layers`` on natural per-base-row layers where every column
+    #: circulant is touched at most once per layer (single-diagonal
+    #: cells); empty otherwise (the exact full-space layered kernel runs
+    #: instead).  See decode_lanes.kernel_layered_qc.
+    qc_layers: tuple = ()
     # arrays
     planes: jnp.ndarray = None  # int32 [n_words + 1, n_pad]; last word bit 0
     #                             is the real-edge (CN-space) mask
@@ -125,7 +135,7 @@ class LanesDeviceCode:
             self.n_pad, self.nc_pad, self.benes_dists, self.benes_words,
             self.n_words, self.cn_blocks, self.vn_blocks, self.vn_node_base,
             self.transport, self.layer_words, self.qc_z, self.qc_zq,
-            self.qc_segments,
+            self.qc_segments, self.qc_layers,
         )
 
     @classmethod
@@ -134,14 +144,14 @@ class LanesDeviceCode:
          clos_p3, cn_edge_node) = children
         (n_pad, nc_pad, benes_dists, benes_words, n_words, cn_blocks,
          vn_blocks, vn_node_base, transport, layer_words, qc_z, qc_zq,
-         qc_segments) = aux
+         qc_segments, qc_layers) = aux
         return cls(
             sorted_dc=sorted_dc, n_pad=n_pad, nc_pad=nc_pad,
             benes_dists=benes_dists, benes_words=benes_words,
             n_words=n_words, cn_blocks=cn_blocks, vn_blocks=vn_blocks,
             vn_node_base=vn_node_base, transport=transport,
             layer_words=layer_words, qc_z=qc_z, qc_zq=qc_zq,
-            qc_segments=qc_segments,
+            qc_segments=qc_segments, qc_layers=qc_layers,
             planes=planes,
             lane_of_vn=lane_of_vn, vn_of_lane=vn_of_lane,
             clos_p1=clos_p1, clos_p3=clos_p3, cn_edge_node=cn_edge_node,
@@ -223,6 +233,7 @@ def _derive_qc_segments(code, Z, Zq, rows, cols, vn_slot, cn_slot,
     bounds = np.flatnonzero(np.diff(be_sorted)) + 1
     groups = np.split(order, bounds)
     segments = []
+    seg_rc = []  # (base row, base col) per segment, for qc_layers
     for grp in groups:
         if grp.size != Z:
             raise ValueError(
@@ -247,6 +258,7 @@ def _derive_qc_segments(code, Z, Zq, rows, cols, vn_slot, cn_slot,
             raise ValueError("qc transport: segment start not lane-aligned")
         s = int(diag[grp[0]])
         segments.append((av, ac, s))
+        seg_rc.append((int(rows[grp[0]]) // Z, int(cols[grp[0]]) // Z))
     # both slot spaces must be tiled contiguously by the Zq-wide segment
     # blocks (the kernel reassembles the space by concatenating segment
     # outputs in output order — see decode_lanes.qc_transport)
@@ -260,7 +272,49 @@ def _derive_qc_segments(code, Z, Zq, rows, cols, vn_slot, cn_slot,
             f"qc transport: segment span {span} does not cover the slot "
             f"spaces (cn_end={cn_end}, vn_end={vn_end})"
         )
-    return tuple(segments)
+    return tuple(segments), tuple(seg_rc)
+
+
+def _derive_qc_layers(code, Z, Zq, segments, seg_rc, lane_of_vn, vn_inv):
+    """Per-layer segment metadata for the fast layered engine
+    (decode_lanes.kernel_layered_qc): requires the NATURAL schedule (layer
+    ``r`` = checks ``[r*Z, (r+1)*Z)``) and at most one segment per column
+    circulant per layer (single-diagonal cells), so a layer's update
+    touches each app block once.  Returns ``()`` when the structure does
+    not hold — callers fall back to the exact full-space layered kernel.
+
+    Each layer entry is ``(ac, col_node_lane, s)`` per segment, ordered
+    by ``ac`` (the CN position order — matching the exclusion order of
+    the XLA decoders on row/col-sorted edge files)."""
+    mb = code.mc // Z
+    if len(code.layers) != mb:
+        return ()
+    for r, layer in enumerate(code.layers):
+        if not np.array_equal(
+            np.sort(np.asarray(layer, dtype=np.int64)),
+            np.arange(r * Z, (r + 1) * Z, dtype=np.int64),
+        ):
+            return ()  # not the natural per-base-row schedule
+    # node-lane base of each base column's circulant (verify contiguity)
+    nb_cols = code.nc // Z
+    col_lane = np.empty(nb_cols, dtype=np.int64)
+    for c in range(nb_cols):
+        lanes = lane_of_vn[vn_inv[c * Z : (c + 1) * Z]]
+        base = int(lanes[0])
+        if base % 128 or not np.array_equal(
+            lanes, base + np.arange(Z, dtype=lanes.dtype)
+        ):
+            return ()  # lifts not on one aligned block (layout mismatch)
+        col_lane[c] = base
+    layers: list = [[] for _ in range(mb)]
+    for (av, ac, s), (r, c) in zip(segments, seg_rc):
+        layers[r].append((ac, int(col_lane[c]), s))
+    out = []
+    for r, segs in enumerate(layers):
+        if len({c for _, c, _ in segs}) != len(segs):
+            return ()  # a column circulant touched twice in one layer
+        out.append(tuple(sorted(segs)))
+    return tuple(out)
 
 
 def to_lanes_device(
@@ -421,11 +475,17 @@ def to_lanes_device(
 
     clos_p1 = clos_p3 = None
     qc_segments: tuple = ()
+    qc_layers: tuple = ()
     if transport == "qc":
-        qc_segments = _derive_qc_segments(
+        qc_segments, seg_rc = _derive_qc_segments(
             code, qc_z, qc_zq, rows, cols, vn_slot, cn_slot,
             cn_end, vn_end,
         )
+        if with_layers and code.layers:
+            qc_layers = _derive_qc_layers(
+                code, qc_z, qc_zq, qc_segments, seg_rc,
+                lane_of_vn, vn_inv,
+            )
         stage_dists: list[int] = []
         stage_swap = np.zeros((0, N), dtype=bool)
     elif transport == "clos":
@@ -495,6 +555,7 @@ def to_lanes_device(
         qc_z=qc_z,
         qc_zq=qc_zq,
         qc_segments=qc_segments,
+        qc_layers=qc_layers,
         planes=jnp.asarray(planes),
         lane_of_vn=jnp.asarray(lane_of_vn),
         vn_of_lane=jnp.asarray(vn_of_lane),

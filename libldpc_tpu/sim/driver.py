@@ -670,12 +670,23 @@ class Simulator:
         dtype = self.dec.message_dtype if self._use_pallas else "float32"
         if self.ch.type == "BEC" and kernel == "pallas-lanes":
             dtype = "bfloat16-exact"  # BEC sign/zero algebra is exact
+        schedule = "flooding"
+        if self.dec.layered:
+            # the fast app-update engine runs when the lanes layout
+            # carries natural-QC layer metadata (decode_lanes.
+            # kernel_layered_qc); the exact full-space kernel otherwise
+            schedule = (
+                "layered-fast"
+                if isinstance(self.dcode, LanesDeviceCode)
+                and getattr(self.dcode, "qc_layers", ())
+                else "layered"
+            )
         parts = [
             f"kernel={kernel}",
             f"transport={transport}",
             f"dtype={dtype}",
             f"cn={self.dec.type}",
-            f"schedule={'layered' if self.dec.layered else 'flooding'}",
+            f"schedule={schedule}",
             f"streaming={'on' if self._streaming else 'off'}",
         ]
         for reason in getattr(self, "_fallback_reasons", []):

@@ -169,3 +169,148 @@ class GoldenBECDecoder:
                 break
             I += 1
         return sym_out, hard, I
+
+
+def layered_qc_golden(
+    code,
+    llr_in,
+    iterations=32,
+    early_term=True,
+    minsum_mode="BP_MS",
+    message_dtype="float32",
+    quant_scale=0.1875,
+):
+    """Vectorised NumPy golden of the FAST layered engine recursion
+    (``ops/pallas/decode_lanes.kernel_layered_qc``): persistent APP in
+    wide (f32) accumulation, per-layer ``Lv2c = clip(app - Lc2v_stale)``
+    gather / CN exclusion / ``app += Lc2v_new - Lc2v_stale`` scatter,
+    early termination once per full iteration.  Operates on the base
+    matrix in the code's ORIGINAL labelling; segment order within a layer
+    is ascending base column (the CN position order of row/col-sorted
+    edge files — matching the kernel's ``ac`` ordering on
+    ``expand_qc``-built codes).
+
+    ``llr_in`` is ``[nc, B]`` float32.  Returns
+    ``(llr_out [nc, B], iterations [B], is_codeword [B])`` — for
+    ``message_dtype="int8"`` the returned posteriors are in LLR units
+    (dequantised), like the kernel wrapper's output.
+    """
+    Z, base = code.qc
+    base = np.asarray(base)
+    mb, nb = base.shape
+    B = llr_in.shape[1]
+    mode = minsum_mode
+    kind = mode[0] if isinstance(mode, tuple) else mode
+    quantized = message_dtype == "int8"
+    if message_dtype == "bfloat16":
+        import ml_dtypes
+
+        def to_msg(x):
+            return x.astype(ml_dtypes.bfloat16).astype(np.float32)
+    elif quantized:
+        def to_msg(x):
+            return np.clip(np.round(x), -127.0, 127.0)
+    else:
+        def to_msg(x):
+            return x.astype(np.float32)
+
+    def sgn(x):
+        return 1.0 - 2.0 * np.signbit(x).astype(np.float32)
+
+    def op(x, y):
+        if kind in ("BP_MS", "BP_NMS", "BP_OMS", True):
+            return sgn(x) * sgn(y) * np.minimum(np.abs(x), np.abs(y))
+        # boxplus (f32, softplus form like ops/cn_ops.boxplus)
+        x = x.astype(np.float32)
+        y = y.astype(np.float32)
+
+        def sp(t):
+            return np.logaddexp(0.0, t).astype(np.float32)
+
+        return (
+            sgn(x) * sgn(y) * np.minimum(np.abs(x), np.abs(y))
+            + sp(-np.abs(x + y)) - sp(-np.abs(x - y))
+        ).astype(np.float32)
+
+    def post(x):
+        if not isinstance(mode, tuple):
+            return x
+        k, scale, offset = mode
+        if quantized and k == "BP_OMS":
+            offset = offset / quant_scale
+        if k == "BP_NMS":
+            return x * np.float32(scale)
+        if k == "BP_OMS":
+            return sgn(x) * np.maximum(np.abs(x) - np.float32(offset), 0.0)
+        return x
+
+    app = llr_in.T.astype(np.float32).copy()  # [B, nc]
+    if quantized:
+        app = app * np.float32(1.0 / quant_scale)
+    layers = [
+        [(c, int(base[r, c])) for c in range(nb) if base[r, c] >= 0]
+        for r in range(mb)
+    ]
+    lc2v = {
+        (r, c): np.zeros((B, Z), np.float32)
+        for r, segs in enumerate(layers) for c, _s in segs
+    }
+    done = np.zeros(B, bool)
+    iters = np.zeros(B, np.int32)
+    iscw = np.zeros(B, bool)
+
+    def syndrome():
+        viol = np.zeros(B, np.int64)
+        for r, segs in enumerate(layers):
+            bits = np.zeros((B, Z), np.int64)
+            for c, s in segs:
+                acn = np.roll(app[:, c * Z : (c + 1) * Z], -s, axis=1)
+                bits += (acn <= 0)
+            viol += (bits & 1).sum(axis=1)
+        return viol == 0
+
+    for _ in range(iterations):
+        if early_term and done.all():
+            break
+        active = ~done
+        for r, segs in enumerate(layers):
+            lv = []
+            stale = []
+            for c, s in segs:
+                acn = np.roll(app[:, c * Z : (c + 1) * Z], -s, axis=1)
+                st = lc2v[(r, c)]
+                lv.append(to_msg(acn - st))
+                stale.append(st)
+            d = len(lv)
+            if d == 1:
+                outs = [np.full_like(lv[0], 1e30)]
+            else:
+                fwd = [lv[0]]
+                bwd = [lv[d - 1]]
+                for j in range(1, d):
+                    fwd.append(op(fwd[-1], lv[j]))
+                    bwd.append(op(bwd[-1], lv[d - 1 - j]))
+                outs = [bwd[d - 2]]
+                for j in range(1, d - 1):
+                    outs.append(op(fwd[j - 1], bwd[d - 2 - j]))
+                outs.append(fwd[d - 2])
+            for (c, s), o, st in zip(segs, outs, stale):
+                o = post(o)
+                o = to_msg(o) if quantized else (
+                    o if message_dtype == "float32" else to_msg(o))
+                delta = np.roll(o - st, s, axis=1)
+                app[active, c * Z : (c + 1) * Z] += delta[active]
+                lc2v[(r, c)][active] = o[active]
+        if early_term:
+            is_cw = syndrome()
+            newly = active & is_cw
+            iters[active & ~newly] += 1
+            iscw[active] = is_cw[active]
+            done |= newly
+    if not early_term:
+        iters[:] = iterations
+        iscw = syndrome()
+    llr_out = app.T.astype(np.float32)
+    if quantized:
+        llr_out = llr_out * np.float32(quant_scale)
+    return llr_out, iters, iscw

@@ -1167,3 +1167,153 @@ class TestQCTransport:
             np.asarray(out_q.hard), np.asarray(out_s.hard))
         np.testing.assert_array_equal(
             np.asarray(out_q.iterations), np.asarray(out_s.iterations))
+
+
+class TestLayeredFastEngine:
+    """Round 5: the fast layered engine (app-update formulation,
+    decode_lanes.kernel_layered_qc) — per-layer cost proportional to the
+    layer's edges instead of the full space.  Pinned bit-exactly against
+    a NumPy golden of the same recursion (tests/golden.py:
+    layered_qc_golden) and behaviourally against flooding (the ~2x
+    convergence advantage layered scheduling exists for)."""
+
+    @pytest.fixture(scope="class", params=[128, 81], ids=["Z128", "Z81"])
+    def eng_setup(self, request):
+        from libldpc_tpu.models import (
+            make_qc_benchmark_code, qc_natural_layers,
+        )
+
+        Z = request.param
+        code = make_qc_benchmark_code(8 * Z, Z, dv=3, dc=6, seed=5)
+        qc_natural_layers(code)
+        ldc = to_lanes_device(code, transport="qc", with_layers=True)
+        assert ldc.qc_layers, "natural layers must enable the fast engine"
+        rng = np.random.default_rng(7)
+        B = 16
+        sigma2 = 10 ** (-1.5 / 10)
+        y = 1.0 + rng.normal(size=(code.nc, B)) * np.sqrt(sigma2)
+        llr = (2.0 * y / sigma2).astype(np.float32)
+        vperm = np.asarray(ldc.sorted_dc.vn_perm)
+        vinv = np.empty_like(vperm)
+        vinv[vperm] = np.arange(code.nc)
+        return code, ldc, llr, jnp.asarray(llr[vperm]), vinv
+
+    @pytest.mark.parametrize("dtype,mode", [
+        ("float32", "BP_MS"),
+        ("int8", "BP_MS"),
+        ("bfloat16", "BP_MS"),
+        ("int8", ("BP_OMS", 1.0, 0.375)),
+    ])
+    def test_matches_golden_exactly(self, eng_setup, dtype, mode):
+        """Min-sum-family forms are exact integer/float algebra: the
+        kernel must reproduce the golden recursion bit-for-bit.  (f32
+        NMS is excluded: XLA fuses the scale multiply into an FMA whose
+        last-bit rounding differs from the golden's separate ops — see
+        test_nms_matches_golden_close.)"""
+        from golden import layered_qc_golden
+
+        code, ldc, llr, llr_s, vinv = eng_setup
+        out = bp_decode_lanes(
+            ldc, llr_s, iterations=8, early_term=True, minsum_mode=mode,
+            message_dtype=dtype, layered=True, interpret=True,
+        )
+        g_llr, g_it, g_cw = layered_qc_golden(
+            code, llr, iterations=8, early_term=True, minsum_mode=mode,
+            message_dtype=dtype,
+        )
+        np.testing.assert_array_equal(np.asarray(out.iterations), g_it)
+        np.testing.assert_array_equal(np.asarray(out.is_codeword), g_cw)
+        np.testing.assert_array_equal(
+            np.asarray(out.llr_out)[vinv], g_llr)
+
+    def test_bp_matches_golden_close(self, eng_setup):
+        """Box-plus involves transcendentals — f32-vs-f64-free golden
+        agreement is within float rounding; decisions identical."""
+        from golden import layered_qc_golden
+
+        code, ldc, llr, llr_s, vinv = eng_setup
+        out = bp_decode_lanes(
+            ldc, llr_s, iterations=8, early_term=True, minsum_mode="BP",
+            layered=True, interpret=True,
+        )
+        g_llr, g_it, g_cw = layered_qc_golden(
+            code, llr, iterations=8, early_term=True, minsum_mode="BP",
+        )
+        np.testing.assert_array_equal(np.asarray(out.iterations), g_it)
+        np.testing.assert_allclose(
+            np.asarray(out.llr_out)[vinv], g_llr, atol=1e-3)
+
+    def test_nms_matches_golden_close(self, eng_setup):
+        """f32 normalized min-sum: same recursion, FMA-fused scale
+        multiply — identical decisions/iterations, LLRs within float
+        rounding."""
+        from golden import layered_qc_golden
+
+        code, ldc, llr, llr_s, vinv = eng_setup
+        mode = ("BP_NMS", 0.8, 0.0)
+        out = bp_decode_lanes(
+            ldc, llr_s, iterations=8, early_term=True, minsum_mode=mode,
+            layered=True, interpret=True,
+        )
+        g_llr, g_it, g_cw = layered_qc_golden(
+            code, llr, iterations=8, early_term=True, minsum_mode=mode,
+        )
+        np.testing.assert_array_equal(np.asarray(out.iterations), g_it)
+        np.testing.assert_array_equal(np.asarray(out.is_codeword), g_cw)
+        np.testing.assert_allclose(
+            np.asarray(out.llr_out)[vinv], g_llr, rtol=1e-2, atol=1e-2)
+
+    def test_no_early_term_and_convergence_advantage(self, eng_setup):
+        """Fixed-iteration path runs; with ET the layered schedule
+        converges in fewer total iterations than flooding on the same
+        noisy batch (its defining property — the wall-clock twin lives
+        in benchmarks/qc_deployed.py on hardware)."""
+        code, ldc, llr, llr_s, vinv = eng_setup
+        out_fixed = bp_decode_lanes(
+            ldc, llr_s, iterations=6, early_term=False, minsum_mode="BP",
+            layered=True, interpret=True,
+        )
+        assert (np.asarray(out_fixed.iterations) == 6).all()
+        out_l = bp_decode_lanes(
+            ldc, llr_s, iterations=24, early_term=True, minsum_mode="BP",
+            layered=True, interpret=True,
+        )
+        out_f = bp_decode_lanes(
+            ldc, llr_s, iterations=24, early_term=True, minsum_mode="BP",
+            layered=False, interpret=True,
+        )
+        it_l = np.asarray(out_l.iterations).sum()
+        it_f = np.asarray(out_f.iterations).sum()
+        assert it_l < it_f, (it_l, it_f)
+        # decode quality no worse than flooding on this batch
+        cw_l = np.asarray(out_l.is_codeword).sum()
+        cw_f = np.asarray(out_f.is_codeword).sum()
+        assert cw_l >= cw_f
+
+    def test_driver_provenance_layered_fast(self, monkeypatch):
+        """The driver stamps schedule=layered-fast when the engine is
+        selected (qc transport + natural layers)."""
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.models import (
+            make_qc_benchmark_code, qc_natural_layers,
+        )
+        from libldpc_tpu.ops.pallas.lanes_layout import LanesDeviceCode
+        from libldpc_tpu.utils.params import (
+            ChannelParams, DecoderParams, SimulationParams,
+        )
+
+        code = make_qc_benchmark_code(8 * 128, 128, dv=3, dc=6, seed=5)
+        qc_natural_layers(code)
+        monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
+        sim = drv.Simulator(
+            code,
+            DecoderParams(iterations=8, layered=True),
+            ChannelParams(seed=1, x_range=(1.0, 2.0, 1.0)),
+            SimulationParams(batch_size=32, fec=3, max_frames=128),
+            use_pallas=True,
+            verbose=False,
+        )
+        assert isinstance(sim.dcode, LanesDeviceCode)
+        assert sim.dcode.transport == "qc"
+        assert sim.dcode.qc_layers
+        assert "schedule=layered-fast" in sim.decode_path

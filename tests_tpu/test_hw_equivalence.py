@@ -641,38 +641,46 @@ def test_wifi_z81_sub32_matches_clos_on_chip(dtype, mode):
 
 
 @requires_tpu
-def test_wifi_z81_layered_matches_sorted_on_chip():
-    """802.11n Z=81 on the layered schedule (natural per-base-row layers)
-    through the arbitrary-Z qc transport vs the XLA layered decoder —
-    identical hard decisions and per-layer freeze/iteration semantics on
-    hardware."""
+@pytest.mark.parametrize("dtype,mode", [
+    ("float32", "BP_MS"), ("int8", "BP_MS")])
+def test_wifi_z81_layered_fast_engine_on_chip(dtype, mode):
+    """802.11n Z=81 on the FAST layered engine (app-update formulation,
+    round 5 — kernel_layered_qc) through the arbitrary-Z qc transport:
+    the compiled Mosaic kernel must reproduce the engine's NumPy golden
+    recursion bit-for-bit on hardware (min-sum family — exact algebra)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests"))
+    from golden import layered_qc_golden
+
     from libldpc_tpu.models import wifi_code
     from libldpc_tpu.ops.pallas.decode_lanes import bp_decode_lanes
     from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
-    from libldpc_tpu.ops.sorted import bp_decode_sorted, to_sorted_device
 
     code = wifi_code(1944, with_G=False)
     ldc = to_lanes_device(code, transport="qc", with_layers=True)
-    assert ldc.transport == "qc" and len(ldc.layer_words) == 12
-    sdc_l = to_sorted_device(code, with_layers=True)
+    assert ldc.transport == "qc" and len(ldc.qc_layers) == 12
     B = 64
     llr = _awgn_llrs(code, B, snr_db=1.2, seed=43)
     vn_perm = np.asarray(jax.device_get(ldc.sorted_dc.vn_perm))
+    vinv = np.empty_like(vn_perm)
+    vinv[vn_perm] = np.arange(code.nc)
     llr_s = jnp.asarray(llr[vn_perm])
 
     out_q = bp_decode_lanes(
-        ldc, llr_s, iterations=12, early_term=True, layered=True
+        ldc, llr_s, iterations=12, early_term=True, layered=True,
+        minsum_mode=mode, message_dtype=dtype,
     )
-    out_s = jax.jit(
-        lambda l: bp_decode_sorted(
-            sdc_l, l, iterations=12, early_term=True, layered=True
-        )
-    )(llr_s)
-    np.testing.assert_array_equal(
-        np.asarray(jax.device_get(out_q.hard)),
-        np.asarray(jax.device_get(out_s.hard)),
+    g_llr, g_it, g_cw = layered_qc_golden(
+        code, llr, iterations=12, early_term=True, minsum_mode=mode,
+        message_dtype=dtype,
     )
     np.testing.assert_array_equal(
-        np.asarray(jax.device_get(out_q.iterations)),
-        np.asarray(jax.device_get(out_s.iterations)),
-    )
+        np.asarray(jax.device_get(out_q.iterations)), g_it)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_q.is_codeword)), g_cw)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_q.llr_out))[vinv], g_llr)
