@@ -184,6 +184,47 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
             )
         return jnp.concatenate(parts, axis=1)
 
+    #: populated (with two [ft, N] VMEM refs) by the kernel bodies when
+    #: ``spill and clos`` — the round-5 chain-break that widens the Clos
+    #: envelope: a Clos transport is itself three chained sub-networks
+    #: (blockmul -> middle network -> blockmul), and the same Mosaic wall
+    #: that killed two SSA-connected Benes chains (SPILL_FREE_LIMIT) hits
+    #: the SSA edges *inside* one Clos transport at giant edge spaces.
+    clos_chain = []
+
+    def blockmul_ref(pref, src_ref, contract_dim, out_ref):
+        """Ref-to-ref :func:`blockmul`: each 128-lane block is read from
+        ``src_ref``, multiplied, and written straight into ``out_ref`` —
+        peak liveness is one block instead of the full ``[ft, N]`` value
+        (the concat form keeps the whole edge space live across all
+        ``N/128`` matmuls, which is exactly the scoped-stack pressure the
+        spill form exists to avoid)."""
+        precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                     else None)
+        acc = jnp.int32 if dtype == jnp.int8 else jnp.float32
+        for b in range(N // 128):
+            sl = slice(b * 128, (b + 1) * 128)
+            m = pref[b].astype(dtype)
+            out_ref[:, sl] = jax.lax.dot_general(
+                src_ref[:, sl],
+                m,
+                dimension_numbers=(((1,), (contract_dim,)), ((), ())),
+                preferred_element_type=acc,
+                precision=precision,
+            ).astype(dtype)
+
+    def clos_spill_transport(p1_ref, p3_ref, w_ref, src_ref, reverse):
+        """Clos transport with every sub-network boundary materialised
+        through a VMEM ref (ping-pong ``tc1 -> tc2 -> tc1``); returns the
+        final CN/VN-space value as a fresh read of ``tc1``."""
+        tc1, tc2 = clos_chain
+        first, last = (p3_ref, p1_ref) if reverse else (p1_ref, p3_ref)
+        cd = 0 if reverse else 1
+        blockmul_ref(first, src_ref, cd, tc1)
+        tc2[:] = mid_stages(w_ref, tc1[:], reverse=reverse)
+        blockmul_ref(last, tc2, cd, tc1)
+        return tc1[:]
+
     def roll_seg(seg, k, Zq):
         """Cyclic roll of one ``[ft, Zq]`` circulant segment by ``k``
         lanes.  Tile-granular distances are dtype-agnostic concatenations;
@@ -269,6 +310,15 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         v = blockmul(p1_ref, v, contract_dim=1)
         v = mid_stages(w_ref, v, reverse=False)
         return blockmul(p3_ref, v, contract_dim=1)
+
+    def transport_ref(p1_ref, p3_ref, w_ref, src_ref, reverse):
+        """Spill-form transport entry: reads from a VMEM ref.  Clos
+        additionally breaks its internal sub-network chains (see
+        :func:`clos_spill_transport`); qc/Benes read the ref once."""
+        if clos and clos_chain:
+            return clos_spill_transport(p1_ref, p3_ref, w_ref, src_ref,
+                                        reverse)
+        return transport(p1_ref, p3_ref, w_ref, src_ref[:], reverse)
 
     def force_pad(w_ref, v):
         """Pin fake/free CN-space slots to PAD_LLR (see lanes_layout)."""
@@ -398,10 +448,16 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         vn_end = sum(cp * d for _, cp, d in ldc.vn_blocks)
         if N > vn_end:
             parts.append(jnp.zeros((llr.shape[0], N - vn_end), dtype))
-        return transport(
-            p1_ref, p3_ref, w_ref, jnp.concatenate(parts, axis=1),
-            reverse=True,
-        )
+        v = jnp.concatenate(parts, axis=1)
+        if clos and clos_chain:
+            # giant-edge-space Clos: even the one-shot init transport
+            # carries three chained sub-networks — stage it through the
+            # chain refs like every in-loop transport
+            tc1, tc2 = clos_chain
+            tc2[:] = v
+            return clos_spill_transport(p1_ref, p3_ref, w_ref, tc2,
+                                        reverse=True)
+        return transport(p1_ref, p3_ref, w_ref, v, reverse=True)
 
     def syndrome(q):
         """Per-frame satisfied flag from CN-space posteriors ``[ft, N]``.
@@ -460,7 +516,11 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         np_ = 3 if clos else 1
         pref = refs[:np_]
         if spill:
-            *refs, tmp_ref, tmp2_ref, tmpn_ref = refs
+            if clos:
+                *refs, tmp_ref, tmp2_ref, tmpn_ref, tc1_ref, tc2_ref = refs
+                clos_chain[:] = [tc1_ref, tc2_ref]
+            else:
+                *refs, tmp_ref, tmp2_ref, tmpn_ref = refs
         (istx_ref, fresh_llr_ref, fresh_cw_ref, fresh_lv2c_ref, refill_ref,
          remaining_ref,
          llr_in, cw_in, lv2c_in, done_in, iters_in, age_in, avail_in,
@@ -536,13 +596,13 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                     tmp_ref[:] = cn_exclusion(
                         force_pad(w_ref, lv2c_ref[:])
                     )
-                    lc2v_v = transport(p1_ref, p3_ref, w_ref, tmp_ref[:],
-                                       reverse=False)
+                    lc2v_v = transport_ref(p1_ref, p3_ref, w_ref, tmp_ref,
+                                           reverse=False)
                     llr_out, post_v = vn_stage(llr_ref[:], lc2v_v)
                     tmp2_ref[:] = post_v
                     tmpn_ref[:] = llr_out.astype(jnp.float32)
-                    q = transport(p1_ref, p3_ref, w_ref, tmp2_ref[:],
-                                  reverse=True)
+                    q = transport_ref(p1_ref, p3_ref, w_ref, tmp2_ref,
+                                      reverse=True)
                     lv2c_new = force_pad(
                         w_ref,
                         to_store(q.astype(compute)
@@ -622,7 +682,11 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         for the persisted ``Lc2v`` (stale layers keep their last
         messages)."""
         if spill:
-            *refs, tmp_ref, tmp2_ref, tmpn_ref = refs
+            if clos:
+                *refs, tmp_ref, tmp2_ref, tmpn_ref, tc1_ref, tc2_ref = refs
+                clos_chain[:] = [tc1_ref, tc2_ref]
+            else:
+                *refs, tmp_ref, tmp2_ref, tmpn_ref = refs
         if clos:
             (p1_ref, p3_ref, w_ref, llr_ref, out_llr_ref, out_iters_ref,
              out_iscw_ref, lv2c_ref, done_ref, iters_ref, iscw_ref,
@@ -660,13 +724,13 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                                           + lc2v_ref[:] * (1 - lpm))
                         else:
                             tmp_ref[:] = jnp.where(lp, lc2v_new, lc2v_ref[:])
-                        lc2v_v = transport(p1_ref, p3_ref, w_ref,
-                                           tmp_ref[:], reverse=False)
+                        lc2v_v = transport_ref(p1_ref, p3_ref, w_ref,
+                                               tmp_ref, reverse=False)
                         llr_out, post_v = vn_stage(llr_ref[:], lc2v_v)
                         tmp2_ref[:] = post_v
                         tmpn_ref[:] = llr_out.astype(jnp.float32)
-                        q = transport(p1_ref, p3_ref, w_ref, tmp2_ref[:],
-                                      reverse=True)
+                        q = transport_ref(p1_ref, p3_ref, w_ref, tmp2_ref,
+                                          reverse=True)
                         lv2c_l = force_pad(
                             w_ref,
                             to_store(q.astype(compute)
@@ -934,7 +998,11 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
 
     def kernel(*refs):
         if spill:
-            *refs, tmp_ref, tmp2_ref, tmpn_ref = refs
+            if clos:
+                *refs, tmp_ref, tmp2_ref, tmpn_ref, tc1_ref, tc2_ref = refs
+                clos_chain[:] = [tc1_ref, tc2_ref]
+            else:
+                *refs, tmp_ref, tmp2_ref, tmpn_ref = refs
         if clos:
             (p1_ref, p3_ref, w_ref, llr_ref, out_llr_ref, out_iters_ref,
              out_iscw_ref, lv2c_ref, done_ref, iters_ref, iscw_ref) = refs
@@ -958,13 +1026,13 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                     # program is the measured Mosaic wall at n_pad = 131072
                     # (see SPILL_FREE_LIMIT / benchmarks/probe_lane_wall5)
                     tmp_ref[:] = cn_exclusion(lv2c_ref[:])
-                    lc2v_v = transport(p1_ref, p3_ref, w_ref, tmp_ref[:],
-                                       reverse=False)
+                    lc2v_v = transport_ref(p1_ref, p3_ref, w_ref, tmp_ref,
+                                           reverse=False)
                     llr_out, post_v = vn_stage(llr_ref[:], lc2v_v)
                     tmp2_ref[:] = post_v
                     tmpn_ref[:] = llr_out.astype(jnp.float32)
-                    q = transport(p1_ref, p3_ref, w_ref, tmp2_ref[:],
-                                  reverse=True)
+                    q = transport_ref(p1_ref, p3_ref, w_ref, tmp2_ref,
+                                      reverse=True)
                     lv2c_new = force_pad(
                         w_ref,
                         to_store(q.astype(compute)
@@ -1206,6 +1274,12 @@ def _batch_call(ldc, kernel, llr_pad, B, ft, dtype, interpret,
             [pltpu.VMEM((ft, ldc.n_pad), dtype),
              pltpu.VMEM((ft, ldc.n_pad), dtype),
              pltpu.VMEM((ft, ldc.nc_pad), jnp.float32)] if spill else []
+        ) + (
+            # Clos chain refs: the transport's internal sub-network
+            # boundaries spill too (see clos_spill_transport)
+            [pltpu.VMEM((ft, ldc.n_pad), dtype),
+             pltpu.VMEM((ft, ldc.n_pad), dtype)]
+            if spill and clos else []
         ),
         compiler_params=pltpu.CompilerParams(
             # spill mode needs the full 128M physical VMEM near the
@@ -1499,6 +1573,11 @@ def bp_stream_chunk_lanes(
             [pltpu.VMEM((ft, ldc.n_pad), dtype),
              pltpu.VMEM((ft, ldc.n_pad), dtype),
              pltpu.VMEM((ft, ldc.nc_pad), jnp.float32)] if spill else []
+        ) + (
+            # Clos chain refs (see clos_spill_transport)
+            [pltpu.VMEM((ft, ldc.n_pad), dtype),
+             pltpu.VMEM((ft, ldc.n_pad), dtype)]
+            if spill and clos else []
         ),
         compiler_params=pltpu.CompilerParams(
             # spill mode needs the full 128M physical VMEM near the

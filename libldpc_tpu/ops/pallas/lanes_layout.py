@@ -56,6 +56,12 @@ from .benes import build_benes
 #: unpack shift never touches the sign bit)
 _BITS_PER_WORD = 31
 
+#: Above this padded edge space the Clos one-hot selection planes are
+#: stored int8 instead of bf16 (VMEM halving for the giant-edge-space
+#: spill form; in-kernel casts of one-hot 0/1 entries are exact).
+#: Matches decode_lanes.SPILL_FREE_LIMIT.
+CLOS_PMAT_INT8_MIN = 65536
+
 
 def _ceil128(x: int) -> int:
     return -(-x // 128) * 128
@@ -120,8 +126,8 @@ class LanesDeviceCode:
     lane_of_vn: jnp.ndarray = None  # int32 [nc] sorted VN label -> lane
     vn_of_lane: jnp.ndarray = None  # int32 [nc_pad] lane -> sorted label
     #                                 (arbitrary valid label on fake lanes)
-    clos_p1: Optional[jnp.ndarray] = None  # bf16 one-hot [nb, 128, 128]
-    clos_p3: Optional[jnp.ndarray] = None  # bf16 one-hot [nb, 128, 128]
+    clos_p1: Optional[jnp.ndarray] = None  # one-hot [nb, 128, 128]; bf16,
+    clos_p3: Optional[jnp.ndarray] = None  # int8 past the spill point
     #: int32 [n_pad] node lane feeding each CN-space edge slot (-1 on
     #: fake slots) — XLA-side gather map for the streaming kernel's
     #: warm-up-free ``fresh_lv2c`` reload
@@ -494,8 +500,14 @@ def to_lanes_device(
         cnet = build_clos(perm)
         stage_dists = [int(d) for d in cnet.mid_dists]
         stage_swap = cnet.mid_swap
-        clos_p1 = jnp.asarray(cnet.p1.astype(jnp.bfloat16))
-        clos_p3 = jnp.asarray(cnet.p3.astype(jnp.bfloat16))
+        # one-hot selection matrices: bf16 below the spill point (kernel
+        # casts are no-ops for the default bf16 messages), int8 above it
+        # — at n_pad = 131072 the bf16 planes alone are 2 x 33.5M of the
+        # 128M VMEM, and the in-kernel astype from int8 is exact for
+        # one-hot 0/1 entries (see decode_lanes.SPILL_FREE_LIMIT)
+        pm_dtype = jnp.int8 if N > CLOS_PMAT_INT8_MIN else jnp.bfloat16
+        clos_p1 = jnp.asarray(cnet.p1.astype(pm_dtype))
+        clos_p3 = jnp.asarray(cnet.p3.astype(pm_dtype))
     else:
         net = build_benes(perm)
         assert net.n == N

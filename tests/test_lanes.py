@@ -1317,3 +1317,164 @@ class TestLayeredFastEngine:
         assert sim.dcode.transport == "qc"
         assert sim.dcode.qc_layers
         assert "schedule=layered-fast" in sim.decode_path
+
+
+class TestClosSpill:
+    """Round-5 Clos chain-spill: above SPILL_FREE_LIMIT the Clos
+    transport's internal sub-network boundaries (blockmul -> middle
+    network -> blockmul) also materialise through VMEM refs
+    (decode_lanes.clos_spill_transport) and — past
+    lanes_layout.CLOS_PMAT_INT8_MIN — the one-hot selection planes are
+    stored int8.  The spill path is value-preserving, so spilled and
+    unspilled kernels must agree EXACTLY in every dtype; forced on a
+    small code via the module thresholds (distinct code size + distinct
+    frame_tile per form keep the jit traces separate)."""
+
+    @pytest.fixture()
+    def clos_setup(self, monkeypatch):
+        from libldpc_tpu.ops.pallas import lanes_layout as ll
+
+        # int8 plane storage active for BOTH forms (exactness is its own
+        # assertion); spill is enabled per-call in the tests below
+        monkeypatch.setattr(ll, "CLOS_PMAT_INT8_MIN", 16)
+        code = make_benchmark_code(132, dv=3, dc=6, seed=21, with_G=True)
+        ldc = to_lanes_device(code, transport="clos")
+        assert ldc.clos_p1.dtype == jnp.int8
+        sdc = to_sorted_device(code)
+        from libldpc_tpu.ops.channel import awgn_channel
+
+        ch = awgn_channel(sdc, jax.random.PRNGKey(7), 16, jnp.float32(0.2))
+        return code, ldc, sdc, ch
+
+    @pytest.mark.parametrize("dtype,mode", [
+        ("float32", "BP_MS"), ("bfloat16", "BP_MS"), ("int8", "BP_MS"),
+        ("float32", "BP"),
+    ])
+    def test_flooding_spill_exact(self, clos_setup, monkeypatch, dtype,
+                                  mode):
+        from libldpc_tpu.ops.pallas import decode_lanes as dl
+
+        code, ldc, sdc, ch = clos_setup
+        kw = dict(iterations=7, early_term=True, minsum_mode=mode,
+                  message_dtype=dtype, interpret=True)
+        out_ref = bp_decode_lanes(ldc, ch.llr, frame_tile=8, **kw)
+        monkeypatch.setattr(dl, "SPILL_FREE_LIMIT", 16)
+        out_sp = bp_decode_lanes(ldc, ch.llr, frame_tile=16, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(out_sp.llr_out), np.asarray(out_ref.llr_out)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_sp.hard), np.asarray(out_ref.hard)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_sp.iterations), np.asarray(out_ref.iterations)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_sp.is_codeword), np.asarray(out_ref.is_codeword)
+        )
+
+    def test_flooding_spill_matches_sorted_f32(self, clos_setup,
+                                               monkeypatch):
+        """And the f32 spilled form stays bit-exact vs the XLA decoder."""
+        from libldpc_tpu.ops.pallas import decode_lanes as dl
+
+        code, ldc, sdc, ch = clos_setup
+        monkeypatch.setattr(dl, "SPILL_FREE_LIMIT", 16)
+        out_l = bp_decode_lanes(
+            ldc, ch.llr, iterations=6, early_term=False,
+            minsum_mode="BP_MS", message_dtype="float32", frame_tile=8,
+            interpret=True,
+        )
+        out_s = bp_decode_sorted(
+            sdc, ch.llr, iterations=6, early_term=False,
+            minsum_mode="BP_MS",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_l.hard), np.asarray(out_s.hard)
+        )
+
+    def test_layered_spill_exact(self, clos_setup, monkeypatch):
+        import dataclasses
+
+        from libldpc_tpu.ops.pallas import decode_lanes as dl
+
+        code, ldc, sdc, ch = clos_setup
+        code2 = dataclasses.replace(code)
+        code2.layers = [
+            np.arange(0, code.mc, 2, dtype=np.int32),
+            np.arange(1, code.mc, 2, dtype=np.int32),
+        ]
+        ldc2 = to_lanes_device(code2, transport="clos", with_layers=True)
+        kw = dict(iterations=7, early_term=True, layered=True,
+                  minsum_mode="BP_MS", message_dtype="bfloat16",
+                  interpret=True)
+        out_ref = bp_decode_lanes(ldc2, ch.llr, frame_tile=8, **kw)
+        monkeypatch.setattr(dl, "SPILL_FREE_LIMIT", 16)
+        out_sp = bp_decode_lanes(ldc2, ch.llr, frame_tile=16, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(out_sp.hard), np.asarray(out_ref.hard)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_sp.iterations), np.asarray(out_ref.iterations)
+        )
+
+    def test_streaming_drain_matches_batch(self, clos_setup, monkeypatch):
+        """Spilled-Clos in-kernel streaming chunk: drained counts match
+        the (spilled) batch decoder exactly."""
+        from libldpc_tpu.ops.pallas import decode_lanes as dl
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_lanes_step,
+        )
+        from libldpc_tpu.utils.params import DecoderParams
+
+        code, ldc, sdc, ch = clos_setup
+        monkeypatch.setattr(dl, "SPILL_FREE_LIMIT", 16)
+        B = 16
+        iters = 7
+        out = bp_decode_lanes(
+            ldc, ch.llr, iterations=iters, early_term=True,
+            minsum_mode="BP_MS", message_dtype="bfloat16", frame_tile=16,
+            interpret=True,
+        )
+        bit_pos = np.asarray(sdc.bit_pos)
+        errs = (
+            np.asarray(out.hard)[bit_pos]
+            != np.asarray(ch.codeword)[bit_pos]
+        ).sum(axis=0)
+        want = np.array(
+            [errs.sum(), (errs > 0).sum(), B,
+             np.asarray(out.iterations).sum()], dtype=np.int64,
+        )
+        init_fn, step_fn = make_streaming_lanes_step(
+            ldc, "AWGN",
+            DecoderParams(iterations=iters, type="BP_MS",
+                          message_dtype="bfloat16"),
+            B, chunk_iters=4, interpret=True, frame_tile=8,
+        )
+        state = init_fn()
+        real = np.zeros((ldc.nc_pad, 1), np.float32)
+        real[np.asarray(ldc.lane_of_vn)] = 1.0
+        llr_l = (np.asarray(
+            jnp.take(ch.llr, ldc.vn_of_lane, axis=0, mode="fill",
+                     fill_value=0.0)) * real).T
+        cw_l = (np.asarray(
+            jnp.take(ch.codeword.astype(jnp.float32), ldc.vn_of_lane,
+                     axis=0, mode="fill", fill_value=0.0)) * real).T
+        state = state._replace(
+            llr_in=jnp.asarray(llr_l, jnp.float32),
+            codeword=jnp.asarray(cw_l).astype(jnp.int32),
+            done=jnp.zeros((B, 128), jnp.int32),
+        )
+        totals = np.zeros(4, dtype=np.int64)
+        for step in range(60):
+            state, acc = step_fn(
+                state, jax.random.PRNGKey(step), np.float32(0.2),
+                jnp.asarray(False),
+            )
+            totals += np.array([
+                int(acc.bit_errors), int(acc.frame_errors),
+                int(acc.frames), int(acc.iter_sum),
+            ])
+            if int(acc.n_active) == 0:
+                break
+        np.testing.assert_array_equal(totals, want)
