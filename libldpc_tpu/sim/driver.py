@@ -401,6 +401,36 @@ def _select_layout(code, decoder_params, channel_params, use_pallas,
         from ..ops.sorted import to_sorted_device
 
         dcode = to_sorted_device(code, with_layers=decoder_params.layered)
+
+    # measured-slower KEPT paths (no reroute — the requested semantics
+    # are honoured — but the perf contract says never construct a
+    # measured-slower path silently; operating points from
+    # benchmarks/res_qc_deployed.txt, Z=54 802.11n n=1296 rows):
+    if isinstance(dcode, _LDC) and dcode.transport in ("benes", "clos"):
+        import warnings as _w
+
+        if (dcode.transport == "clos"
+                and decoder_params.message_dtype == "int8"
+                and not decoder_params.early_term):
+            _w.warn(
+                "int8 messages on the generic Clos lane transport at "
+                "fixed iterations measured 0.56x the XLA decoder on a "
+                "small code (benchmarks/res_qc_deployed.txt, n=1296); "
+                "bfloat16 is the fast sub-32-bit dtype on this "
+                "transport (2.7x) — keeping int8 as requested",
+                UserWarning, stacklevel=2,
+            )
+        if (decoder_params.layered and len(dcode.layer_words) > 1
+                and not dcode.qc_layers):
+            _w.warn(
+                "the layered schedule on a generic (non-QC) lane "
+                "transport runs the exact full-space kernel, measured "
+                "0.35-0.47x XLA flooding at fixed iterations "
+                "(benchmarks/res_qc_deployed.txt); the fast layered "
+                "engine needs QC structure with Z >= 64 — keeping the "
+                "layered schedule as requested",
+                UserWarning, stacklevel=2,
+            )
     return dcode, use_pallas, decoder_params, bec_fused
 
 _CONSOLE_HEADER = (
