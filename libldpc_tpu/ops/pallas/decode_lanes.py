@@ -60,6 +60,30 @@ from .lanes_layout import LanesDeviceCode
 #: spill ref between the forward and reverse transports.
 SPILL_FREE_LIMIT = 65536
 
+#: The Clos transport's own wall is keyed on padded REAL edges (fill),
+#: not n_pad: at n_pad = 65536 the round-4 form compiled at <= 49152
+#: fill and crashed at 55296 (benchmarks/res_tp_bl_scale.txt).  Round 5
+#: adds the chain-break spill INSIDE the Clos transport
+#: (clos_spill_transport) and triggers it from the fill too, so Clos
+#: kernels above this fill run the spill form even below
+#: SPILL_FREE_LIMIT.
+CLOS_SPILL_FILL_LIMIT = 49152
+
+
+def _clos_fill(ldc):
+    """Padded real edge count (the Clos program-size driver)."""
+    cb = ldc.cn_blocks[-1]
+    vb = ldc.vn_blocks[-1]
+    return max(cb[0] + cb[1] * cb[2], vb[0] + vb[1] * vb[2])
+
+
+def _spill_for(ldc):
+    """Whether the kernels for this layout run the spill form."""
+    if ldc.n_pad > SPILL_FREE_LIMIT:
+        return True
+    return (ldc.transport == "clos"
+            and _clos_fill(ldc) > CLOS_SPILL_FILL_LIMIT)
+
 
 def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                  ft, dtype, stream=False, cap=0, layered=False,
@@ -131,7 +155,15 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
     def mid_stages(w_ref, v, reverse):
         """Conditional-exchange stages from the packed switch planes
         (full Beneš network, or the Clos middle network whose distances
-        are all tile-granular)."""
+        are all tile-granular).  int8 messages upcast to bf16 ONCE for
+        the whole network (integers |v| <= 127 are exact in bf16) and
+        downcast at exit — round 5; the previous per-stage
+        blend-and-requantise form cost 2 casts + a 5-op blend per stage
+        and measured 5x slower than bf16 on the Clos middle network
+        (benchmarks/res_qc_deployed.txt, n=1296 int8 rows)."""
+        quant_in = v.dtype == jnp.int8
+        if quant_in:
+            v = v.astype(jnp.bfloat16)
         stages = list(zip(ldc.benes_dists, ldc.benes_words))
         if reverse:
             stages = stages[::-1]
@@ -156,7 +188,7 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                     top, roll_lanes(v, N - d), roll_lanes(v, d)
                 )
                 v = jnp.where(sw, partner, v)
-        return v
+        return v.astype(jnp.int8) if quant_in else v
 
     def blockmul(pref, v, contract_dim):
         """Block-diagonal one-hot matmul: per 128-lane block ``b``,
@@ -1191,7 +1223,7 @@ def bp_decode_lanes(
     # layer's own edges, not the full space (see kernel_layered_qc);
     # no full-space transport chains, so no spill form needed
     use_fast = use_layered and bool(ldc.qc_layers)
-    spill = ldc.n_pad > SPILL_FREE_LIMIT and not use_fast
+    spill = _spill_for(ldc) and not use_fast
     kernel = _make_kernel(ldc, iterations, early_term, minsum_mode, ft,
                           dtype, layered=use_layered, spill=spill,
                           qscale=quant_scale, layered_fast=use_fast)
@@ -1378,7 +1410,7 @@ def bec_decode_lanes(
     real_lane = real_lane.at[ldc.lane_of_vn].set(1.0)
     llr_pad = (llr_pad * real_lane).T  # [B, nc_pad]
 
-    spill = ldc.n_pad > SPILL_FREE_LIMIT
+    spill = _spill_for(ldc)
     kernel = _make_kernel(ldc, iterations, early_term, "BP_MS", ft, dtype,
                           bec_mode=True, spill=spill)
     llr_out, iters, iscw = _batch_call(
@@ -1466,7 +1498,7 @@ def bp_stream_chunk_lanes(
         raise ValueError(f"batch {B} not divisible by frame tile {ft}")
     if ft & (ft - 1):
         raise ValueError(f"frame tile {ft} must be a power of two")
-    spill = ldc.n_pad > SPILL_FREE_LIMIT
+    spill = _spill_for(ldc)
     kernel = _make_kernel(ldc, k, True, minsum_mode, ft, dtype,
                           stream=True, cap=cap, bec_mode=bec_mode,
                           spill=spill, qscale=quant_scale,

@@ -102,12 +102,18 @@ QC_LANES_EDGE_SPACE_LIMIT = 393216
 #: peeling decoder.
 QC_LANES_SUB32_EDGE_SPACE_LIMIT = 196608
 
-#: Clos-transport fill wall within the lane extent above: at
-#: n_pad = 65536 the clos/bf16 variant compiles at 49152 padded real
-#: edges (n = 16384 (3,6)) and crashes the remote compiler at 55296
-#: (n = 18432), while f32/Benes runs bit-exactly through 64512
-#: (measured 2026-08-19, benchmarks/res_tp_bl_scale.txt).
-CLOS_LANES_FILL_LIMIT = 49152
+#: Clos-transport fill wall within the lane extent above.  Round 4
+#: measured the crash at 55296 padded real edges (49152 compiled); the
+#: round-5 chain-break spill (decode_lanes.clos_spill_transport,
+#: triggered from the fill via CLOS_SPILL_FILL_LIMIT) moves the wall
+#: past the whole n_pad = 65536 space — bf16/Clos now measures
+#: 1.70x/1.98x/2.04x XLA at n = 18432/20480/21504 (fill 55296-64512,
+#: 2026-08-20, benchmarks/res_tp_bl_scale.txt), so the limit is the
+#: full lane extent.  The n_pad = 131072 bf16/Clos compile still
+#: crashes even in spill form (same record) — that wall now lives in
+#: SUB32_LANES_EDGE_SPACE_LIMIT-style handling below via
+#: LANES_EDGE_SPACE_LIMIT fallbacks.
+CLOS_LANES_FILL_LIMIT = 65536
 
 #: Measured FIXED-ITERATION (no early termination) throughput of the
 #: f32/Benes lane-major kernel relative to the XLA sorted decoder on one
@@ -328,11 +334,13 @@ def _select_layout(code, decoder_params, channel_params, use_pallas,
                 decoder_params, message_dtype="float32"
             )
     elif isinstance(dcode, _LDC) and dcode.transport == "clos":
-        # the Clos transport's wall is tighter than Benes': at
-        # n_pad 65536 it compiles at <= 49152 padded real edges
-        # (n = 16384 (3,6)) but crashes the remote compiler at 55296
-        # (n = 18432) while f32/Benes runs bit-exactly through 64512
-        # (benchmarks/res_tp_bl_scale.txt).  Past the fill wall,
+        # the Clos transport's wall is tighter than Benes'.  Round 5's
+        # chain-break spill (decode_lanes.clos_spill_transport) cleared
+        # the round-4 fill wall — bf16/Clos now runs the whole
+        # n_pad = 65536 space at 1.7-2.0x XLA — but the n_pad = 131072
+        # program still crashes the remote compiler even in spill form
+        # (benchmarks/res_tp_bl_scale.txt, 2026-08-20), so both the
+        # fill AND the lane extent gate here.  Past the envelope,
         # non-BEC decoding drops to the f32/Benes lanes kernel (still
         # fused, ~XLA-parity per pass but 3-4x XLA with in-kernel
         # streaming ET); fused BEC — where f32/Benes measured SLOWER
@@ -340,17 +348,18 @@ def _select_layout(code, decoder_params, channel_params, use_pallas,
         cb = dcode.cn_blocks[-1]
         vb = dcode.vn_blocks[-1]
         fill = max(cb[0] + cb[1] * cb[2], vb[0] + vb[1] * vb[2])
-        if fill > CLOS_LANES_FILL_LIMIT:
+        if fill > CLOS_LANES_FILL_LIMIT or dcode.n_pad > 65536:
             import dataclasses as _dc
 
+            _what = (f"fill {fill}" if fill > CLOS_LANES_FILL_LIMIT
+                     else f"n_pad {dcode.n_pad}")
             if channel_params.type == "BEC":
                 record_fallback(
-                    f"clos fill {fill} > envelope "
-                    f"{CLOS_LANES_FILL_LIMIT} -> xla peeling decoder",
-                    f"padded real edge count {fill} exceeds the Clos "
-                    f"transport's compile envelope "
-                    f"({CLOS_LANES_FILL_LIMIT}); running the XLA "
-                    f"peeling decoder instead",
+                    f"clos {_what} > envelope -> xla peeling decoder",
+                    f"Clos transport {_what} exceeds the measured "
+                    f"compile envelope (fill {CLOS_LANES_FILL_LIMIT} / "
+                    f"n_pad 65536); running the XLA peeling decoder "
+                    f"instead",
                 )
                 use_pallas = False
                 bec_fused = False
@@ -359,12 +368,11 @@ def _select_layout(code, decoder_params, channel_params, use_pallas,
                 dcode = to_sorted_device(code)
             else:
                 record_fallback(
-                    f"clos fill {fill} > envelope "
-                    f"{CLOS_LANES_FILL_LIMIT} -> f32/benes lanes",
-                    f"padded real edge count {fill} exceeds the Clos "
-                    f"transport's compile envelope "
-                    f"({CLOS_LANES_FILL_LIMIT}); running the f32/Benes "
-                    f"lane-major kernel instead",
+                    f"clos {_what} > envelope -> f32/benes lanes",
+                    f"Clos transport {_what} exceeds the measured "
+                    f"compile envelope (fill {CLOS_LANES_FILL_LIMIT} / "
+                    f"n_pad 65536); running the f32/Benes lane-major "
+                    f"kernel instead",
                 )
                 decoder_params = _dc.replace(
                     decoder_params, message_dtype="float32"
@@ -409,17 +417,9 @@ def _select_layout(code, decoder_params, channel_params, use_pallas,
     if isinstance(dcode, _LDC) and dcode.transport in ("benes", "clos"):
         import warnings as _w
 
-        if (dcode.transport == "clos"
-                and decoder_params.message_dtype == "int8"
-                and not decoder_params.early_term):
-            _w.warn(
-                "int8 messages on the generic Clos lane transport at "
-                "fixed iterations measured 0.56x the XLA decoder on a "
-                "small code (benchmarks/res_qc_deployed.txt, n=1296); "
-                "bfloat16 is the fast sub-32-bit dtype on this "
-                "transport (2.7x) — keeping int8 as requested",
-                UserWarning, stacklevel=2,
-            )
+        # (int8 on Clos was a measured-slower point here until round 5's
+        # single-upcast middle network fixed it: 0.56x -> 2.46x XLA at
+        # n=1296, benchmarks/res_qc_deployed.txt — no warning needed.)
         if (decoder_params.layered and len(dcode.layer_words) > 1
                 and not dcode.qc_layers):
             _w.warn(

@@ -584,43 +584,6 @@ class TestFallbackSignalling:
         assert sim._streaming
         assert "fallback" not in sim.decode_path
 
-    def test_warns_int8_clos_fixed_iter(self, code, monkeypatch):
-        """Measured-slower KEPT path (benchmarks/res_qc_deployed.txt,
-        802.11n n=1296 rows as the Clos-transport anchor): int8 on the
-        generic Clos lane transport at fixed iterations warns but
-        honours the request.  Forced onto the generic-lanes route the
-        same way as the Benes routing tests (structured codes take the
-        MXU edge-major or qc-lanes kernels instead)."""
-        import dataclasses
-
-        import libldpc_tpu.sim.driver as drv
-        from libldpc_tpu.ops.pallas import layout as pallas_layout
-        from libldpc_tpu.ops.pallas.lanes_layout import LanesDeviceCode
-
-        monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
-        orig_tpd = pallas_layout.to_pallas_device
-        monkeypatch.setattr(
-            pallas_layout,
-            "to_pallas_device",
-            lambda c, **kw: dataclasses.replace(
-                orig_tpd(c, **kw), mxu_blocks_fwd=None
-            ),
-        )
-        with pytest.warns(UserWarning, match="int8 messages on the "
-                          "generic Clos"):
-            sim = drv.Simulator(
-                code,
-                DecoderParams(iterations=8, early_term=False,
-                              type="BP_MS", message_dtype="int8"),
-                ChannelParams(seed=1, x_range=(1.0, 2.0, 1.0)),
-                SimulationParams(batch_size=32, fec=3, max_frames=128),
-                use_pallas=True,
-                verbose=False,
-            )
-        assert isinstance(sim.dcode, LanesDeviceCode)
-        assert sim.dcode.transport == "clos"
-        assert sim.dec.message_dtype == "int8"  # kept, not rerouted
-
     def test_warns_layered_on_generic_transport(self, code, monkeypatch):
         """Layered on a non-QC lane transport (exact full-space kernel,
         measured 0.35-0.47x XLA flooding) warns but honours the

@@ -684,3 +684,45 @@ def test_wifi_z81_layered_fast_engine_on_chip(dtype, mode):
         np.asarray(jax.device_get(out_q.is_codeword)), g_cw)
     np.testing.assert_array_equal(
         np.asarray(jax.device_get(out_q.llr_out))[vinv], g_llr)
+
+
+@requires_tpu
+def test_clos_chain_spill_matches_sorted_on_chip():
+    """Compiled bf16/Clos kernel past the round-4 fill wall (n = 18432,
+    fill 55296 — crashed the remote compiler before the round-5 chain
+    spill, benchmarks/res_tp_bl_scale.txt) vs the XLA sorted decoder on
+    hardware: hard decisions must track (bf16 message quantisation may
+    flip rare marginal frames; convergence flags/iterations must agree
+    where both converge).  Slow: one cold Mosaic compile of ~1 minute."""
+    from libldpc_tpu.models import make_benchmark_code
+    from libldpc_tpu.ops.pallas import decode_lanes as dl
+    from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+    from libldpc_tpu.ops.sorted import bp_decode_sorted
+
+    code = make_benchmark_code(18432, dv=3, dc=6, seed=7, with_G=False)
+    ldc = to_lanes_device(code, transport="clos")
+    assert dl._spill_for(ldc)  # really exercises the chain spill
+    assert ldc.n_pad <= dl.SPILL_FREE_LIMIT  # ... via the FILL trigger
+    B = 8
+    llr = _awgn_llrs(code, B, snr_db=1.4, seed=23)
+    vn_perm = np.asarray(jax.device_get(ldc.sorted_dc.vn_perm))
+    llr_s = jnp.asarray(llr[vn_perm])
+
+    out_l = dl.bp_decode_lanes(
+        ldc, llr_s, iterations=12, early_term=True, minsum_mode="BP_MS",
+        message_dtype="bfloat16",
+    )
+    out_s = jax.jit(
+        lambda l: bp_decode_sorted(
+            ldc.sorted_dc, l, iterations=12, early_term=True,
+            minsum_mode="BP_MS",
+        )
+    )(llr_s)
+    hard_l = np.asarray(jax.device_get(out_l.hard))
+    hard_s = np.asarray(jax.device_get(out_s.hard))
+    mismatch = (hard_l != hard_s).mean()
+    assert mismatch < 1e-4, f"hard-decision mismatch rate {mismatch}"
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_l.is_codeword)),
+        np.asarray(jax.device_get(out_s.is_codeword)),
+    )
