@@ -217,12 +217,15 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         return jnp.concatenate(parts, axis=1)
 
     #: populated (with two [ft, N] VMEM refs) by the kernel bodies when
-    #: ``spill and clos`` — the round-5 chain-break that widens the Clos
-    #: envelope: a Clos transport is itself three chained sub-networks
+    #: ``spill`` and the transport is clos or qc — the round-5
+    #: chain-break: a Clos transport is itself three chained sub-networks
     #: (blockmul -> middle network -> blockmul), and the same Mosaic wall
     #: that killed two SSA-connected Benes chains (SPILL_FREE_LIMIT) hits
-    #: the SSA edges *inside* one Clos transport at giant edge spaces.
-    clos_chain = []
+    #: the SSA edges *inside* one Clos transport at giant edge spaces;
+    #: the qc transport's per-segment concat keeps the WHOLE edge space
+    #: live while it assembles, so its spill form writes each segment
+    #: straight into a chain ref instead (qc_spill_transport).
+    chain_refs = []
 
     def blockmul_ref(pref, src_ref, contract_dim, out_ref):
         """Ref-to-ref :func:`blockmul`: each 128-lane block is read from
@@ -249,12 +252,54 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         """Clos transport with every sub-network boundary materialised
         through a VMEM ref (ping-pong ``tc1 -> tc2 -> tc1``); returns the
         final CN/VN-space value as a fresh read of ``tc1``."""
-        tc1, tc2 = clos_chain
+        tc1, tc2 = chain_refs
         first, last = (p3_ref, p1_ref) if reverse else (p1_ref, p3_ref)
         cd = 0 if reverse else 1
         blockmul_ref(first, src_ref, cd, tc1)
         tc2[:] = mid_stages(w_ref, tc1[:], reverse=reverse)
         blockmul_ref(last, tc2, cd, tc1)
+        return tc1[:]
+
+    def qc_spill_transport(src_ref, reverse):
+        """QC transport, ref-to-ref: each output segment is read from
+        ``src_ref``, rolled, and written straight into its slot of the
+        first chain ref — peak liveness one ``[ft, Zq]`` segment instead
+        of the whole edge space held live by the concat form (the same
+        pressure the Clos chain-break relieves)."""
+        tc1, _tc2 = chain_refs
+        Z = ldc.qc_z
+        Zq = ldc.qc_zq
+        segs = ldc.qc_segments
+        if reverse:
+            triples = [(ac, av, (Z - s) % Z) for av, ac, s in segs]
+        else:
+            triples = [(av, ac, s) for av, ac, s in segs]
+        if Z == Zq:
+            for out_start, in_start, k in triples:
+                tc1[:, out_start : out_start + Zq] = roll_seg(
+                    src_ref[:, in_start : in_start + Zq], k, Zq
+                )
+        else:
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, Zq), 1)
+            pad_c = jnp.asarray(pad_store, compute)
+            for out_start, in_start, k in triples:
+                seg = src_ref[:, in_start : in_start + Zq].astype(compute)
+                k = k % Z
+                a = pltpu.roll(seg, k, axis=1) if k else seg
+                if k:
+                    b = pltpu.roll(seg, (k - Z) % Zq, axis=1)
+                    out = jnp.where(iota < k, b, a)
+                else:
+                    out = a
+                out = jnp.where(iota < Z, out, pad_c)
+                tc1[:, out_start : out_start + Zq] = (
+                    to_store(out) if quantized else out.astype(dtype)
+                )
+        tail = N - len(segs) * Zq
+        if tail:
+            tc1[:, len(segs) * Zq :] = jnp.full(
+                (ft, tail), pad_store, compute
+            ).astype(dtype)
         return tc1[:]
 
     def roll_seg(seg, k, Zq):
@@ -345,11 +390,14 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
 
     def transport_ref(p1_ref, p3_ref, w_ref, src_ref, reverse):
         """Spill-form transport entry: reads from a VMEM ref.  Clos
-        additionally breaks its internal sub-network chains (see
-        :func:`clos_spill_transport`); qc/Benes read the ref once."""
-        if clos and clos_chain:
+        breaks its internal sub-network chains
+        (:func:`clos_spill_transport`), qc writes per segment
+        (:func:`qc_spill_transport`); Benes reads the ref once."""
+        if clos and chain_refs:
             return clos_spill_transport(p1_ref, p3_ref, w_ref, src_ref,
                                         reverse)
+        if qc and chain_refs:
+            return qc_spill_transport(src_ref, reverse)
         return transport(p1_ref, p3_ref, w_ref, src_ref[:], reverse)
 
     def force_pad(w_ref, v):
@@ -481,14 +529,16 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         if N > vn_end:
             parts.append(jnp.zeros((llr.shape[0], N - vn_end), dtype))
         v = jnp.concatenate(parts, axis=1)
-        if clos and clos_chain:
-            # giant-edge-space Clos: even the one-shot init transport
-            # carries three chained sub-networks — stage it through the
+        if chain_refs and (clos or qc):
+            # giant edge space: even the one-shot init transport carries
+            # the full chain/concat pressure — stage it through the
             # chain refs like every in-loop transport
-            tc1, tc2 = clos_chain
+            tc1, tc2 = chain_refs
             tc2[:] = v
-            return clos_spill_transport(p1_ref, p3_ref, w_ref, tc2,
-                                        reverse=True)
+            if clos:
+                return clos_spill_transport(p1_ref, p3_ref, w_ref, tc2,
+                                            reverse=True)
+            return qc_spill_transport(tc2, reverse=True)
         return transport(p1_ref, p3_ref, w_ref, v, reverse=True)
 
     def syndrome(q):
@@ -548,9 +598,9 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         np_ = 3 if clos else 1
         pref = refs[:np_]
         if spill:
-            if clos:
+            if clos or qc:
                 *refs, tmp_ref, tmp2_ref, tmpn_ref, tc1_ref, tc2_ref = refs
-                clos_chain[:] = [tc1_ref, tc2_ref]
+                chain_refs[:] = [tc1_ref, tc2_ref]
             else:
                 *refs, tmp_ref, tmp2_ref, tmpn_ref = refs
         (istx_ref, fresh_llr_ref, fresh_cw_ref, fresh_lv2c_ref, refill_ref,
@@ -714,9 +764,9 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         for the persisted ``Lc2v`` (stale layers keep their last
         messages)."""
         if spill:
-            if clos:
+            if clos or qc:
                 *refs, tmp_ref, tmp2_ref, tmpn_ref, tc1_ref, tc2_ref = refs
-                clos_chain[:] = [tc1_ref, tc2_ref]
+                chain_refs[:] = [tc1_ref, tc2_ref]
             else:
                 *refs, tmp_ref, tmp2_ref, tmpn_ref = refs
         if clos:
@@ -1030,9 +1080,9 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
 
     def kernel(*refs):
         if spill:
-            if clos:
+            if clos or qc:
                 *refs, tmp_ref, tmp2_ref, tmpn_ref, tc1_ref, tc2_ref = refs
-                clos_chain[:] = [tc1_ref, tc2_ref]
+                chain_refs[:] = [tc1_ref, tc2_ref]
             else:
                 *refs, tmp_ref, tmp2_ref, tmpn_ref = refs
         if clos:
@@ -1307,11 +1357,11 @@ def _batch_call(ldc, kernel, llr_pad, B, ft, dtype, interpret,
              pltpu.VMEM((ft, ldc.n_pad), dtype),
              pltpu.VMEM((ft, ldc.nc_pad), jnp.float32)] if spill else []
         ) + (
-            # Clos chain refs: the transport's internal sub-network
-            # boundaries spill too (see clos_spill_transport)
+            # chain refs: Clos sub-network boundaries / qc segment
+            # writes spill too (clos_spill_transport, qc_spill_transport)
             [pltpu.VMEM((ft, ldc.n_pad), dtype),
              pltpu.VMEM((ft, ldc.n_pad), dtype)]
-            if spill and clos else []
+            if spill and ldc.transport in ("clos", "qc") else []
         ),
         compiler_params=pltpu.CompilerParams(
             # spill mode needs the full 128M physical VMEM near the
@@ -1606,10 +1656,10 @@ def bp_stream_chunk_lanes(
              pltpu.VMEM((ft, ldc.n_pad), dtype),
              pltpu.VMEM((ft, ldc.nc_pad), jnp.float32)] if spill else []
         ) + (
-            # Clos chain refs (see clos_spill_transport)
+            # chain refs (clos_spill_transport / qc_spill_transport)
             [pltpu.VMEM((ft, ldc.n_pad), dtype),
              pltpu.VMEM((ft, ldc.n_pad), dtype)]
-            if spill and clos else []
+            if spill and ldc.transport in ("clos", "qc") else []
         ),
         compiler_params=pltpu.CompilerParams(
             # spill mode needs the full 128M physical VMEM near the

@@ -1478,3 +1478,115 @@ class TestClosSpill:
             if int(acc.n_active) == 0:
                 break
         np.testing.assert_array_equal(totals, want)
+
+
+class TestQcSpill:
+    """Round-5 qc segment-write spill (decode_lanes.qc_spill_transport):
+    past the spill point the qc transport writes each rolled segment
+    straight into a chain ref instead of assembling a full-edge-space
+    concat.  Value-preserving, so spilled and unspilled kernels must
+    agree EXACTLY in every dtype, on both the single-roll (Z=128) and
+    embedded two-roll (Z=81) forms; forced on small codes via the
+    module threshold (distinct frame_tile per form keeps traces apart)."""
+
+    @pytest.fixture(params=[128, 81], ids=["Z128", "Z81"])
+    def qc_spill_setup(self, request):
+        from libldpc_tpu.models import expand_qc
+
+        Z = request.param
+        rng = np.random.default_rng(13)
+        base = rng.integers(0, Z, size=(3, 6))
+        code = expand_qc(base, Z)
+        ldc = to_lanes_device(code, transport="qc")
+        rng2 = np.random.default_rng(6)
+        B = 16
+        sigma2 = 10 ** (-0.5 / 10)
+        y = 1.0 + rng2.normal(size=(code.nc, B)) * np.sqrt(sigma2)
+        llr = (2.0 * y / sigma2).astype(np.float32)
+        llr_s = jnp.asarray(llr[np.asarray(ldc.sorted_dc.vn_perm)])
+        return code, ldc, llr_s
+
+    @pytest.mark.parametrize("dtype,mode", [
+        ("float32", "BP_MS"), ("bfloat16", "BP"), ("int8", "BP_MS"),
+    ])
+    def test_flooding_spill_exact(self, qc_spill_setup, monkeypatch,
+                                  dtype, mode):
+        from libldpc_tpu.ops.pallas import decode_lanes as dl
+
+        code, ldc, llr_s = qc_spill_setup
+        kw = dict(iterations=7, early_term=True, minsum_mode=mode,
+                  message_dtype=dtype, interpret=True)
+        out_ref = bp_decode_lanes(ldc, llr_s, frame_tile=8, **kw)
+        monkeypatch.setattr(dl, "SPILL_FREE_LIMIT", 16)
+        out_sp = bp_decode_lanes(ldc, llr_s, frame_tile=16, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(out_sp.llr_out), np.asarray(out_ref.llr_out)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_sp.hard), np.asarray(out_ref.hard)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_sp.iterations), np.asarray(out_ref.iterations)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_sp.is_codeword), np.asarray(out_ref.is_codeword)
+        )
+
+    def test_streaming_drain_matches_batch(self, qc_spill_setup,
+                                           monkeypatch):
+        from libldpc_tpu.models import systematic_generator
+        from libldpc_tpu.ops.pallas import decode_lanes as dl
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_lanes_step,
+        )
+        from libldpc_tpu.utils.params import DecoderParams
+
+        code, ldc, llr_s = qc_spill_setup
+        monkeypatch.setattr(dl, "SPILL_FREE_LIMIT", 16)
+        B = 16
+        iters = 7
+        out = bp_decode_lanes(
+            ldc, llr_s, iterations=iters, early_term=True,
+            minsum_mode="BP_MS", message_dtype="bfloat16", frame_tile=16,
+            interpret=True,
+        )
+        cw = np.zeros((code.nc, B), np.uint8)  # all-zero reference word
+        bit_pos = np.asarray(ldc.sorted_dc.bit_pos)
+        errs = (np.asarray(out.hard)[bit_pos]
+                != cw[bit_pos]).sum(axis=0)
+        want = np.array(
+            [errs.sum(), (errs > 0).sum(), B,
+             np.asarray(out.iterations).sum()], dtype=np.int64,
+        )
+        init_fn, step_fn = make_streaming_lanes_step(
+            ldc, "AWGN",
+            DecoderParams(iterations=iters, type="BP_MS",
+                          message_dtype="bfloat16"),
+            B, chunk_iters=4, interpret=True, frame_tile=8,
+        )
+        state = init_fn()
+        real = np.zeros((ldc.nc_pad, 1), np.float32)
+        real[np.asarray(ldc.lane_of_vn)] = 1.0
+        llr_np = np.asarray(llr_s)  # already sorted labels
+        # sorted labels -> lanes
+        vn_of_lane = np.asarray(ldc.vn_of_lane)
+        llr_l = (llr_np[vn_of_lane] * real).T
+        cw_l = np.zeros((B, ldc.nc_pad), np.float32)
+        state = state._replace(
+            llr_in=jnp.asarray(llr_l, jnp.float32),
+            codeword=jnp.asarray(cw_l).astype(jnp.int32),
+            done=jnp.zeros((B, 128), jnp.int32),
+        )
+        totals = np.zeros(4, dtype=np.int64)
+        for step in range(60):
+            state, acc = step_fn(
+                state, jax.random.PRNGKey(step), np.float32(0.2),
+                jnp.asarray(False),
+            )
+            totals += np.array([
+                int(acc.bit_errors), int(acc.frame_errors),
+                int(acc.frames), int(acc.iter_sum),
+            ])
+            if int(acc.n_active) == 0:
+                break
+        np.testing.assert_array_equal(totals, want)
