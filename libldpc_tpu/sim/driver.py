@@ -91,16 +91,19 @@ LANES_EDGE_SPACE_LIMIT = 131072
 QC_LANES_EDGE_SPACE_LIMIT = 393216
 
 #: The qc transport's sub-32-bit (bfloat16/int8) kernel forms wall
-#: earlier than f32: n_pad = 196608 (n = 65536 (3,6)-regular QC)
-#: compiles and decodes for every dtype, while n_pad = 294912 and
-#: 393216 crash the remote compiler for bf16/int8 where f32 still
-#: runs bit-exactly (measured 2026-08-20 on v5e,
-#: benchmarks/res_qc_transport.txt).  Between the two walls the driver
-#: keeps the structure-aware transport and widens messages to f32
-#: (still 5-9x the XLA decoder there) instead of crashing; fused BEC
-#: (whose sign algebra rides the bf16 form) reroutes to the XLA
+#: earlier than f32, and — since the round-5 segment-write spill
+#: (decode_lanes.qc_spill_transport) — per dtype: int8/BP_MS compiles
+#: and decodes at n_pad = 294912 (10.1x XLA, 549 Mbits/s at n = 98304)
+#: but crashes at 393216; the bf16/BP form still walls at the round-4
+#: point — n_pad = 196608 compiles, 294912 crashes (measured
+#: 2026-08-20 on v5e, benchmarks/res_qc_transport.txt; f32 runs
+#: bit-exactly through 393216).  Between a dtype's wall and f32's the
+#: driver keeps the structure-aware transport and widens messages to
+#: f32 (still 5-9x the XLA decoder there) instead of crashing; fused
+#: BEC (whose sign algebra rides the bf16 form) reroutes to the XLA
 #: peeling decoder.
-QC_LANES_SUB32_EDGE_SPACE_LIMIT = 196608
+QC_LANES_SUB32_EDGE_SPACE_LIMIT = 196608  # bfloat16 (and fused-BEC) wall
+QC_LANES_INT8_EDGE_SPACE_LIMIT = 294912
 
 #: Clos-transport fill wall within the lane extent above.  Round 4
 #: measured the crash at 55296 padded real edges (49152 compiled); the
@@ -292,10 +295,16 @@ def _select_layout(code, decoder_params, channel_params, use_pallas,
     elif (
         isinstance(dcode, _LDC)
         and dcode.transport == "qc"
-        and dcode.n_pad > QC_LANES_SUB32_EDGE_SPACE_LIMIT
         and (
-            bec_fused
-            or decoder_params.message_dtype in ("bfloat16", "int8")
+            (
+                dcode.n_pad > QC_LANES_SUB32_EDGE_SPACE_LIMIT
+                and (bec_fused
+                     or decoder_params.message_dtype == "bfloat16")
+            )
+            or (
+                dcode.n_pad > QC_LANES_INT8_EDGE_SPACE_LIMIT
+                and decoder_params.message_dtype == "int8"
+            )
         )
     ):
         # the qc transport's bf16/int8 kernel forms wall earlier than
@@ -322,13 +331,17 @@ def _select_layout(code, decoder_params, channel_params, use_pallas,
         else:
             import dataclasses as _dc
 
+            _lim = (QC_LANES_INT8_EDGE_SPACE_LIMIT
+                    if decoder_params.message_dtype == "int8"
+                    else QC_LANES_SUB32_EDGE_SPACE_LIMIT)
             record_fallback(
-                f"qc n_pad {dcode.n_pad} > sub-32-bit envelope "
-                f"{QC_LANES_SUB32_EDGE_SPACE_LIMIT} -> f32 qc lanes",
+                f"qc n_pad {dcode.n_pad} > "
+                f"{decoder_params.message_dtype} envelope {_lim} "
+                f"-> f32 qc lanes",
                 f"padded edge space {dcode.n_pad} exceeds the qc "
-                f"transport's bf16/int8 compile envelope "
-                f"({QC_LANES_SUB32_EDGE_SPACE_LIMIT}); widening "
-                f"messages to float32 on the same transport",
+                f"transport's {decoder_params.message_dtype} compile "
+                f"envelope ({_lim}); widening messages to float32 on "
+                f"the same transport",
             )
             decoder_params = _dc.replace(
                 decoder_params, message_dtype="float32"
