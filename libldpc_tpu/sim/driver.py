@@ -92,18 +92,22 @@ QC_LANES_EDGE_SPACE_LIMIT = 393216
 
 #: The qc transport's sub-32-bit (bfloat16/int8) kernel forms wall
 #: earlier than f32, and — since the round-5 segment-write spill
-#: (decode_lanes.qc_spill_transport) — per dtype: int8/BP_MS compiles
-#: and decodes at n_pad = 294912 (10.1x XLA, 549 Mbits/s at n = 98304)
-#: but crashes at 393216; the bf16/BP form still walls at the round-4
-#: point — n_pad = 196608 compiles, 294912 crashes (measured
-#: 2026-08-20 on v5e, benchmarks/res_qc_transport.txt; f32 runs
-#: bit-exactly through 393216).  Between a dtype's wall and f32's the
-#: driver keeps the structure-aware transport and widens messages to
-#: f32 (still 5-9x the XLA decoder there) instead of crashing; fused
-#: BEC (whose sign algebra rides the bf16 form) reroutes to the XLA
-#: peeling decoder.
-QC_LANES_SUB32_EDGE_SPACE_LIMIT = 196608  # bfloat16 (and fused-BEC) wall
-QC_LANES_INT8_EDGE_SPACE_LIMIT = 294912
+#: (decode_lanes.qc_spill_transport) — per (dtype, CN form): at
+#: n_pad = 294912 (n = 98304 (3,6)-regular QC) every sub-32
+#: combination EXCEPT bf16 with the exact pairwise box-plus compiles
+#: and decodes (int8/BP_MS 179 us/frame = 10.1x XLA, 549 Mbits/s;
+#: bf16 BP_MS/BP_LIN/BP_PHI/BP_TANH 198/282/237/220 us/frame = 6.4-9.1x),
+#: while bf16/BP still crashes there (the round-4 wall) and 393216
+#: crashes everything sub-32 (measured 2026-08-20 on v5e,
+#: benchmarks/res_qc_transport.txt; f32 runs bit-exactly through
+#: 393216).  Past a combination's wall the driver keeps the
+#: structure-aware transport and widens messages to f32 (still 5-9x
+#: the XLA decoder there) instead of crashing; fused BEC (whose sign
+#: algebra rides the bf16 form, unprobed past the round-4 wall)
+#: conservatively reroutes to the XLA peeling decoder at the lower
+#: limit.
+QC_LANES_SUB32_EDGE_SPACE_LIMIT = 196608  # bf16 exact-BP + fused-BEC wall
+QC_LANES_SUB32_WIDE_EDGE_SPACE_LIMIT = 294912  # every other sub-32 combo
 
 #: Clos-transport fill wall within the lane extent above.  Round 4
 #: measured the crash at 55296 padded real edges (49152 compiled); the
@@ -299,11 +303,16 @@ def _select_layout(code, decoder_params, channel_params, use_pallas,
             (
                 dcode.n_pad > QC_LANES_SUB32_EDGE_SPACE_LIMIT
                 and (bec_fused
-                     or decoder_params.message_dtype == "bfloat16")
+                     or (decoder_params.message_dtype == "bfloat16"
+                         # unknown type strings behave like BP
+                         # (src/decoding/decoder.h:73-80)
+                         and decoder_params.type not in (
+                             "BP_MS", "BP_NMS", "BP_OMS", "BP_LIN",
+                             "BP_TANH", "BP_PHI")))
             )
             or (
-                dcode.n_pad > QC_LANES_INT8_EDGE_SPACE_LIMIT
-                and decoder_params.message_dtype == "int8"
+                dcode.n_pad > QC_LANES_SUB32_WIDE_EDGE_SPACE_LIMIT
+                and decoder_params.message_dtype in ("bfloat16", "int8")
             )
         )
     ):
@@ -331,9 +340,13 @@ def _select_layout(code, decoder_params, channel_params, use_pallas,
         else:
             import dataclasses as _dc
 
-            _lim = (QC_LANES_INT8_EDGE_SPACE_LIMIT
-                    if decoder_params.message_dtype == "int8"
-                    else QC_LANES_SUB32_EDGE_SPACE_LIMIT)
+            _bp_form = decoder_params.type not in (
+                "BP_MS", "BP_NMS", "BP_OMS", "BP_LIN", "BP_TANH",
+                "BP_PHI")
+            _lim = (QC_LANES_SUB32_EDGE_SPACE_LIMIT
+                    if decoder_params.message_dtype == "bfloat16"
+                    and _bp_form
+                    else QC_LANES_SUB32_WIDE_EDGE_SPACE_LIMIT)
             record_fallback(
                 f"qc n_pad {dcode.n_pad} > "
                 f"{decoder_params.message_dtype} envelope {_lim} "

@@ -364,9 +364,10 @@ class TestDriverRouting:
 
         monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
         monkeypatch.setattr(drv, "QC_LANES_SUB32_EDGE_SPACE_LIMIT", 128)
-        # int8's own (round-5, wider) wall — see the between-walls check
-        # at the end of this test
-        monkeypatch.setattr(drv, "QC_LANES_INT8_EDGE_SPACE_LIMIT", 128)
+        # the wider non-exact-BP wall (round 5) — see the between-walls
+        # check at the end of this test
+        monkeypatch.setattr(drv, "QC_LANES_SUB32_WIDE_EDGE_SPACE_LIMIT",
+                            128)
         rng = np.random.default_rng(11)
         code = expand_qc(rng.integers(0, 128, size=(3, 6)), 128)
         ch = ChannelParams(type="AWGN", seed=3, x_range=(2.0, 2.1, 0.5))
@@ -410,10 +411,13 @@ class TestDriverRouting:
         assert isinstance(sim_bec.dcode, SortedDeviceCode)
         assert "xla peeling" in sim_bec.decode_path
 
-        # BETWEEN the walls (bf16 wall < n_pad <= int8 wall, the round-5
-        # per-dtype split): bf16 widens to f32 but int8 keeps its
-        # lattice — the segment-write spill bought int8 a wider envelope
-        monkeypatch.setattr(drv, "QC_LANES_INT8_EDGE_SPACE_LIMIT",
+        # BETWEEN the walls (exact-BP bf16 wall < n_pad <= wide wall,
+        # the round-5 per-(dtype, CN form) split): bf16 with the exact
+        # pairwise BP widens to f32, but int8 (min-sum family) and bf16
+        # min-sum/linear/tanh/phi forms keep their dtype — the
+        # segment-write spill bought every non-exact-BP combination the
+        # wider envelope
+        monkeypatch.setattr(drv, "QC_LANES_SUB32_WIDE_EDGE_SPACE_LIMIT",
                             10**9)
         import warnings
 
@@ -428,6 +432,20 @@ class TestDriverRouting:
         assert sim_i8.dcode.transport == "qc"
         assert sim_i8.dec.message_dtype == "int8"
         assert "fallback" not in sim_i8.decode_path
+
+        # ... and bf16 with a min-sum-family form also keeps its dtype
+        # between the walls (only the exact pairwise BP program crashes
+        # there, benchmarks/res_qc_transport.txt round-5 probes)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            sim_bm = drv.Simulator(
+                code,
+                DecoderParams(iterations=6, type="BP_OMS",
+                              message_dtype="bfloat16"),
+                ch, sp, use_pallas=True, verbose=False,
+            )
+        assert sim_bm.dec.message_dtype == "bfloat16"
+        assert "fallback" not in sim_bm.decode_path
 
 
 class TestLanesDecoder:
