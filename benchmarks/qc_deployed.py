@@ -51,6 +51,10 @@ def main():
                     help="synthetic-protograph lifting sizes ('' to skip)")
     ap.add_argument("--wifi-list", default="1296,1944",
                     help="bundled 802.11n codeword lengths ('' to skip)")
+    ap.add_argument("--nr-list", default="",
+                    help="5G-NR-structured synthetic specs 'bg:Z' "
+                    "(models.make_nr_like_code — NR skeleton, arbitrary "
+                    "NR lifting sizes; '' to skip)")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--best", type=int, default=3)
@@ -78,7 +82,9 @@ def main():
     except Exception:
         pass
 
-    from libldpc_tpu.models import expand_qc, qc_natural_layers, wifi_code
+    from libldpc_tpu.models import (
+        expand_qc, make_nr_like_code, qc_natural_layers, wifi_code,
+    )
     from libldpc_tpu.ops.pallas.decode_lanes import bp_decode_lanes
     from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
     from libldpc_tpu.ops.sorted import bp_decode_sorted, to_sorted_device
@@ -100,11 +106,16 @@ def main():
 
     specs = [("synthetic", int(v)) for v in args.z_list.split(",") if v]
     specs += [("wifi", int(v)) for v in args.wifi_list.split(",") if v]
+    specs += [("nr", v) for v in args.nr_list.split(",") if v]
     for kind, param in specs:
         if kind == "synthetic":
             Z = param
             code = expand_qc(np.asarray(BASE, dtype=np.int64), Z)
             qc_natural_layers(code)
+        elif kind == "nr":
+            bg, Z = (int(t) for t in param.split(":"))
+            code = make_nr_like_code(bg=bg, Z=Z, seed=7, with_G=False,
+                                     with_layers=True)
         else:
             code = wifi_code(param, with_G=False, with_layers=True)
             Z = code.qc[0]
@@ -113,6 +124,8 @@ def main():
         sigma2 = 10.0 ** (-args.snr_db / 10.0)
         y = 1.0 + rng.normal(size=(n, B)) * np.sqrt(sigma2)
         llr = (2.0 * y / sigma2).astype(np.float32)
+        if code.puncture is not None and len(code.puncture):
+            llr[np.asarray(code.puncture)] = 0.0  # NR 2Z info puncture
 
         sdc = to_sorted_device(code)
         llr_s = jnp.asarray(llr[np.asarray(sdc.vn_perm)])
@@ -151,12 +164,18 @@ def main():
             return ldc_sub, tname_sub
 
         # --- serving-throughput ladder: fixed iterations, flooding ------
+        # int8 rides plain BP_MS for the synthetic/wifi rate-1/2 rows
+        # (round-4 comparability); the low-rate NR mother code sits below
+        # the plain-min-sum threshold at its waterfall point, so its int8
+        # rows use the offset correction (2 lattice units — the
+        # PARITY_int8.md round-5 recommendation)
+        int8_mode = ("BP_OMS", 1.0, 0.375) if kind == "nr" else "BP_MS"
         variants = [
             ("flooding", "float32", "BP", False),
             ("flooding", "bfloat16", "BP", False),
-            ("flooding", "int8", "BP_MS", False),
+            ("flooding", "int8", int8_mode, False),
             ("layered", "bfloat16", "BP", True),
-            ("layered", "int8", "BP_MS", True),
+            ("layered", "int8", int8_mode, True),
         ]
         for sched, dtype, mode, layered in variants:
             ldc_v, tname = pick(dtype)
@@ -192,7 +211,7 @@ def main():
         # EARLY-TERMINATION us/frame — the deployment-relevant number:
         # the layered schedule converges in ~2x fewer iterations, and
         # this row shows whether that survives its per-iteration cost.
-        for dtype, mode in (("bfloat16", "BP"), ("int8", "BP_MS")):
+        for dtype, mode in (("bfloat16", "BP"), ("int8", int8_mode)):
             ldc_v, tname = pick(dtype)
             for layered in (False, True):
                 tag = "layered" if layered else "flooding"

@@ -972,11 +972,14 @@ class TestQCTransport:
     round 4).  Equivalence is checked against both the XLA sorted decoder
     and the generic clos/benes lanes kernels."""
 
-    @pytest.fixture(scope="class", params=[128, 81], ids=["Z128", "Z81"])
+    @pytest.fixture(scope="class", params=[128, 81, 208],
+                    ids=["Z128", "Z81", "Z208"])
     def qc_setup(self, request):
         """Z=128: single-roll form (Z % 128 == 0, no fake lanes).
         Z=81: the 802.11n lifting size — embedded two-roll form with
-        47 fake lanes per circulant (round 5, arbitrary-Z support)."""
+        47 fake lanes per circulant (round 5, arbitrary-Z support).
+        Z=208: a 5G-NR lifting size whose circulants span TWO 128-lane
+        tiles (Zq=256) — rolls cross tile boundaries."""
         from libldpc_tpu.models import expand_qc
 
         Z = request.param
