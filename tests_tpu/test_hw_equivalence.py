@@ -733,3 +733,41 @@ def test_clos_chain_spill_matches_sorted_on_chip():
     clean = ~err_l
     if clean.any():
         np.testing.assert_array_equal(hard_l[:, clean], hard_s[:, clean])
+
+
+@requires_tpu
+def test_nr_z208_qc_lanes_matches_sorted_on_chip():
+    """Round 5: a 5G-NR-structured code at Z=208 — a lifting size whose
+    circulants span TWO 128-lane tiles (Zq=256), so the embedded rolls
+    cross tile boundaries — vs the XLA sorted decoder on hardware, f32
+    bit-exact at a converging operating point (the committed record's
+    check, benchmarks/res_qc_deployed.txt Z=208 section)."""
+    from libldpc_tpu.models import make_nr_like_code
+    from libldpc_tpu.ops.pallas.decode_lanes import bp_decode_lanes
+    from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+    from libldpc_tpu.ops.sorted import bp_decode_sorted
+
+    code = make_nr_like_code(bg=2, Z=208, seed=7, with_G=False,
+                             with_layers=True)
+    ldc = to_lanes_device(code, transport="qc")
+    assert ldc.transport == "qc" and ldc.qc_z == 208 and ldc.qc_zq == 256
+    B = 64
+    llr = _awgn_llrs(code, B, snr_db=-3.0, seed=41)
+    llr[np.asarray(code.puncture)] = 0.0  # NR 2Z info puncture
+    vn_perm = np.asarray(jax.device_get(ldc.sorted_dc.vn_perm))
+    llr_s = jnp.asarray(llr[vn_perm])
+
+    out_q = bp_decode_lanes(ldc, llr_s, iterations=16, early_term=True)
+    out_s = jax.jit(
+        lambda l: bp_decode_sorted(
+            ldc.sorted_dc, l, iterations=16, early_term=True
+        )
+    )(llr_s)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_q.hard)),
+        np.asarray(jax.device_get(out_s.hard)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out_q.iterations)),
+        np.asarray(jax.device_get(out_s.iterations)),
+    )
