@@ -750,8 +750,144 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
 
         jax.lax.fori_loop(0, iterations, body, 0)
 
-    if stream:
-        return kernel_stream
+    def kernel_stream_layered_qc(*refs):
+        """Streaming chunk on the fast layered engine (round 5): the
+        self-refilling compaction of ``kernel_stream`` with the
+        APP-update layered iteration of ``kernel_layered_qc`` as the
+        decode pass — the measured best-of-both (layered converges in
+        ~2x fewer iterations; streaming keeps every row busy).
+
+        State reinterpretation (the streaming state tuple is unchanged):
+        the ``llr_in`` plane carries the PERSISTENT APP posterior (the
+        channel prior is only ever read at init — ``Lv2c = app - stale``
+        thereafter), and ``lv2c`` carries the persisted CN-space
+        extrinsics.  A reloaded row starts ``app = fresh_llr x
+        prior_mul`` and ``lc2v = 0`` (``fresh_lv2c`` is ignored — the
+        engine needs no pre-gathered edge priors); rows entering at
+        ``age == 0`` (the initial batch, shipped raw by the XLA side)
+        get the same in-kernel init on their warm-up pass, so counting
+        semantics match the flooding stream exactly."""
+        (w_ref,) = refs[:1]
+        (istx_ref, fresh_llr_ref, fresh_cw_ref, fresh_lv2c_ref, refill_ref,
+         remaining_ref,
+         llr_in, cw_in, lv2c_in, done_in, iters_in, age_in, avail_in,
+         ctr_in,
+         llr_ref, cw_ref, lv2c_ref, done_ref, iters_ref, age_ref,
+         avail_ref, ctr_ref, rem_s) = refs[1:]
+
+        syndrome_qc, layered_pass = _qc_engine(llr_ref, lv2c_ref)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            rem_s[0] = remaining_ref[0, 0]
+
+        llr_ref[:] = llr_in[:]
+        cw_ref[:] = cw_in[:]
+        lv2c_ref[:] = lv2c_in[:]
+        done_ref[:] = done_in[:]
+        iters_ref[:] = iters_in[:]
+        age_ref[:] = age_in[:]
+        avail_ref[:] = avail_in[:]
+        ctr_ref[:] = ctr_in[:]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (ft, 1), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (ft, 128), 1)
+        refill_on = refill_ref[0, 0] > 0
+
+        def body(it, carry):
+            # ---- phase 0: in-kernel init of raw age-0 rows -------------
+            done_0 = done_ref[:, 0:1]
+            raw = (1 - done_0) * jnp.where(age_ref[:, 0:1] == 0, 1, 0)
+
+            @pl.when(jnp.sum(raw) > 0)
+            def _():
+                rs = raw > 0
+                if prior_mul != 1.0:
+                    llr_ref[:] = jnp.where(
+                        rs, llr_ref[:] * prior_mul, llr_ref[:]
+                    )
+                lv2c_ref[:] = select_rows(
+                    rs, jnp.zeros((ft, N), dtype), lv2c_ref[:]
+                )
+                # app = prior IS the engine's init — the coming pass is
+                # real iteration 1 (no uncounted warm-up pass like the
+                # flooding stream's zero-message gather pass), so raw
+                # rows promote straight to age 1 like reloaded rows
+                age_ref[:, 0:1] = age_ref[:, 0:1] + raw
+
+            # ---- phase 1: reload idle frame rows from the pool ----------
+            done_i = done_ref[:, 0:1]
+            avail_i = avail_ref[:, 0:1]
+            eligible = done_i * avail_i  # i32 0/1 [ft, 1]
+
+            @pl.when(refill_on & (jnp.sum(eligible) > 0))
+            def _():
+                cum = eligible
+                d = 1
+                while d < ft:
+                    cum = cum + jnp.where(
+                        row >= d, pltpu.roll(cum, d, axis=0), 0
+                    )
+                    d *= 2
+                allowed = eligible * jnp.where(cum <= rem_s[0], 1, 0)
+                rs = allowed > 0  # [ft, 1] broadcasts over lanes
+                llr_ref[:] = jnp.where(
+                    rs, fresh_llr_ref[:] * prior_mul, llr_ref[:]
+                )
+                cw_ref[:] = jnp.where(rs, fresh_cw_ref[:], cw_ref[:])
+                # the engine needs no warm-up state: app = prior and
+                # lc2v = 0 make the next pass real iteration 1
+                lv2c_ref[:] = select_rows(
+                    rs, jnp.zeros((ft, N), dtype), lv2c_ref[:]
+                )
+                done_ref[:, 0:1] = done_i * (1 - allowed)
+                age_ref[:, 0:1] = (
+                    age_ref[:, 0:1] * (1 - allowed) + allowed
+                )
+                iters_ref[:, 0:1] = iters_ref[:, 0:1] * (1 - allowed)
+                avail_ref[:, 0:1] = avail_i - allowed
+                ctr_ref[:] = ctr_ref[:] + jnp.where(
+                    col == 4, allowed, 0
+                )
+                rem_s[0] = rem_s[0] - jnp.sum(allowed)
+
+            # ---- phase 2: one layered iteration over in-flight rows -----
+            @pl.when(jnp.sum(done_ref[:, 0:1]) < ft)
+            def _():
+                done_i2 = done_ref[:, 0:1]
+                age_i = age_ref[:, 0:1]
+                layered_pass(done_i2 > 0)
+                is_cw = syndrome_qc()
+                checking = (1 - done_i2) * jnp.where(age_i >= 1, 1, 0)
+                newly = checking * is_cw
+                iters2 = iters_ref[:, 0:1] + checking * (1 - is_cw)
+                iters_ref[:, 0:1] = iters2
+                age2 = age_i + (1 - done_i2)
+                age_ref[:, 0:1] = age2
+                finished = (1 - done_i2) * jnp.where(
+                    (newly > 0) | (age2 >= cap + 1), 1, 0
+                )
+                done_ref[:, 0:1] = done_i2 + finished
+                # transmitted-bit errors from the app posterior
+                err = jnp.where(
+                    (llr_ref[:] <= 0) != (cw_ref[:] > 0), istx_ref[:], 0
+                )
+                biterr = jnp.sum(err, axis=1, keepdims=True)  # [ft, 1]
+                upd = (
+                    jnp.where(col == 0, finished * biterr, 0)
+                    + jnp.where(
+                        col == 1,
+                        finished * jnp.where(biterr > 0, 1, 0),
+                        0,
+                    )
+                    + jnp.where(col == 2, finished, 0)
+                    + jnp.where(col == 3, finished * iters2, 0)
+                )
+                ctr_ref[:] = ctr_ref[:] + upd
+            return carry
+
+        jax.lax.fori_loop(0, iterations, body, 0)
+
 
     def kernel_layered(*refs):
         """Layered (serial) schedule, lane-major: per iteration, each layer
@@ -885,37 +1021,15 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         out_iters_ref[:] = iters_ref[:]
         out_iscw_ref[:] = iscw_ref[:]
 
-    def kernel_layered_qc(*refs):
-        """Fast layered engine for QC natural layers (round 5).
-
-        The exact ``kernel_layered`` recomputes the FULL edge space per
-        layer (cn_exclusion + two transports + vn_stage over all
-        classes), costing ~n_layers x a flooding pass per iteration —
-        measured 2.6-5x flooding (benchmarks/res_qc_deployed.txt, round
-        4).  This engine is the app-update formulation hardware layered
-        decoders use: the node posterior (APP) is persistent state, and
-        layer ``r`` touches ONLY its own circulant blocks —
-
-        * ``Lv2c[e] = clip(app[v(e)] - Lc2v_stale[e])`` gathered by one
-          embedded cyclic roll per segment,
-        * CN exclusion across the layer's d aligned ``[ft, Zq]`` blocks,
-        * ``app[v] += roll_fwd(Lc2v_new - Lc2v_stale)`` scattered back.
-
-        Per-layer cost is proportional to the LAYER's edges, so a full
-        iteration costs ~one flooding pass (2 rolls per edge + CN work)
-        regardless of layer count.  Differences from the exact kernel,
-        by design (documented in docs/DESIGN.md): the posterior
-        accumulates incrementally in f32 (wide-accumulator hardware
-        style — for int8 messages the app is NOT requantised between
-        layers), and early termination is evaluated once per full
-        iteration (the reference CPU decoder's granularity,
-        src/decoding/decoder.cpp:66-72) instead of per layer.
-        Equivalence is pinned by tests against a NumPy golden of this
-        exact recursion (tests/golden.py:layered_qc_golden) plus FER
-        parity vs the full-recompute schedule.
-        """
-        (w_ref, llr_ref, out_llr_ref, out_iters_ref, out_iscw_ref,
-         lc2v_ref, done_ref, iters_ref, iscw_ref, app_ref) = refs
+    def _qc_engine(app_ref, lc2v_ref):
+        """Shared machinery of the fast layered engine (round 5), used by
+        the batch kernel (``kernel_layered_qc``) and its streaming
+        counterpart (``kernel_stream_layered_qc``): embedded rolls,
+        message clipping, the layer-blocked CN exclusion, the app-state
+        syndrome, and one full layered iteration over ``ldc.qc_layers``
+        with done-row freezing.  ``app_ref`` is the persistent
+        ``[ft, nc_pad]`` f32 posterior (lattice units for int8 messages),
+        ``lc2v_ref`` the persisted ``[ft, N]`` CN-space extrinsics."""
         Z = ldc.qc_z
         Zq = ldc.qc_zq
         iota_z = jax.lax.broadcasted_iota(jnp.int32, (1, Zq), 1)
@@ -990,12 +1104,6 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                 out = [cn_ops.tanh_post(o) for o in out]
             return out
 
-        app_ref[:] = llr_ref[:].astype(jnp.float32) * prior_mul
-        lc2v_ref[:] = jnp.zeros((ft, N), dtype)
-        done_ref[:] = jnp.zeros((ft, 128), jnp.int32)
-        iters_ref[:] = jnp.zeros((ft, 128), jnp.int32)
-        iscw_ref[:] = jnp.zeros((ft, 128), jnp.int32)
-
         def syndrome_qc():
             """Violation count from the app state: one reverse roll per
             segment, parity per check circulant (fake lanes read the
@@ -1011,36 +1119,80 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
                 viol = viol + jnp.sum(odd, axis=1, keepdims=True)
             return jnp.where(viol == 0, 1, 0)
 
+        def layered_pass(keep):
+            """One full layered iteration; rows with ``keep`` frozen."""
+            for segs in ldc.qc_layers:
+                lv = []
+                stale = []
+                for ac, nbc, s in segs:
+                    acn = eroll(
+                        app_ref[:, nbc : nbc + Zq], Z - s, PAD_LLR
+                    )
+                    st = lc2v_ref[:, ac : ac + Zq].astype(compute)
+                    lv.append(to_msg(acn - st))
+                    stale.append(st)
+                outs = excl_list(lv)
+                for (ac, nbc, s), o, st in zip(segs, outs, stale):
+                    o = cn_ops.cn_postprocess(o, minsum_mode)
+                    if quantized:
+                        o = jnp.clip(jnp.round(o), -127.0, 127.0)
+                    elif dtype == jnp.bfloat16:
+                        o = o.astype(jnp.bfloat16).astype(compute)
+                    delta = eroll(o - st, s, 0.0)
+                    blk = app_ref[:, nbc : nbc + Zq]
+                    app_ref[:, nbc : nbc + Zq] = jnp.where(
+                        keep, blk, blk + delta
+                    )
+                    lc2v_ref[:, ac : ac + Zq] = select_rows(
+                        keep, lc2v_ref[:, ac : ac + Zq],
+                        to_store(o),
+                    )
+
+        return syndrome_qc, layered_pass
+
+    def kernel_layered_qc(*refs):
+        """Fast layered engine for QC natural layers (round 5).
+
+        The exact ``kernel_layered`` recomputes the FULL edge space per
+        layer (cn_exclusion + two transports + vn_stage over all
+        classes), costing ~n_layers x a flooding pass per iteration —
+        measured 2.6-5x flooding (benchmarks/res_qc_deployed.txt, round
+        4).  This engine is the app-update formulation hardware layered
+        decoders use: the node posterior (APP) is persistent state, and
+        layer ``r`` touches ONLY its own circulant blocks —
+
+        * ``Lv2c[e] = clip(app[v(e)] - Lc2v_stale[e])`` gathered by one
+          embedded cyclic roll per segment,
+        * CN exclusion across the layer's d aligned ``[ft, Zq]`` blocks,
+        * ``app[v] += roll_fwd(Lc2v_new - Lc2v_stale)`` scattered back.
+
+        Per-layer cost is proportional to the LAYER's edges, so a full
+        iteration costs ~one flooding pass (2 rolls per edge + CN work)
+        regardless of layer count.  Differences from the exact kernel,
+        by design (documented in docs/DESIGN.md): the posterior
+        accumulates incrementally in f32 (wide-accumulator hardware
+        style — for int8 messages the app is NOT requantised between
+        layers), and early termination is evaluated once per full
+        iteration (the reference CPU decoder's granularity,
+        src/decoding/decoder.cpp:66-72) instead of per layer.
+        Equivalence is pinned by tests against a NumPy golden of this
+        exact recursion (tests/golden.py:layered_qc_golden) plus FER
+        parity vs the full-recompute schedule.
+        """
+        (w_ref, llr_ref, out_llr_ref, out_iters_ref, out_iscw_ref,
+         lc2v_ref, done_ref, iters_ref, iscw_ref, app_ref) = refs
+        syndrome_qc, layered_pass = _qc_engine(app_ref, lc2v_ref)
+        app_ref[:] = llr_ref[:].astype(jnp.float32) * prior_mul
+        lc2v_ref[:] = jnp.zeros((ft, N), dtype)
+        done_ref[:] = jnp.zeros((ft, 128), jnp.int32)
+        iters_ref[:] = jnp.zeros((ft, 128), jnp.int32)
+        iscw_ref[:] = jnp.zeros((ft, 128), jnp.int32)
+
         def body(it, carry):
             def iteration():
                 done_i = done_ref[:, 0:1]
                 keep = done_i > 0  # [ft, 1] broadcasts over lanes
-                for segs in ldc.qc_layers:
-                    lv = []
-                    stale = []
-                    for ac, nbc, s in segs:
-                        acn = eroll(
-                            app_ref[:, nbc : nbc + Zq], Z - s, PAD_LLR
-                        )
-                        st = lc2v_ref[:, ac : ac + Zq].astype(compute)
-                        lv.append(to_msg(acn - st))
-                        stale.append(st)
-                    outs = excl_list(lv)
-                    for (ac, nbc, s), o, st in zip(segs, outs, stale):
-                        o = cn_ops.cn_postprocess(o, minsum_mode)
-                        if quantized:
-                            o = jnp.clip(jnp.round(o), -127.0, 127.0)
-                        elif dtype == jnp.bfloat16:
-                            o = o.astype(jnp.bfloat16).astype(compute)
-                        delta = eroll(o - st, s, 0.0)
-                        blk = app_ref[:, nbc : nbc + Zq]
-                        app_ref[:, nbc : nbc + Zq] = jnp.where(
-                            keep, blk, blk + delta
-                        )
-                        lc2v_ref[:, ac : ac + Zq] = select_rows(
-                            keep, lc2v_ref[:, ac : ac + Zq],
-                            to_store(o),
-                        )
+                layered_pass(keep)
                 if early_term:
                     is_cw = syndrome_qc()
                     newly = (1 - done_i) * is_cw
@@ -1073,6 +1225,8 @@ def _make_kernel(ldc: LanesDeviceCode, iterations, early_term, minsum_mode,
         out_iters_ref[:] = iters_ref[:]
         out_iscw_ref[:] = iscw_ref[:]
 
+    if stream:
+        return kernel_stream_layered_qc if layered_fast else kernel_stream
     if layered_fast:
         return kernel_layered_qc
     if layered:
@@ -1486,7 +1640,8 @@ def bec_decode_lanes(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "cap", "minsum_mode", "frame_tile", "interpret",
-                     "message_dtype", "bec_mode", "quant_scale"),
+                     "message_dtype", "bec_mode", "quant_scale",
+                     "layered"),
 )
 def bp_stream_chunk_lanes(
     ldc: LanesDeviceCode,
@@ -1512,6 +1667,7 @@ def bp_stream_chunk_lanes(
     message_dtype: str = "float32",
     bec_mode: bool = False,
     quant_scale: float = 0.1875,
+    layered: bool = False,
 ):
     """Run ``k`` self-refilling lane-major BP passes (``kernel_stream``
     above); all eight state operands are donated/aliased in place.  The
@@ -1548,11 +1704,24 @@ def bp_stream_chunk_lanes(
         raise ValueError(f"batch {B} not divisible by frame tile {ft}")
     if ft & (ft - 1):
         raise ValueError(f"frame tile {ft} must be a power of two")
-    spill = _spill_for(ldc)
+    if layered:
+        # streaming layered = the fast app-update engine only (round 5):
+        # the llr_in state plane is reinterpreted as the persistent APP
+        # posterior (see kernel_stream_layered_qc)
+        if not getattr(ldc, "qc_layers", ()):
+            raise ValueError(
+                "streaming layered decoding requires the qc transport "
+                "with natural-QC layer metadata (to_lanes_device(code, "
+                'transport="qc", with_layers=True) on a code with '
+                "qc_natural_layers)"
+            )
+        if bec_mode:
+            raise ValueError("streaming layered decoding has no BEC form")
+    spill = _spill_for(ldc) and not layered
     kernel = _make_kernel(ldc, k, True, minsum_mode, ft, dtype,
                           stream=True, cap=cap, bec_mode=bec_mode,
                           spill=spill, qscale=quant_scale,
-                          scale_prior=True)
+                          scale_prior=True, layered_fast=layered)
     W = ldc.planes.shape[0]
     clos = ldc.transport == "clos"
     nb = ldc.n_pad // 128

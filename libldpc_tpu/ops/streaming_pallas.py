@@ -502,7 +502,7 @@ def _init_lanes_state(ldc, batch: int, dtype, n_dev: int = 1) -> LStreamState:
 def _lanes_superstep(
     ldc, channel_type, iterations, cn_mode, batch, modulation, quota,
     k, n_outer, frame_tile, message_dtype, interpret, watermark,
-    quant_scale,
+    quant_scale, layered,
     key, x_value, refill, st: LStreamState,
 ):
     """Lane-major :func:`_superstep`: pool regeneration converts the
@@ -548,6 +548,11 @@ def _lanes_superstep(
                 llr,
                 jnp.where(unused, st.fresh_cw,
                           lanes_of(ch.codeword, jnp.int32)),
+                # (the layered engine ignores the pre-gathered edge
+                # priors — app = prior / lc2v = 0 reloads in kernel —
+                # but the pool is computed unconditionally: skipping it
+                # via a lax.cond branch asymmetry tickles a jax MLIR
+                # lowering-cache KeyError, and the gather is cheap)
                 _edge_prior_pool(ldc.cn_edge_node, llr,
                                  jnp.dtype(message_dtype), axis=1,
                                  qscale=quant_scale),
@@ -570,7 +575,7 @@ def _lanes_superstep(
                 remaining, k=k, cap=iterations, minsum_mode=cn_mode,
                 frame_tile=frame_tile, message_dtype=message_dtype,
                 interpret=interpret, bec_mode=channel_type == "BEC",
-                quant_scale=quant_scale,
+                quant_scale=quant_scale, layered=layered,
             )
         )
         return LStreamState(
@@ -643,6 +648,15 @@ def make_streaming_lanes_step(
     if gen_watermark is None:
         gen_watermark = max(1, 3 * batch_per_device // 4)
 
+    layered = bool(getattr(dec, "layered", False))
+    if layered:
+        if channel_type == "BEC":
+            raise ValueError("streaming layered decoding has no BEC form")
+        if not getattr(ldc, "qc_layers", ()):
+            raise ValueError(
+                "streaming layered decoding requires natural-QC layer "
+                "metadata on the lanes layout"
+            )
     cn_mode = "BP_MS" if channel_type == "BEC" else dec.cn_mode
     if channel_type == "BEC" and frame_tile == 0:
         # the BEC variant's scoped-VMEM footprint is larger than BP's at
@@ -655,7 +669,7 @@ def make_streaming_lanes_step(
             _lanes_superstep, ldc, channel_type, iterations, cn_mode,
             batch_per_device, modulation, quota, k, n_outer, frame_tile,
             dec.message_dtype, interpret, gen_watermark,
-            dec.quant_scale,
+            dec.quant_scale, layered,
         )
 
     if mesh is None:
@@ -795,7 +809,7 @@ def make_streaming_lanes_multipoint_step(
             "BP_MS" if channel_type == "BEC" else dec.cn_mode,
             batch_per_device, modulation, quota, k, n_outer, ft_l,
             dec.message_dtype, interpret, gen_watermark,
-            dec.quant_scale,
+            dec.quant_scale, bool(getattr(dec, "layered", False)),
         )
         state, acc = body(
             jax.random.fold_in(jax.random.fold_in(key, p_idx), f_idx),

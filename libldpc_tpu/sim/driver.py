@@ -586,6 +586,8 @@ class Simulator:
         # fast path — per-stream reload makes ET strictly cheaper than
         # fixed-iteration decoding (vs. the batch decoder's whole-batch
         # while_loop, gated by its slowest frame)
+        from ..ops.pallas.lanes_layout import LanesDeviceCode as _LanesDC
+
         stream_eligible = (
             simulation_params.streaming
             and decoder_params.early_term
@@ -600,7 +602,18 @@ class Simulator:
             # without the superstep machinery.  Negative result recorded
             # in benchmarks/EARLY_TERM.md.
             and channel_params.type != "BEC"
-            and not decoder_params.layered
+            # layered sweeps stream too since round 5 — on the fast
+            # app-update engine only (the lanes layout must carry
+            # natural-QC layers; kernel_stream_layered_qc).  Other
+            # layered paths stay batch-stepped.
+            and (
+                not decoder_params.layered
+                or (
+                    use_pallas
+                    and isinstance(self.dcode, _LanesDC)
+                    and bool(getattr(self.dcode, "qc_layers", ()))
+                )
+            )
         )
         if stream_eligible and simulation_params.error_log_file is not None:
             # forensic logging needs the per-frame decisions of a whole

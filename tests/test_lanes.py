@@ -1360,6 +1360,51 @@ class TestLayeredFastEngine:
         assert sim.dcode.transport == "qc"
         assert sim.dcode.qc_layers
         assert "schedule=layered-fast" in sim.decode_path
+        # round 5: layered sweeps stream too (the engine's streaming
+        # counterpart, kernel_stream_layered_qc; execution equivalence is
+        # pinned by TestStreamingLayeredFast in interpret mode)
+        assert sim._streaming
+        assert "streaming=on" in sim.decode_path
+
+    def test_driver_layered_stays_batch_without_qc_layers(self,
+                                                          monkeypatch):
+        """Layered on a generic transport (no natural-QC layers) must NOT
+        stream — the streaming engine exists only for the fast QC form."""
+        import dataclasses
+
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.ops.pallas import layout as pallas_layout
+        from libldpc_tpu.utils.params import (
+            ChannelParams, DecoderParams, SimulationParams,
+        )
+
+        code = make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+        code = dataclasses.replace(code)
+        code.layers = [
+            np.arange(0, code.mc, 2, dtype=np.int32),
+            np.arange(1, code.mc, 2, dtype=np.int32),
+        ]
+        monkeypatch.setattr(drv, "FUSED_EDGE_SPACE_LIMIT", 64)
+        orig_tpd = pallas_layout.to_pallas_device
+        monkeypatch.setattr(
+            pallas_layout,
+            "to_pallas_device",
+            lambda c, **kw: dataclasses.replace(
+                orig_tpd(c, **kw), mxu_blocks_fwd=None
+            ),
+        )
+        with pytest.warns(UserWarning, match="layered schedule on a "
+                          "generic"):
+            sim = drv.Simulator(
+                code,
+                DecoderParams(iterations=8, layered=True),
+                ChannelParams(seed=1, x_range=(1.0, 2.0, 1.0)),
+                SimulationParams(batch_size=32, fec=3, max_frames=128),
+                use_pallas=True,
+                verbose=False,
+            )
+        assert not sim._streaming
+        assert "streaming=off" in sim.decode_path
 
 
 class TestClosSpill:
@@ -1633,3 +1678,124 @@ class TestQcSpill:
             if int(acc.n_active) == 0:
                 break
         np.testing.assert_array_equal(totals, want)
+
+
+class TestStreamingLayeredFast:
+    """Round-5 streaming x fast-layered-engine composition
+    (decode_lanes.kernel_stream_layered_qc): the llr_in state plane is
+    reinterpreted as the persistent APP posterior and reloads set
+    app = prior / lc2v = 0 in kernel.  Drained counts must match the
+    batch layered-fast decoder exactly."""
+
+    @pytest.fixture(params=["bfloat16", "int8"], ids=["bf16", "int8"])
+    def setup(self, request):
+        from libldpc_tpu.models import (
+            make_qc_benchmark_code, qc_natural_layers,
+        )
+
+        dtype = request.param
+        code = make_qc_benchmark_code(8 * 128, 128, dv=3, dc=6, seed=3)
+        qc_natural_layers(code)
+        ldc = to_lanes_device(code, transport="qc", with_layers=True)
+        assert ldc.qc_layers
+        sdc = ldc.sorted_dc
+        from libldpc_tpu.ops.channel import awgn_channel
+
+        ch = awgn_channel(sdc, jax.random.PRNGKey(9), 16, jnp.float32(0.4))
+        return code, ldc, sdc, ch, dtype
+
+    def test_streaming_drain_matches_batch(self, setup):
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_lanes_step,
+        )
+        from libldpc_tpu.utils.params import DecoderParams
+
+        code, ldc, sdc, ch, dtype = setup
+        B = 16
+        iters = 9
+        mode = "BP_MS" if dtype == "int8" else "BP"
+        out = bp_decode_lanes(
+            ldc, ch.llr, iterations=iters, early_term=True, layered=True,
+            minsum_mode=mode, message_dtype=dtype, frame_tile=8,
+            interpret=True,
+        )
+        bit_pos = np.asarray(sdc.bit_pos)
+        errs = (
+            np.asarray(out.hard)[bit_pos]
+            != np.asarray(ch.codeword)[bit_pos]
+        ).sum(axis=0)
+        want = np.array(
+            [errs.sum(), (errs > 0).sum(), B,
+             np.asarray(out.iterations).sum()], dtype=np.int64,
+        )
+        init_fn, step_fn = make_streaming_lanes_step(
+            ldc, "AWGN",
+            DecoderParams(iterations=iters, type=mode,
+                          message_dtype=dtype, layered=True),
+            B, chunk_iters=4, interpret=True, frame_tile=8,
+        )
+        state = init_fn()
+        real = np.zeros((ldc.nc_pad, 1), np.float32)
+        real[np.asarray(ldc.lane_of_vn)] = 1.0
+        llr_l = (np.asarray(
+            jnp.take(ch.llr, ldc.vn_of_lane, axis=0, mode="fill",
+                     fill_value=0.0)) * real).T
+        cw_l = (np.asarray(
+            jnp.take(ch.codeword.astype(jnp.float32), ldc.vn_of_lane,
+                     axis=0, mode="fill", fill_value=0.0)) * real).T
+        state = state._replace(
+            llr_in=jnp.asarray(llr_l, jnp.float32),
+            codeword=jnp.asarray(cw_l).astype(jnp.int32),
+            done=jnp.zeros((B, 128), jnp.int32),
+        )
+        totals = np.zeros(4, dtype=np.int64)
+        for step in range(60):
+            state, acc = step_fn(
+                state, jax.random.PRNGKey(step), np.float32(0.4),
+                jnp.asarray(False),
+            )
+            totals += np.array([
+                int(acc.bit_errors), int(acc.frame_errors),
+                int(acc.frames), int(acc.iter_sum),
+            ])
+            if int(acc.n_active) == 0:
+                break
+        np.testing.assert_array_equal(totals, want)
+
+    def test_refill_counts_consistent(self, setup):
+        """With refill on, the stream must land the exact quota and the
+        per-frame accounting must stay self-consistent (frames == quota,
+        iter_sum <= frames * cap)."""
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_lanes_step,
+        )
+        from libldpc_tpu.utils.params import DecoderParams
+
+        code, ldc, sdc, ch, dtype = setup
+        B = 16
+        iters = 7
+        quota = 48
+        mode = "BP_MS" if dtype == "int8" else "BP"
+        init_fn, step_fn = make_streaming_lanes_step(
+            ldc, "AWGN",
+            DecoderParams(iterations=iters, type=mode,
+                          message_dtype=dtype, layered=True),
+            B, chunk_iters=4, interpret=True, frame_tile=8,
+            max_frames=quota,
+        )
+        state = init_fn()
+        totals = np.zeros(4, dtype=np.int64)
+        for step in range(80):
+            state, acc = step_fn(
+                state, jax.random.PRNGKey(step), np.float32(0.4),
+                jnp.asarray(True),
+            )
+            totals += np.array([
+                int(acc.bit_errors), int(acc.frame_errors),
+                int(acc.frames), int(acc.iter_sum),
+            ])
+            if totals[2] >= quota and int(acc.n_active) == 0:
+                break
+        assert totals[2] == quota
+        assert 0 < totals[3] <= quota * iters
+        assert totals[0] >= totals[1]  # bit errors >= frame errors
