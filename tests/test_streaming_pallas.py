@@ -882,3 +882,43 @@ class TestLanesMultipoint:
             assert isinstance(sim.dcode, LanesDeviceCode)
             res = sim.start_wide(mesh)
         np.testing.assert_array_equal(np.asarray(res.frames), [40, 40])
+
+
+class TestLanesMultipointLayered:
+    def test_lanes_multipoint_layered_engine(self):
+        """Point-parallel streaming on the fast layered engine
+        (round 5): exact per-point quotas over a 2-D CPU mesh."""
+        from libldpc_tpu.models import (
+            make_qc_benchmark_code, qc_natural_layers,
+        )
+        from libldpc_tpu.ops.pallas.lanes_layout import to_lanes_device
+        from libldpc_tpu.ops.streaming import FRAME_AXIS, POINT_AXIS
+        from libldpc_tpu.ops.streaming_pallas import (
+            make_streaming_lanes_multipoint_step,
+        )
+
+        code = make_qc_benchmark_code(8 * 128, 128, dv=3, dc=6, seed=3)
+        qc_natural_layers(code)
+        ldc = to_lanes_device(code, transport="qc", with_layers=True)
+        assert ldc.qc_layers
+        mesh = jax.make_mesh((2, 2), (POINT_AXIS, FRAME_AXIS))
+        init_fn, step_fn = make_streaming_lanes_multipoint_step(
+            ldc, "AWGN", DecoderParams(iterations=5, layered=True),
+            8, mesh, chunk_iters=5, interpret=True, frame_tile=8,
+            max_frames=24,
+        )
+        state = init_fn()
+        frames = np.zeros(2, np.int64)
+        iters = np.zeros(2, np.int64)
+        for s in range(30):
+            state, acc = step_fn(
+                state, jax.random.PRNGKey(s),
+                jnp.asarray([1.0, 2.0], jnp.float32),
+                jnp.asarray(frames < 24),
+            )
+            frames += np.asarray(acc.frames)
+            iters += np.asarray(acc.iter_sum)
+            if (frames >= 24).all():
+                break
+        np.testing.assert_array_equal(frames, [24, 24])
+        assert (iters > 0).all()
