@@ -55,3 +55,18 @@ def small_code():
     from libldpc_tpu.models import make_benchmark_code
 
     return make_benchmark_code(96, dv=3, dc=6, seed=7, with_G=True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_cache_growth():
+    """Clear jax's in-process caches after each test module.
+
+    The suite compiles hundreds of distinct programs (incl. large
+    interpret-mode Pallas graphs); accumulated compiler state aborted
+    the XLA CPU backend (SIGABRT in backend_compile) near the end of
+    the full run on 2026-08-20 while every module passed in isolation.
+    Bounding the cache keeps peak compiler state at one module's worth;
+    cross-module cache reuse is negligible here (modules build distinct
+    codes/layouts)."""
+    yield
+    jax.clear_caches()
