@@ -117,9 +117,9 @@ QC_LANES_SUB32_WIDE_EDGE_SPACE_LIMIT = 294912  # every other sub-32 combo
 #: 1.70x/1.98x/2.04x XLA at n = 18432/20480/21504 (fill 55296-64512,
 #: 2026-08-20, benchmarks/res_tp_bl_scale.txt), so the limit is the
 #: full lane extent.  The n_pad = 131072 bf16/Clos compile still
-#: crashes even in spill form (same record) — that wall now lives in
-#: SUB32_LANES_EDGE_SPACE_LIMIT-style handling below via
-#: LANES_EDGE_SPACE_LIMIT fallbacks.
+#: crashes even in spill form (same record) — past n_pad 65536 the
+#: clos fallback below drops to f32/Benes lanes (or the XLA peeling
+#: decoder for fused BEC) exactly as the fill case does.
 CLOS_LANES_FILL_LIMIT = 65536
 
 #: Measured FIXED-ITERATION (no early termination) throughput of the
