@@ -35,7 +35,7 @@ from parity import z_two_proportion  # noqa: E402
 
 
 def run(code, x, fec, max_frames, batch, message_dtype, qscale, offset,
-        iterations, seed=123):
+        iterations, seed=123, layered=False):
     from libldpc_tpu.sim import Simulator
     from libldpc_tpu.utils import (
         ChannelParams, DecoderParams, SimulationParams,
@@ -45,7 +45,7 @@ def run(code, x, fec, max_frames, batch, message_dtype, qscale, offset,
         code,
         DecoderParams(iterations=iterations, type="BP_OMS",
                       ms_offset=offset, message_dtype=message_dtype,
-                      quant_scale=qscale),
+                      quant_scale=qscale, layered=layered),
         ChannelParams(seed=seed, x_range=(x, x + 1e-6, 1.0), type="AWGN"),
         SimulationParams(batch_size=batch, fec=fec, max_frames=max_frames),
         use_pallas=True,
@@ -75,6 +75,9 @@ def main():
                     default=[1.0, 1.5, 2.0])
     ap.add_argument("--anchor", type=float, default=3.0,
                     help="deep-floor anchor SNR (dB); skipped if nan")
+    ap.add_argument("--layered", action="store_true",
+                    help="run the streaming layered engine instead of "
+                    "flooding (the round-5 flagship path)")
     ap.add_argument("--probe", action="store_true",
                     help="quick FER probe at the points (small fec) "
                     "instead of the full table")
@@ -120,9 +123,10 @@ def main():
     points = list(args.points)
     anchors = [] if math.isnan(args.anchor) else [args.anchor]
     rows = []
+    sched = ("streaming layered engine" if args.layered else "flooding")
     res_lines = [
         "# int8 OMS parity at deployed scale: bundled 802.11n "
-        f"n={code.nc} Z={code.qc[0]}, qc transport, BP_OMS "
+        f"n={code.nc} Z={code.qc[0]}, qc transport, {sched}, BP_OMS "
         f"offset={offset:g}, {args.iters} iters ET, batch {args.batch}",
         "# snr dtype fec frames fer ber avg_iter us/frame wall_s",
     ]
@@ -131,11 +135,11 @@ def main():
         mf = args.anchor_max_frames if x in anchors else args.max_frames
         k1, n1, ber1, ai1, tpf1, dt1, _ = run(
             code, x, args.fec, mf, args.batch, "float32", args.qscale,
-            offset, args.iters,
+            offset, args.iters, layered=args.layered,
         )
         k2, n2, ber2, ai2, tpf2, dt2, _ = run(
             code, x, args.fec, mf, args.batch, "int8", args.qscale,
-            offset, args.iters,
+            offset, args.iters, layered=args.layered,
         )
         z = z_two_proportion(k1, n1, k2, n2)
         worst_z = max(worst_z, abs(z))
@@ -151,8 +155,11 @@ def main():
         print(rows[-1], flush=True)
         print(f"  wall: f32 {dt1:.1f}s, int8 {dt2:.1f}s", flush=True)
 
-    res_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "res_parity_int8_wifi.txt")
+    res_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "res_parity_int8_wifi_layered.txt" if args.layered
+        else "res_parity_int8_wifi.txt",
+    )
     with open(res_path, "w") as f:
         f.write("\n".join(res_lines) + "\n")
 
@@ -160,7 +167,8 @@ def main():
     section = [
         "",
         "## Round-5 addendum: OMS-int8 at deployed scale "
-        "(real 802.11n, qc transport)",
+        + ("(real 802.11n, STREAMING LAYERED engine)" if args.layered
+           else "(real 802.11n, qc transport)"),
         "",
         f"Bundled IEEE 802.11n rate-1/2 n={code.nc} (Z={code.qc[0]}) through "
         "the arbitrary-Z structure-aware qc lane-major transport — the "
