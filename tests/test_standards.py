@@ -200,3 +200,51 @@ class TestNRMachinery:
                                  puncture_info=False)
         ldc = to_lanes_device(code, transport="qc")
         assert ldc.qc_z == 104 and ldc.qc_zq == 128
+
+
+class TestFileLoadedWifi:
+    def test_file_roundtrip_auto_z_full_speed(self, tmp_path, monkeypatch):
+        """The reference loads any codefile and decodes it at full speed
+        (gpu/ldpc/ldpc.cpp:32-83).  Same capability end to end here with
+        the REAL 802.11n matrix: write H to a plain codefile (no
+        metadata), reload, auto-detect Z, derive the natural layers, and
+        the driver constructs the flagship path — qc transport +
+        fast layered engine + streaming."""
+        import libldpc_tpu.sim.driver as drv
+        from libldpc_tpu.models import (
+            LDPCCode, detect_qc, qc_natural_layers, wifi_code,
+        )
+        from libldpc_tpu.models.io import write_codefile
+        from libldpc_tpu.ops.pallas.lanes_layout import LanesDeviceCode
+        from libldpc_tpu.utils.params import (
+            ChannelParams, DecoderParams, SimulationParams,
+        )
+
+        orig = wifi_code(1944, with_G=False)
+        path = tmp_path / "wifi1944.txt"
+        write_codefile(str(path), orig.rows, orig.cols, orig.nc, orig.mc,
+                       headered=False)
+        code = LDPCCode.from_files(str(path))
+        assert code.qc is None  # plain file: no side-channel metadata
+        detect_qc(code)  # auto-Z
+        assert code.qc[0] == 81
+        qc_natural_layers(code)
+        assert len(code.layers) == 12  # one per base row
+
+        sim = drv.Simulator(
+            code,
+            DecoderParams(iterations=8, layered=True,
+                          type="BP_OMS", ms_offset=0.375,
+                          message_dtype="int8"),
+            ChannelParams(seed=1, x_range=(2.0, 2.1, 1.0)),
+            SimulationParams(batch_size=32, fec=3, max_frames=128),
+            use_pallas=True,
+            verbose=False,
+        )
+        assert isinstance(sim.dcode, LanesDeviceCode)
+        assert sim.dcode.transport == "qc"
+        assert sim.dcode.qc_z == 81 and sim.dcode.qc_zq == 128
+        assert sim.dcode.qc_layers
+        assert "schedule=layered-fast" in sim.decode_path
+        assert "streaming=on" in sim.decode_path
+        assert "fallback" not in sim.decode_path
