@@ -84,11 +84,14 @@ FUSED_EDGE_SPACE_LIMIT = 4096
 LANES_EDGE_SPACE_LIMIT = 131072
 
 #: The structure-aware qc transport carries no switching network and no
-#: one-hot matmul planes, so its VMEM wall sits further out: n = 131072
-#: (3,6)-regular QC (n_pad = 393216) compiles and decodes at 323 us/frame
-#: while n_pad = 786432 fails both kernel forms (measured 2026-08-19 on
-#: v5e, benchmarks/res_qc_transport.txt).
-QC_LANES_EDGE_SPACE_LIMIT = 393216
+#: one-hot matmul planes, so its wall sits furthest out — and the
+#: round-5 segment-write spill (decode_lanes.qc_spill_transport) moved
+#: it again: n = 262144 (3,6)-regular QC (n_pad = 786432, DOUBLE the
+#: round-4 envelope which measured this size as failing) compiles and
+#: decodes bit-exactly at 616 us/frame = 9.62x XLA (measured 2026-08-20
+#: on v5e, benchmarks/res_qc_transport.txt).  The next octave is
+#: unprobed; sub-32 dtypes widen to f32 well before this limit.
+QC_LANES_EDGE_SPACE_LIMIT = 786432
 
 #: The qc transport's sub-32-bit (bfloat16/int8) kernel forms wall
 #: earlier than f32, and — since the round-5 segment-write spill
